@@ -1,0 +1,797 @@
+"""Core relational operator catalog (SURVEY.md §2.1-2.6).
+
+Each entry re-expresses a reference operator over the driver testdata
+tables with a DuckDB oracle. Reference citations are in each docstring.
+
+Scale notes (100 TB posture):
+- dimension joins (nation/region/customer) use ``F.broadcast`` — on a
+  real cluster the dims stay far below the broadcast threshold while the
+  fact side streams through map-side hash joins, no shuffle;
+- aggregations are expressed declaratively so Catalyst plans partial
+  (map-side) aggregation before the exchange;
+- filters/projections sit directly on the scan so parquet gets
+  PushedFilters + pruned ReadSchema;
+- no collect()-driven logic anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions import scalars as S
+from ..session import load_table
+from .base import QueryDef
+
+D2 = "decimal(18,2)"
+
+
+# ---------------------------------------------------------------- A1/A-family
+
+
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q1-shaped aggregation (SURVEY §2.5 A1 describe-style digest).
+
+    Money math in DECIMAL so the partial-aggregation tree is exact and
+    order-insensitive; cast to double only at the end.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    charge = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 6
+    )
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(D2)).cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast(D2)).cast("double").alias("sum_base_price"),
+            F.sum(disc_price.cast("decimal(28,6)")).cast("double").alias("sum_disc_price"),
+            F.sum(charge.cast("decimal(28,6)")).cast("double").alias("sum_charge"),
+            (F.sum(F.col("l_quantity").cast(D2)).cast("double") / F.count(F.lit(1))).alias(
+                "avg_qty"
+            ),
+            (F.sum(F.col("l_extendedprice").cast(D2)).cast("double") / F.count(F.lit(1))).alias(
+                "avg_price"
+            ),
+            (F.sum(F.col("l_discount").cast(D2)).cast("double") / F.count(F.lit(1))).alias(
+                "avg_disc"
+            ),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)      AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount), 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount)*(1+l_tax), 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_charge,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)      AS avg_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)      AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ------------------------------------------------------------ scans / filters
+
+
+def scan_project_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5+P3: projection + predicate directly on the parquet scan.
+
+    Catalyst pushes both into the reader (PushedFilters / 2-column
+    ReadSchema) — the fix for the reference's ``select *`` + late drop
+    (modeling/eda.ipynb:60,248).
+    """
+    o = load_table(spark, sf_dir, "orders")
+    return o.filter(
+        (F.col("o_orderstatus") == "F")
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_totalprice")
+
+
+SCAN_PROJECT_FILTER_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+WHERE o_orderstatus = 'F' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+"""
+
+
+def drop_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1 — column drop (modeling/eda.ipynb:248 cell 12 drops 7 cols)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.drop("c_name", "c_acctbal")
+
+
+DROP_COLUMNS_SQL = "SELECT c_custkey, c_nationkey, c_mktsegment FROM customer"
+
+
+def limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 — head/limit with a total order (deterministic top-10)."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .select("o_orderkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+LIMIT_TOPK_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+"""
+
+
+def count_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 — len(df) (modeling/eda.ipynb cells 8,16)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+COUNT_ROWS_SQL = "SELECT COUNT(*) AS n_rows FROM lineitem"
+
+
+# ------------------------------------------------------- derived columns (D*)
+
+
+def guarded_division(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D1 — k_bb_ratio-style guarded division (modeling/eda.ipynb:451-465):
+    NULL when the denominator is 0 (2941 zero-discount rows at sf0.01)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        S.guarded_div(F.col("l_tax").cast("double"), F.col("l_discount").cast("double")).alias(
+            "tax_disc_ratio"
+        ),
+    )
+
+
+GUARDED_DIVISION_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_discount IS NULL OR l_discount = 0 THEN NULL
+            ELSE l_tax / l_discount END AS tax_disc_ratio
+FROM lineitem
+"""
+
+
+def dropna_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2 — the reference's dropna funnel (2129→1693→1673,
+    modeling/eda.ipynb cells 15,24): derive a null-bearing ratio column,
+    drop any-null rows, count the funnel stages."""
+    li = load_table(spark, sf_dir, "lineitem")
+    with_ratio = li.select(
+        "l_orderkey",
+        S.guarded_div(F.col("l_tax").cast("double"), F.col("l_discount").cast("double")).alias(
+            "ratio"
+        ),
+    )
+    kept = with_ratio.na.drop("any")
+    return kept.agg(
+        F.count(F.lit(1)).alias("rows_after_dropna"),
+    )
+
+
+DROPNA_FUNNEL_SQL = """
+SELECT COUNT(*) AS rows_after_dropna FROM (
+  SELECT l_orderkey,
+         CASE WHEN l_discount IS NULL OR l_discount = 0 THEN NULL
+              ELSE l_tax / l_discount END AS ratio
+  FROM lineitem
+) WHERE l_orderkey IS NOT NULL AND ratio IS NOT NULL
+"""
+
+
+def derived_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2/D3/D7 — differential feature + binary label + fixed-point fmt
+    (modeling/eda.ipynb:593-628; src/function.py:87,110). Pointwise double
+    arithmetic is bit-deterministic so no rounding shims are needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "inner")
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") - F.col("p_retailprice") * F.col("l_quantity")).alias(
+                "price_comp"
+            ),
+            F.when(F.col("l_extendedprice") > F.col("p_retailprice") * F.col("l_quantity"), 1)
+            .otherwise(0)
+            .alias("premium_label"),
+            F.round(F.col("l_discount") * 100, 2).alias("disc_pct"),
+        )
+    )
+
+
+DERIVED_COLUMNS_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice - p_retailprice * l_quantity AS price_comp,
+       CASE WHEN l_extendedprice > p_retailprice * l_quantity THEN 1 ELSE 0 END AS premium_label,
+       ROUND(l_discount * 100, 2) AS disc_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+"""
+
+
+def decode_ip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D6 — base-3 innings-pitched decode (src/function.py:186-192)
+    exercised on synthesized '<whole>.<outs>' strings."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ip_str = F.concat(
+        F.col("l_quantity").cast("long").cast("string"),
+        F.lit("."),
+        (F.col("l_linenumber") % 3).cast("string"),
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        ip_str.alias("ip_raw"),
+        S.decode_ip_str(ip_str).alias("ip_decoded"),
+    )
+
+
+DECODE_IP_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) || '.' || CAST(l_linenumber % 3 AS VARCHAR) AS ip_raw,
+       CAST(CAST(l_quantity AS BIGINT) AS DOUBLE)
+         + CAST((l_linenumber % 3) * 3 AS DOUBLE) / 10.0 AS ip_decoded
+FROM lineitem
+"""
+
+
+def date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9 — yesterday/today formatting (src/function.py:469-470,549):
+    date_sub + MM/dd/yyyy formatting, month bucketing as strings."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "MM/dd/yyyy").alias("order_date_us"),
+        F.date_format(F.date_sub(F.col("o_orderdate"), 1), "yyyy-MM-dd").alias("prev_day"),
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+    )
+
+
+DATE_ARITHMETIC_SQL = """
+SELECT o_orderkey,
+       strftime(o_orderdate, '%m/%d/%Y')                    AS order_date_us,
+       strftime(o_orderdate - INTERVAL 1 DAY, '%Y-%m-%d')   AS prev_day,
+       strftime(o_orderdate, '%Y-%m')                       AS order_month
+FROM orders
+"""
+
+
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8/D10 — string surgery: sanitize/replace/case/substr/concat
+    (src/function.py:42,371-375,529)."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.col("p_name")).alias("name_upper"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_key"),
+        F.substring(F.col("p_brand"), 7, 10).alias("brand_num"),
+        F.length(F.col("p_type")).alias("type_len"),
+        F.concat(F.lit("<li>"), F.col("p_name"), F.lit("</li>")).alias("name_li"),
+        F.trim(F.col("p_type")).alias("type_trim"),
+    ).filter(F.col("p_name").like("%bolt%"))
+
+
+STRING_FUNCTIONS_SQL = """
+SELECT p_partkey,
+       UPPER(p_name)                        AS name_upper,
+       REPLACE(p_name, ' ', '_')            AS name_key,
+       SUBSTRING(p_brand, 7, 10)            AS brand_num,
+       LENGTH(p_type)                       AS type_len,
+       '<li>' || p_name || '</li>'          AS name_li,
+       TRIM(p_type)                         AS type_trim
+FROM part WHERE p_name LIKE '%bolt%'
+"""
+
+
+def try_cast_null_on_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D11 — null-on-bad-cast parity with the reference's try/except->None
+    accessors (src/function.py:87,135,...). try_cast works under ANSI too."""
+    p = load_table(spark, sf_dir, "part")
+    mixed = F.when(F.col("p_size") % 2 == 0, F.col("p_size").cast("string")).otherwise(
+        F.col("p_type")
+    )
+    return p.select(
+        "p_partkey",
+        mixed.alias("mixed_raw"),
+        mixed.try_cast("double").alias("mixed_as_double"),
+    )
+
+
+TRY_CAST_SQL = """
+SELECT p_partkey,
+       CASE WHEN p_size % 2 = 0 THEN CAST(p_size AS VARCHAR) ELSE p_type END AS mixed_raw,
+       TRY_CAST(CASE WHEN p_size % 2 = 0 THEN CAST(p_size AS VARCHAR) ELSE p_type END AS DOUBLE) AS mixed_as_double
+FROM part
+"""
+
+
+# ---------------------------------------------------------------------- joins
+
+
+def broadcast_dim_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1/J2 — dim enrichment as broadcast hash joins (replaces the
+    reference's per-row HTTP lookups, src/function.py:66,486). nation and
+    region broadcast; the customer fact side never shuffles."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+        .select("c_custkey", "c_mktsegment", "n_name", "r_name")
+    )
+
+
+BROADCAST_DIM_JOIN_SQL = """
+SELECT c_custkey, c_mktsegment, n_name, r_name
+FROM customer
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+def first_match_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1 tie-break — the reference's first-match ``[0]`` on lookups
+    (src/function.py:66): earliest order per customer via row_number()==1."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+    )
+
+
+FIRST_MATCH_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate ASC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn = 1
+"""
+
+
+def semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins (SURVEY §2.4 'absent from reference' built-ins):
+    customers with no 1995 orders, tagged; EXISTS/NOT EXISTS duals."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+    )
+    with_ = c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey").withColumn(
+        "bucket", F.lit("has_1995_order")
+    )
+    without = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey").withColumn(
+        "bucket", F.lit("no_1995_order")
+    )
+    return with_.unionByName(without)
+
+
+SEMI_ANTI_SQL = """
+SELECT c_custkey, 'has_1995_order' AS bucket FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
+UNION ALL
+SELECT c_custkey, 'no_1995_order' AS bucket FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00')
+"""
+
+
+def asof_prior_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 — as-of 'stats going into the game' (reference README.md:26-28):
+    per order, COUNT/AVG of the customer's *prior* orders via a
+    rowsBetween(unboundedPreceding, -1) frame. Decimal running sum keeps
+    the value exact regardless of partition layout."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prior_cnt = F.count(F.lit(1)).over(w)
+    prior_sum = F.sum(F.col("o_totalprice").cast(D2)).over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        prior_cnt.alias("prior_orders"),
+        (prior_sum.cast("double") / prior_cnt).alias("prior_avg_price"),
+    )
+
+
+ASOF_PRIOR_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       COUNT(*) OVER w AS prior_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE)
+         / COUNT(*) OVER w AS prior_avg_price
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3/S9 — MERGE-shaped outcome upsert (src/function.py:480-513):
+    base rows updated where a delta matches, kept otherwise, plus
+    delta-only rows appended (full-outer-join emulation of Delta MERGE;
+    SURVEY §7 documents Delta as the production path)."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    delta = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .groupBy("o_custkey")
+        .agg(F.sum(F.col("o_totalprice").cast(D2)).cast("double").alias("open_total"))
+    )
+    merged = c.join(delta, c.c_custkey == delta.o_custkey, "full_outer")
+    return merged.select(
+        F.coalesce(F.col("c_custkey"), F.col("o_custkey")).alias("custkey"),
+        F.coalesce(F.col("open_total"), F.col("c_acctbal")).alias("balance"),
+        F.when(F.col("open_total").isNotNull() & F.col("c_custkey").isNotNull(), "updated")
+        .when(F.col("c_custkey").isNull(), "inserted")
+        .otherwise("unchanged")
+        .alias("merge_action"),
+    )
+
+
+MERGE_UPSERT_SQL = """
+WITH delta AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS open_total
+  FROM orders WHERE o_orderstatus = 'O' GROUP BY o_custkey
+)
+SELECT COALESCE(c_custkey, o_custkey) AS custkey,
+       COALESCE(open_total, c_acctbal) AS balance,
+       CASE WHEN open_total IS NOT NULL AND c_custkey IS NOT NULL THEN 'updated'
+            WHEN c_custkey IS NULL THEN 'inserted'
+            ELSE 'unchanged' END AS merge_action
+FROM customer FULL OUTER JOIN delta ON c_custkey = o_custkey
+"""
+
+
+# ----------------------------------------------------- aggregations / windows
+
+
+def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — describe(): count/null_count/mean/std/min/quartiles/max
+    (modeling/eda.ipynb cells 7,18,39). Exact percentile (not approx) to
+    match the oracle; stddev rounded — float merge order contributes
+    ~1e-12 relative fuzz."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity")
+    return li.agg(
+        F.count(q).alias("cnt"),
+        F.sum(q.isNull().cast("long")).alias("null_count"),
+        (F.sum(q.cast(D2)).cast("double") / F.count(q)).alias("mean"),
+        F.round(F.stddev(q), 4).alias("std"),
+        F.min(q).alias("min_v"),
+        F.expr("percentile(l_quantity, 0.25)").alias("p25"),
+        F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.75)").alias("p75"),
+        F.max(q).alias("max_v"),
+    )
+
+
+SUMMARY_STATS_SQL = """
+SELECT COUNT(l_quantity) AS cnt,
+       CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS mean,
+       ROUND(STDDEV_SAMP(l_quantity), 4) AS std,
+       MIN(l_quantity) AS min_v,
+       QUANTILE_CONT(l_quantity, 0.25) AS p25,
+       QUANTILE_CONT(l_quantity, 0.5)  AS p50,
+       QUANTILE_CONT(l_quantity, 0.75) AS p75,
+       MAX(l_quantity) AS max_v
+FROM lineitem
+"""
+
+
+def histogram_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 — histogram distribution (modeling/eda.ipynb:842 cell 33):
+    fixed-width buckets over order totals."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 30000).cast("long")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+HISTOGRAM_SQL = """
+SELECT CAST(FLOOR(o_totalprice / 30000) AS BIGINT) AS bucket, COUNT(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+def max_by_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — best-model-per-family selection (modeling/modeling.ipynb:1925-1999):
+    top row per group, deterministic tie-break (acctbal desc, custkey asc)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("c_mktsegment", "c_custkey", "c_acctbal")
+    )
+
+
+MAX_BY_SQL = """
+SELECT c_mktsegment, c_custkey, c_acctbal FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                               ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+  FROM customer
+) WHERE rn = 1
+"""
+
+
+def string_agg_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+D10 — email digest: counts + concatenated <li> items
+    (src/function.py:371-384). Sorted collect_list == ordered string_agg."""
+    o = load_table(spark, sf_dir, "orders")
+    top = (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(50)
+        .select("o_orderpriority", "o_orderkey")
+    )
+    li = F.concat(F.lit("<li>"), F.col("o_orderkey").cast("string"), F.lit("</li>"))
+    return top.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.concat_ws("", F.array_sort(F.collect_list(li))).alias("digest"),
+    )
+
+
+STRING_AGG_SQL = """
+WITH top AS (
+  SELECT o_orderpriority, o_orderkey FROM orders
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 50
+)
+SELECT o_orderpriority, COUNT(*) AS n_items,
+       STRING_AGG('<li>' || CAST(o_orderkey AS VARCHAR) || '</li>', ''
+                  ORDER BY '<li>' || CAST(o_orderkey AS VARCHAR) || '</li>') AS digest
+FROM top GROUP BY o_orderpriority
+"""
+
+
+def confusion_matrix_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — classification metrics from (truth, pred) pairs
+    (modeling/modeling.ipynb:233-239): accuracy/precision/recall/F1 as a
+    confusion-matrix aggregation. 'Truth' = order has >4 lineitems;
+    'pred' = order total above median-ish constant."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    truth = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+        .select("l_orderkey", (F.col("n_items") > 4).cast("int").alias("truth"))
+    )
+    scored = o.join(truth, o.o_orderkey == truth.l_orderkey, "inner").select(
+        (F.col("o_totalprice") > 150000).cast("int").alias("pred"), "truth"
+    )
+    cm = scored.agg(
+        F.sum((F.col("truth") * F.col("pred"))).alias("tp"),
+        F.sum(((1 - F.col("truth")) * F.col("pred"))).alias("fp"),
+        F.sum((F.col("truth") * (1 - F.col("pred")))).alias("fn"),
+        F.sum(((1 - F.col("truth")) * (1 - F.col("pred")))).alias("tn"),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    return cm.select(
+        tp,
+        fp,
+        fn,
+        tn,
+        F.round((tp + tn).cast("double") / (tp + fp + fn + tn), 6).alias("accuracy"),
+        F.round(tp.cast("double") / (tp + fp), 6).alias("precision_"),
+        F.round(tp.cast("double") / (tp + fn), 6).alias("recall_"),
+        F.round(2 * tp.cast("double") / (2 * tp + fp + fn), 6).alias("f1"),
+    )
+
+
+CONFUSION_SQL = """
+WITH truth AS (
+  SELECT l_orderkey, CASE WHEN COUNT(*) > 4 THEN 1 ELSE 0 END AS truth
+  FROM lineitem GROUP BY l_orderkey
+), scored AS (
+  SELECT CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END AS pred, truth
+  FROM orders JOIN truth ON o_orderkey = l_orderkey
+), cm AS (
+  SELECT CAST(SUM(truth*pred) AS BIGINT) AS tp, CAST(SUM((1-truth)*pred) AS BIGINT) AS fp,
+         CAST(SUM(truth*(1-pred)) AS BIGINT) AS fn, CAST(SUM((1-truth)*(1-pred)) AS BIGINT) AS tn
+  FROM scored
+)
+SELECT tp, fp, fn, tn,
+       ROUND(CAST(tp+tn AS DOUBLE)/(tp+fp+fn+tn), 6) AS accuracy,
+       ROUND(CAST(tp AS DOUBLE)/(tp+fp), 6) AS precision_,
+       ROUND(CAST(tp AS DOUBLE)/(tp+fn), 6) AS recall_,
+       ROUND(2*CAST(tp AS DOUBLE)/(2*tp+fp+fn), 6) AS f1
+FROM cm
+"""
+
+
+def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group (SURVEY §2.6): top-3 orders per priority by total."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+    )
+
+
+TOPK_PER_GROUP_SQL = """
+SELECT o_orderpriority, rnk, o_orderkey, o_totalprice FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+  FROM orders
+) WHERE rnk <= 3
+"""
+
+
+def lag_lead_sequence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead (SURVEY §2.6): previous/next order total per customer."""
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice", 1).over(w).alias("prev_total"),
+        F.lead("o_totalprice", 1).over(w).alias("next_total"),
+    )
+
+
+LAG_LEAD_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice,
+       LAG(o_totalprice, 1)  OVER w AS prev_total,
+       LEAD(o_totalprice, 1) OVER w AS next_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+"""
+
+
+def set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """union/intersect/except (SURVEY §2.6): 1995-vs-1996 purchaser sets."""
+
+    def buyers(year: int):
+        o = load_table(spark, sf_dir, "orders")
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= F.lit(f"{year}-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{year + 1}-01-01 00:00:00").cast("timestamp"))
+            )
+            .select("o_custkey")
+            .distinct()
+        )
+
+    y95, y96 = buyers(1995), buyers(1996)
+    return (
+        y95.intersect(y96).withColumn("bucket", F.lit("both"))
+        .unionByName(y95.exceptAll(y96).withColumn("bucket", F.lit("only_1995")))
+        .unionByName(y96.exceptAll(y95).withColumn("bucket", F.lit("only_1996")))
+    )
+
+
+SET_OPS_SQL = """
+WITH y95 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+               AND o_orderdate <  TIMESTAMP '1996-01-01 00:00:00'),
+     y96 AS (SELECT DISTINCT o_custkey FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+               AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00')
+SELECT o_custkey, 'both' AS bucket FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+UNION ALL
+SELECT o_custkey, 'only_1995' AS bucket FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+UNION ALL
+SELECT o_custkey, 'only_1996' AS bucket FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y95)
+"""
+
+
+def rollup_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rollup/cube (SURVEY §2.5 'absent' built-ins): subtotal lattice over
+    (returnflag, linestatus); NULL lattice cells coalesced to 'ALL'."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast(D2)).cast("double").alias("sum_qty"),
+        )
+        .select(
+            F.coalesce(F.col("l_returnflag"), F.lit("ALL")).alias("returnflag"),
+            F.coalesce(F.col("l_linestatus"), F.lit("ALL")).alias("linestatus"),
+            "n",
+            "sum_qty",
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+       COALESCE(l_linestatus, 'ALL') AS linestatus,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct + count(distinct) (SURVEY §2.5 'absent' built-ins)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderpriority").alias("n_priorities"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+DISTINCT_COUNT_SQL = """
+SELECT COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(DISTINCT o_orderpriority) AS n_priorities,
+       COUNT(*) AS n_orders
+FROM orders
+"""
+
+
+def pivot_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot (SURVEY §2.6 engine surface): returnflag × linestatus matrix."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast(D2)).cast("double"))
+        .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
+    )
+
+
+PIVOT_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_open,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_filled
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+QUERIES: dict[str, QueryDef] = {
+    "q1_pricing_summary": QueryDef(q1_pricing_summary, Q1_SQL, "TPC-H Q1-shaped agg (A1)"),
+    "scan_project_filter": QueryDef(scan_project_filter, SCAN_PROJECT_FILTER_SQL, "S5/P3 pushdown"),
+    "drop_columns": QueryDef(drop_columns, DROP_COLUMNS_SQL, "P1 column drop"),
+    "limit_topk": QueryDef(limit_topk, LIMIT_TOPK_SQL, "P5 ordered limit"),
+    "count_rows": QueryDef(count_rows, COUNT_ROWS_SQL, "P6 count"),
+    "guarded_division": QueryDef(guarded_division, GUARDED_DIVISION_SQL, "D1 guard"),
+    "dropna_funnel": QueryDef(dropna_funnel, DROPNA_FUNNEL_SQL, "P2 dropna funnel"),
+    "derived_columns": QueryDef(derived_columns, DERIVED_COLUMNS_SQL, "D2/D3/D7 features"),
+    "decode_innings_pitched": QueryDef(decode_ip_query, DECODE_IP_SQL, "D6 base-3 decode"),
+    "date_arithmetic": QueryDef(date_arithmetic, DATE_ARITHMETIC_SQL, "D9 dates"),
+    "string_functions": QueryDef(string_functions, STRING_FUNCTIONS_SQL, "D8/D10 strings"),
+    "try_cast_null_on_error": QueryDef(try_cast_null_on_error, TRY_CAST_SQL, "D11 casts"),
+    "broadcast_dim_join": QueryDef(broadcast_dim_join, BROADCAST_DIM_JOIN_SQL, "J1/J2"),
+    "first_match_lookup": QueryDef(first_match_lookup, FIRST_MATCH_SQL, "J1 tie-break"),
+    "semi_anti_join": QueryDef(semi_anti_join, SEMI_ANTI_SQL, "semi/anti joins"),
+    "asof_prior_stats": QueryDef(asof_prior_stats, ASOF_PRIOR_SQL, "J4 as-of window"),
+    "merge_upsert": QueryDef(merge_upsert, MERGE_UPSERT_SQL, "J3/S9 MERGE emulation"),
+    "summary_stats": QueryDef(summary_stats, SUMMARY_STATS_SQL, "A1 describe"),
+    "histogram_binning": QueryDef(histogram_binning, HISTOGRAM_SQL, "A2 histogram"),
+    "max_by_leaderboard": QueryDef(max_by_leaderboard, MAX_BY_SQL, "A4 max-by"),
+    "string_agg_digest": QueryDef(string_agg_digest, STRING_AGG_SQL, "A5/D10 digest"),
+    "confusion_matrix_metrics": QueryDef(confusion_matrix_metrics, CONFUSION_SQL, "A6 metrics"),
+    "topk_per_group": QueryDef(topk_per_group, TOPK_PER_GROUP_SQL, "top-k window"),
+    "lag_lead_sequence": QueryDef(lag_lead_sequence, LAG_LEAD_SQL, "lag/lead"),
+    "set_operations": QueryDef(set_operations, SET_OPS_SQL, "set ops"),
+    "rollup_aggregation": QueryDef(rollup_aggregation, ROLLUP_SQL, "rollup"),
+    "distinct_count": QueryDef(distinct_count, DISTINCT_COUNT_SQL, "count distinct"),
+    "pivot_wide": QueryDef(pivot_wide, PIVOT_SQL, "pivot"),
+}

@@ -1,0 +1,214 @@
+"""Event-stream query catalog (SURVEY.md §2.7 T1-T5, batch-equivalent).
+
+The reference is a daily micro-batch pipeline whose streaming semantics
+(scheduled trigger, late outcomes, dedup of rescheduled games, event-time
+JSON log) map onto Structured Streaming; the *streaming* implementations
+live in ``mlb_win_predictor_spark.streaming``. The catalog entries here are
+the batch-equivalent event-time queries the DuckDB oracle can verify —
+identical logical plans to the streaming versions minus the watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..session import load_table
+from .base import QueryDef
+
+DV = "decimal(18,2)"
+
+
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 — tumbling 1-day event-time window over the JSON event log
+    (src/function.py:356-362 ISO-timestamped events). F.window() struct
+    rendered as a string bucket so the oracle schema matches."""
+    e = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "1 day")
+    return (
+        e.groupBy(win, "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DV)).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+TUMBLING_SQL = """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 — sliding 2h window, 1h slide: each event lands in 2 buckets.
+    Oracle reproduces the bucket-explosion with a 2-offset unnest."""
+    e = load_table(spark, sf_dir, "events")
+    win = F.window("ts", "2 hours", "1 hour")
+    return (
+        e.groupBy(win)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+        )
+    )
+
+
+SLIDING_SQL = """
+WITH exploded AS (
+  SELECT date_trunc('hour', ts) - INTERVAL (off) HOUR AS window_start
+  FROM events, (SELECT UNNEST([0, 1]) AS off)
+)
+SELECT strftime(window_start, '%Y-%m-%d %H:%M:%S') AS window_start,
+       COUNT(*) AS n_events
+FROM exploded GROUP BY 1
+"""
+
+
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (SURVEY §2.7 engine surface): per-user sessions cut
+    at >30 min inactivity via lag + cumulative gap counter — the batch
+    dual of session_window(ts, '30 minutes')."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double"), 1).over(w)
+    sess = (
+        e.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn(
+            "session_no",
+            F.sum("new_sess").over(w.rowsBetween(W.unboundedPreceding, 0)),
+        )
+    )
+    return sess.groupBy("user_id", "session_no").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double")), 3).alias(
+            "duration_sec"
+        ),
+    )
+
+
+SESSION_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - LAG(epoch(ts)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), numbered AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no
+  FROM flagged
+)
+SELECT user_id, session_no, COUNT(*) AS n_events,
+       ROUND(MAX(epoch(ts)) - MIN(epoch(ts)), 3) AS duration_sec
+FROM numbered GROUP BY user_id, session_no
+"""
+
+
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions (SURVEY §2.3): the reference parses API JSON
+    with dict access (src/function.py:83-85); engine dual is
+    get_json_object over the events.props payload."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+JSON_PROPS_SQL = """
+SELECT event_type,
+       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))   AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def dedup_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 — rescheduled-game dedup (src/function.py:624-636): keep one row
+    per (user_id, event_type), the earliest by event time — the batch dual
+    of dropDuplicates within a streaming micro-batch."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+    )
+
+
+DEDUP_EVENT_SQL = """
+SELECT user_id, event_type, event_id, value FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts ASC, event_id ASC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+def late_outcome_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T2/T3 — two-phase state: first event per user 'prepares' the row,
+    a later 'purchase' event completes the outcome; never-completing users
+    keep NULL (ties/postponed analog, src/function.py:485-494)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    first = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_event"))
+    )
+    wp = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("value").alias("outcome_value"))
+    )
+    return first.join(purchases, "user_id", "left").select(
+        "user_id", "first_event", "outcome_value"
+    )
+
+
+LATE_OUTCOME_SQL = """
+WITH first AS (
+  SELECT user_id, event_type AS first_event FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+    FROM events) WHERE rn = 1
+), purchases AS (
+  SELECT user_id, value AS outcome_value FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS rn
+    FROM events WHERE event_type = 'purchase') WHERE rn = 1
+)
+SELECT f.user_id, f.first_event, p.outcome_value
+FROM first f LEFT JOIN purchases p ON f.user_id = p.user_id
+"""
+
+
+QUERIES: dict[str, QueryDef] = {
+    "tumbling_window_agg": QueryDef(tumbling_window_agg, TUMBLING_SQL, "T5 tumbling window"),
+    "sliding_window_agg": QueryDef(sliding_window_agg, SLIDING_SQL, "T5 sliding window"),
+    "session_windows": QueryDef(session_windows, SESSION_SQL, "sessionization"),
+    "json_props_extract": QueryDef(json_props_extract, JSON_PROPS_SQL, "JSON scalar fns"),
+    "dedup_latest_event": QueryDef(dedup_latest_event, DEDUP_EVENT_SQL, "T4 dedup"),
+    "late_outcome_upsert": QueryDef(late_outcome_upsert, LATE_OUTCOME_SQL, "T2/T3 late data"),
+}
