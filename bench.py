@@ -1,0 +1,86 @@
+"""Benchmark harness: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is executed to completion via a count() over its result (forces
+the full plan without driver-side materialization of wide rows). A warmup
+pass on the smallest SF absorbs JVM/codegen startup so the timings measure
+the plans, not the JIT.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from mlb_win_predictor_spark.queries import QUERIES  # noqa: E402
+from mlb_win_predictor_spark.session import get_spark  # noqa: E402
+
+# Headline set: one per operator family, weighted toward shuffle-heavy plans.
+HEADLINE = [
+    "q1_pricing_summary",
+    "flagship_asof_funnel",
+    "broadcast_dim_join",
+    "merge_upsert",
+    "topk_per_group",
+    "session_windows",
+    "set_operations",
+    "rollup_aggregation",
+    "json_props_extract",
+    "confusion_matrix_metrics",
+]
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    fn = QUERIES[name].fn
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    n = df.count()
+    dt = time.perf_counter() - t0
+    assert n >= 0
+    return dt
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="mlb-win-predictor-bench")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    extra = os.environ.get("BENCH_QUERIES")
+    if extra:
+        names = [n for n in extra.split(",") if n in QUERIES]
+
+    # warmup: run the headline set once at the smallest SF to absorb JVM init
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        for n in names:
+            try:
+                run_query(spark, n, warm_dir)
+            except Exception:
+                pass
+
+    timings: dict[str, float] = {}
+    for n in names:
+        timings[n] = round(run_query(spark, n, sf_dir), 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

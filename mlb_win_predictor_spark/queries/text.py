@@ -1,0 +1,306 @@
+"""Text-analysis + deduplication catalog over ``documents``
+(SURVEY.md §2.10 north-star ops; driver-mandated training-data pipeline).
+
+All-native column expressions (split/transform/aggregate/md5) — no Python
+UDFs — so the text pipeline stays inside whole-stage codegen. The
+MinHash/SimHash/LSH variants (hash-seed-dependent, not SQL-expressible)
+live in ``operators.dedup`` with rows-only entries in ``queries.ml``.
+
+Scale notes: every query is a narrow scan + one hash aggregation except
+``ngram_jaccard_pairs``, which bounds its candidate set explicitly
+(doc_id cap) — the unbounded-scale path is MinHash LSH banding
+(operators.dedup), not the exact pairwise join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..session import load_table
+from .base import QueryDef
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (north-star text analysis): whitespace tokenization,
+    char/token stats per document."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_actual"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+    )
+
+
+TOKEN_COUNT_SQL = r"""
+SELECT doc_id, lang,
+       LENGTH(text) AS n_chars_actual,
+       CAST(len(regexp_split_to_array(TRIM(text), '\s+')) AS INT) AS n_tokens,
+       CAST(len(list_distinct(regexp_split_to_array(TRIM(text), '\s+'))) AS INT) AS n_unique_tokens
+FROM documents
+"""
+
+
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring (north-star): length, mean word length, stopword
+    ratio, type-token ratio — the survivorship heuristics of an LLM
+    training-data pipeline, as pure column arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tok = F.size(toks)
+    sw_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
+    mean_wlen = (F.length("text") - n_tok + 1).cast("double") / n_tok
+    return d.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        F.round(mean_wlen, 6).alias("mean_word_len"),
+        F.round(n_stop.cast("double") / n_tok, 6).alias("stopword_ratio"),
+        F.round(F.size(F.array_distinct(toks)).cast("double") / n_tok, 6).alias(
+            "type_token_ratio"
+        ),
+        (
+            (n_tok >= 20)
+            & (n_stop.cast("double") / n_tok < 0.5)
+            & (F.size(F.array_distinct(toks)).cast("double") / n_tok > 0.2)
+        )
+        .cast("int")
+        .alias("keep_flag"),
+    )
+
+
+TEXT_QUALITY_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(TRIM(text), '\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CAST(LENGTH(text) - len(toks) + 1 AS DOUBLE) / len(toks) AS mean_wlen,
+         CAST(len(list_filter(toks, t -> list_contains({list(STOPWORDS)!r}, t))) AS DOUBLE)
+           / len(toks) AS sw_ratio,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS tt_ratio
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       ROUND(mean_wlen, 6) AS mean_word_len,
+       ROUND(sw_ratio, 6)  AS stopword_ratio,
+       ROUND(tt_ratio, 6)  AS type_token_ratio,
+       CASE WHEN n_tokens >= 20 AND sw_ratio < 0.5 AND tt_ratio > 0.2
+            THEN 1 ELSE 0 END AS keep_flag
+FROM s
+"""
+
+
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "is", "of"),
+    "fr": ("le", "la", "et", "les"),
+    "es": ("el", "los", "las", "es"),
+    "de": ("der", "und", "die", "das"),
+    "zh": ("de", "shi", "le", "bu"),
+}
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID by marker-token voting (north-star text analysis):
+    score = count of language-specific function words; argmax with a fixed
+    tie-break order, compared against the labeled ``lang`` column."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+
+    def _score(markers: tuple[str, ...]):
+        arr = F.array(*[F.lit(m) for m in markers])
+        return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+    scores = [
+        _score(markers).alias(f"score_{lang}") for lang, markers in LANG_MARKERS.items()
+    ]
+    scored = d.select("doc_id", "lang", *scores)
+    # argmax with deterministic tie-break = lexicographic struct max over
+    # (score, reverse-alphabetical-rank) pairs
+    langs = list(LANG_MARKERS)
+    best = F.greatest(
+        *[
+            F.struct(
+                F.col(f"score_{lg}").alias("s"), F.lit(len(langs) - i).alias("r")
+            )
+            for i, lg in enumerate(langs)
+        ]
+    )
+    pred = F.when(F.lit(False), F.lit(None))
+    for i, lg in enumerate(langs):
+        pred = pred.when(
+            (best["s"] == F.col(f"score_{lg}")) & (best["r"] == len(langs) - i), F.lit(lg)
+        )
+    scored = scored.withColumn("predicted_lang", pred)
+    return scored.groupBy("lang", "predicted_lang").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+_mk_score = "len(list_filter(toks, t -> list_contains({m!r}, t)))"
+_score_cols = ",\n         ".join(
+    _mk_score.format(m=list(m)) + f" AS score_{lg}" for lg, m in LANG_MARKERS.items()
+)
+_langs = list(LANG_MARKERS)
+_struct_list = ", ".join(
+    f"{{'s': score_{lg}, 'r': {len(_langs) - i}}}" for i, lg in enumerate(_langs)
+)
+_pred_case = "CASE " + " ".join(
+    f"WHEN best.s = score_{lg} AND best.r = {len(_langs) - i} THEN '{lg}'"
+    for i, lg in enumerate(_langs)
+) + " END"
+LANG_ID_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, lang, regexp_split_to_array(TRIM(text), '\s+') AS toks
+  FROM documents
+), scored AS (
+  SELECT doc_id, lang,
+         {_score_cols}
+  FROM t
+), best AS (
+  SELECT *, list_max([{_struct_list}]) AS best FROM scored
+)
+SELECT lang, {_pred_case} AS predicted_lang, COUNT(*) AS n_docs
+FROM best GROUP BY 1, 2
+"""
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (north-star): hash-groupBy on full text, keep the
+    lowest doc_id per distinct text — the dropDuplicates/MERGE analog of
+    the reference's rescheduled-game PK dedup (src/function.py:624-636)."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("text").orderBy(F.col("doc_id").asc())
+    kept = d.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+
+
+DEDUP_EXACT_SQL = """
+SELECT lang, COUNT(*) AS n_kept FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn
+  FROM documents
+) WHERE rn = 1 GROUP BY lang
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (north-star): normalized-content digest
+    (md5 over lowercased trimmed text) + first-8-token prefix fingerprint;
+    dedup key = (digest) — byte-identical across engines."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.lower(F.trim(F.col("text")))
+    toks = F.split(norm, r"\s+")
+    return d.select(
+        "doc_id",
+        F.md5(norm.cast("binary")).alias("content_digest"),
+        F.md5(F.concat_ws(" ", F.slice(toks, 1, 8)).cast("binary")).alias("prefix_digest"),
+    )
+
+
+DOC_FINGERPRINT_SQL = r"""
+SELECT doc_id,
+       md5(LOWER(TRIM(text))) AS content_digest,
+       md5(array_to_string(list_slice(regexp_split_to_array(LOWER(TRIM(text)), '\s+'), 1, 8), ' '))
+         AS prefix_digest
+FROM documents
+"""
+
+
+NGRAM_N = 3
+NGRAM_DOC_CAP = 200
+JACCARD_THRESHOLD = 0.5
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram Jaccard near-dup pairs (north-star dedup): word 3-gram
+    shingles, candidate pairs via shared-shingle equi-join, exact Jaccard
+    filter. Candidate set bounded (doc_id < {cap}) — the exact-oracle
+    counterpart of the MinHash LSH path in operators.dedup."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < NGRAM_DOC_CAP)
+        .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    )
+    shingles = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("toks") - (NGRAM_N - 1), F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, NGRAM_N)),
+            )
+        ).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sizes = shingles.select("doc_id", F.size("shingles").alias("n_sh"))
+    exploded = shingles.select("doc_id", F.explode("shingles").alias("sh"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    out = (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return out
+
+
+NGRAM_JACCARD_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks
+  FROM documents WHERE doc_id < {NGRAM_DOC_CAP}
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, GREATEST(len(toks) - {NGRAM_N - 1}, 0) + 1),
+           i -> array_to_string(list_slice(toks, i, i + {NGRAM_N - 1}), ' ')
+         )) AS shingles
+  FROM toks
+), sized AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM sh WHERE len(shingles) > 0
+), ex AS (
+  SELECT doc_id, UNNEST(shingles) AS s FROM sh WHERE len(shingles) > 0
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+FROM shared
+JOIN sized sa ON doc_a = sa.doc_id
+JOIN sized sb ON doc_b = sb.doc_id
+WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= {JACCARD_THRESHOLD}
+"""
+
+
+QUERIES: dict[str, QueryDef] = {
+    "token_count": QueryDef(token_count, TOKEN_COUNT_SQL, "text: token counting"),
+    "text_quality_score": QueryDef(text_quality_score, TEXT_QUALITY_SQL, "text: quality"),
+    "lang_id_heuristic": QueryDef(lang_id_heuristic, LANG_ID_SQL, "text: language id"),
+    "dedup_exact": QueryDef(dedup_exact, DEDUP_EXACT_SQL, "dedup: exact"),
+    "doc_fingerprint": QueryDef(doc_fingerprint, DOC_FINGERPRINT_SQL, "text: fingerprint"),
+    "ngram_jaccard_pairs": QueryDef(
+        ngram_jaccard_pairs, NGRAM_JACCARD_SQL, "dedup: n-gram jaccard"
+    ),
+}
