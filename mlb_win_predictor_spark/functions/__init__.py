@@ -8,6 +8,7 @@ from .scalars import (
     html_li,
     k_bb_diff,
     s3_log_key,
+    stable_round,
     win_pct_fmt,
 )
 
@@ -21,5 +22,6 @@ __all__ = [
     "html_li",
     "k_bb_diff",
     "s3_log_key",
+    "stable_round",
     "win_pct_fmt",
 ]

@@ -18,6 +18,19 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def stable_round(col: Column | str, k: int) -> Column:
+    """Cross-engine-stable rounding of a computed double.
+
+    ``F.round(x, k)`` (exact-BigDecimal HALF_UP) and DuckDB ``ROUND(x, k)``
+    (multiply-then-``std::round``) disagree when ``x*10^k`` lands on an
+    exact .5 (common for small-denominator rationals like 27*er/outs).
+    ``round(x*10^k)/10^k`` performs the identical IEEE ops on both engines
+    — pair with the same idiom in oracle SQL (``queries.base.sround``).
+    """
+    scale = F.lit(float(10**k))
+    return F.round(_c(col) * scale, 0) / scale
+
+
 def guarded_div(num: Column | str, den: Column | str) -> Column:
     """D1 — NULL if denominator is 0 or NULL, else num/den.
 

@@ -1,0 +1,8 @@
+from .games import (
+    asof_pitcher_stats,
+    build_features,
+    prepare_games,
+    update_games,
+)
+
+__all__ = ["asof_pitcher_stats", "build_features", "prepare_games", "update_games"]

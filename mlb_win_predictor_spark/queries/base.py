@@ -38,3 +38,11 @@ class QueryDef:
 def dec(col: str, prec: int = 18, scale: int = 2) -> str:
     """SQL fragment: exact decimal view of a money/quantity double."""
     return f"CAST({col} AS DECIMAL({prec},{scale}))"
+
+
+def sround(expr: str, k: int) -> str:
+    """SQL dual of ``functions.scalars.stable_round`` — identical IEEE op
+    sequence on both engines (see that docstring for why plain ROUND(x,k)
+    is not cross-engine stable)."""
+    scale = float(10**k)
+    return f"(ROUND(({expr}) * {scale}) / {scale})"

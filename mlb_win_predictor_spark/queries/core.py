@@ -475,7 +475,7 @@ def summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(q).alias("cnt"),
         F.sum(q.isNull().cast("long")).alias("null_count"),
         (F.sum(q.cast(D2)).cast("double") / F.count(q)).alias("mean"),
-        F.round(F.stddev(q), 4).alias("std"),
+        S.stable_round(F.stddev(q), 4).alias("std"),
         F.min(q).alias("min_v"),
         F.expr("percentile(l_quantity, 0.25)").alias("p25"),
         F.expr("percentile(l_quantity, 0.5)").alias("p50"),
@@ -488,7 +488,7 @@ SUMMARY_STATS_SQL = """
 SELECT COUNT(l_quantity) AS cnt,
        CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS mean,
-       ROUND(STDDEV_SAMP(l_quantity), 4) AS std,
+       (ROUND(STDDEV_SAMP(l_quantity) * 10000.0) / 10000.0) AS std,
        MIN(l_quantity) AS min_v,
        QUANTILE_CONT(l_quantity, 0.25) AS p25,
        QUANTILE_CONT(l_quantity, 0.5)  AS p50,
@@ -591,10 +591,10 @@ def confusion_matrix_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp,
         fn,
         tn,
-        F.round((tp + tn).cast("double") / (tp + fp + fn + tn), 6).alias("accuracy"),
-        F.round(tp.cast("double") / (tp + fp), 6).alias("precision_"),
-        F.round(tp.cast("double") / (tp + fn), 6).alias("recall_"),
-        F.round(2 * tp.cast("double") / (2 * tp + fp + fn), 6).alias("f1"),
+        S.stable_round((tp + tn).cast("double") / (tp + fp + fn + tn), 6).alias("accuracy"),
+        S.stable_round(tp.cast("double") / (tp + fp), 6).alias("precision_"),
+        S.stable_round(tp.cast("double") / (tp + fn), 6).alias("recall_"),
+        S.stable_round(2 * tp.cast("double") / (2 * tp + fp + fn), 6).alias("f1"),
     )
 
 
@@ -611,10 +611,10 @@ WITH truth AS (
   FROM scored
 )
 SELECT tp, fp, fn, tn,
-       ROUND(CAST(tp+tn AS DOUBLE)/(tp+fp+fn+tn), 6) AS accuracy,
-       ROUND(CAST(tp AS DOUBLE)/(tp+fp), 6) AS precision_,
-       ROUND(CAST(tp AS DOUBLE)/(tp+fn), 6) AS recall_,
-       ROUND(2*CAST(tp AS DOUBLE)/(2*tp+fp+fn), 6) AS f1
+       (ROUND(CAST(tp+tn AS DOUBLE)/(tp+fp+fn+tn) * 1000000.0) / 1000000.0) AS accuracy,
+       (ROUND(CAST(tp AS DOUBLE)/(tp+fp) * 1000000.0) / 1000000.0) AS precision_,
+       (ROUND(CAST(tp AS DOUBLE)/(tp+fn) * 1000000.0) / 1000000.0) AS recall_,
+       (ROUND(2*CAST(tp AS DOUBLE)/(2*tp+fp+fn) * 1000000.0) / 1000000.0) AS f1
 FROM cm
 """
 

@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..functions.scalars import stable_round
 from ..session import load_table
 from .base import QueryDef
 
@@ -54,7 +55,7 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = c.join(F.broadcast(q)).select(
         "query_id",
         "cand_id",
-        F.round(_cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cosine"),
+        stable_round(_cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
     return (
@@ -99,7 +100,7 @@ WITH pairs AS (
   GROUP BY 1
 ), scored AS (
   SELECT query_id, cand_id,
-         ROUND(dot / SQRT(nq.nrm * nc.nrm), 6) AS cosine
+         (ROUND(dot / SQRT(nq.nrm * nc.nrm) * 1000000.0) / 1000000.0) AS cosine
   FROM pairs
   JOIN norms nq ON nq.vec_id = query_id
   JOIN norms nc ON nc.vec_id = cand_id
@@ -127,7 +128,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a",
         "id_b",
-        F.round(_cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
+        stable_round(_cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
     ).filter(F.col("cosine") >= NEARDUP_MIN_COS)
 
 
@@ -147,9 +148,9 @@ pairs AS (
   FROM (SELECT vec_id, UNNEST(embedding) AS v FROM sub)
   GROUP BY 1
 )
-SELECT id_a, id_b, ROUND(dot / SQRT(na.nrm * nb.nrm), 6) AS cosine
+SELECT id_a, id_b, (ROUND(dot / SQRT(na.nrm * nb.nrm) * 1000000.0) / 1000000.0) AS cosine
 FROM pairs JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
-WHERE ROUND(dot / SQRT(na.nrm * nb.nrm), 6) >= {NEARDUP_MIN_COS}
+WHERE (ROUND(dot / SQRT(na.nrm * nb.nrm) * 1000000.0) / 1000000.0) >= {NEARDUP_MIN_COS}
 """
 
 
@@ -164,7 +165,7 @@ def nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent = (
         pos.groupBy("label", "pos")
         .agg(
-            F.round(
+            stable_round(
                 F.sum(F.col("v").cast("double")) / F.count(F.lit(1)), 6
             ).alias("cv")
         )
@@ -177,7 +178,7 @@ def nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("label").alias("c_label"), "centroid")
     )
     sub = e.filter(F.col("vec_id") < CENTROID_ASSIGN_CAP)
-    dist = F.round(
+    dist = stable_round(
         F.aggregate(
             F.zip_with(
                 F.col("embedding"),
@@ -212,13 +213,13 @@ WITH flat AS (
   FROM embeddings
 ), cent AS (
   SELECT label AS c_label, i,
-         ROUND(SUM(CAST(v AS DOUBLE)) / COUNT(*), 6) AS cv
+         (ROUND(SUM(CAST(v AS DOUBLE)) / COUNT(*) * 1000000.0) / 1000000.0) AS cv
   FROM flat GROUP BY 1, 2
 ), sub AS (
   SELECT * FROM flat WHERE vec_id < {CENTROID_ASSIGN_CAP}
 ), dists AS (
   SELECT sub.vec_id, sub.label AS true_label, cent.c_label,
-         ROUND(SUM((CAST(sub.v AS DOUBLE) - cent.cv) * (CAST(sub.v AS DOUBLE) - cent.cv)), 6) AS sq_dist
+         (ROUND(SUM((CAST(sub.v AS DOUBLE) - cent.cv) * (CAST(sub.v AS DOUBLE) - cent.cv)) * 1000000.0) / 1000000.0) AS sq_dist
   FROM sub JOIN cent ON sub.i = cent.i
   GROUP BY 1, 2, 3
 )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..functions import scalars as S
 from ..session import load_table
 from .base import QueryDef
 
@@ -92,9 +93,9 @@ def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sess.groupBy("user_id", "session_no").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double")), 3).alias(
-            "duration_sec"
-        ),
+        S.stable_round(
+            F.max(F.col("ts").cast("double")) - F.min(F.col("ts").cast("double")), 3
+        ).alias("duration_sec"),
     )
 
 
@@ -113,7 +114,7 @@ WITH flagged AS (
   FROM flagged
 )
 SELECT user_id, session_no, COUNT(*) AS n_events,
-       ROUND(MAX(epoch(ts)) - MIN(epoch(ts)), 3) AS duration_sec
+       (ROUND((MAX(epoch(ts)) - MIN(epoch(ts))) * 1000.0) / 1000.0) AS duration_sec
 FROM numbered GROUP BY user_id, session_no
 """
 

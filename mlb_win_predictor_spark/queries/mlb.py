@@ -44,7 +44,7 @@ def flagship_asof_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         prior_avg.alias("prior_avg"),
     ).withColumn(
-        "ratio", F.round(S.guarded_div(F.col("o_totalprice"), F.col("prior_avg")), 6)
+        "ratio", S.stable_round(S.guarded_div(F.col("o_totalprice"), F.col("prior_avg")), 6)
     )
     kept = enriched.na.drop("any")
     return kept.groupBy("o_orderpriority").agg(
@@ -52,8 +52,8 @@ def flagship_asof_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("ratio").cast("decimal(28,6)")).cast("double") / F.count(F.lit(1))).alias(
             "avg_ratio"
         ),
-        F.round(F.min("ratio"), 6).alias("min_ratio"),
-        F.round(F.max("ratio"), 6).alias("max_ratio"),
+        F.min("ratio").alias("min_ratio"),
+        F.max("ratio").alias("max_ratio"),
         F.sum((F.col("ratio") > 1).cast("long")).alias("n_above_prior"),
     )
 
@@ -67,8 +67,8 @@ WITH enriched AS (
   WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 ), ratioed AS (
-  SELECT *, ROUND(CASE WHEN prior_avg IS NULL OR prior_avg = 0 THEN NULL
-                       ELSE o_totalprice / prior_avg END, 6) AS ratio
+  SELECT *, (ROUND((CASE WHEN prior_avg IS NULL OR prior_avg = 0 THEN NULL
+                       ELSE o_totalprice / prior_avg END) * 1000000.0) / 1000000.0) AS ratio
   FROM enriched
 ), kept AS (
   SELECT * FROM ratioed
@@ -78,8 +78,8 @@ WITH enriched AS (
 SELECT o_orderpriority,
        COUNT(*) AS n_orders,
        CAST(SUM(CAST(ratio AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*) AS avg_ratio,
-       ROUND(MIN(ratio), 6) AS min_ratio,
-       ROUND(MAX(ratio), 6) AS max_ratio,
+       MIN(ratio) AS min_ratio,
+       MAX(ratio) AS max_ratio,
        CAST(SUM(CASE WHEN ratio > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_above_prior
 FROM kept GROUP BY o_orderpriority
 """

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..functions.scalars import stable_round
 from ..session import load_table
 from .base import QueryDef
 
@@ -60,11 +61,11 @@ def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         n_tok.alias("n_tokens"),
-        F.round(mean_wlen, 6).alias("mean_word_len"),
-        F.round(n_stop.cast("double") / n_tok, 6).alias("stopword_ratio"),
-        F.round(F.size(F.array_distinct(toks)).cast("double") / n_tok, 6).alias(
-            "type_token_ratio"
-        ),
+        stable_round(mean_wlen, 6).alias("mean_word_len"),
+        stable_round(n_stop.cast("double") / n_tok, 6).alias("stopword_ratio"),
+        stable_round(
+            F.size(F.array_distinct(toks)).cast("double") / n_tok, 6
+        ).alias("type_token_ratio"),
         (
             (n_tok >= 20)
             & (n_stop.cast("double") / n_tok < 0.5)
@@ -89,9 +90,9 @@ WITH t AS (
   FROM t
 )
 SELECT doc_id, n_tokens,
-       ROUND(mean_wlen, 6) AS mean_word_len,
-       ROUND(sw_ratio, 6)  AS stopword_ratio,
-       ROUND(tt_ratio, 6)  AS type_token_ratio,
+       (ROUND(mean_wlen * 1000000.0) / 1000000.0) AS mean_word_len,
+       (ROUND(sw_ratio * 1000000.0) / 1000000.0)  AS stopword_ratio,
+       (ROUND(tt_ratio * 1000000.0) / 1000000.0)  AS type_token_ratio,
        CASE WHEN n_tokens >= 20 AND sw_ratio < 0.5 AND tt_ratio > 0.2
             THEN 1 ELSE 0 END AS keep_flag
 FROM s
@@ -254,7 +255,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            F.round(
+            stable_round(
                 F.col("n_shared").cast("double")
                 / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_shared")),
                 6,
@@ -286,11 +287,11 @@ WITH toks AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       ROUND(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+       (ROUND(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) * 1000000.0) / 1000000.0) AS jaccard
 FROM shared
 JOIN sized sa ON doc_a = sa.doc_id
 JOIN sized sb ON doc_b = sb.doc_id
-WHERE CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) >= {JACCARD_THRESHOLD}
+WHERE (ROUND(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) * 1000000.0) / 1000000.0) >= {JACCARD_THRESHOLD}
 """
 
 

@@ -26,10 +26,25 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
 
 
 def _norm(v):
+    import datetime
+
+    import pandas as pd
+
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         return v
+    if isinstance(v, pd.Timestamp):
+        # a DATE read back as midnight timestamp == the date itself
+        return v.date().isoformat() if v == v.normalize() else v.isoformat()
+    if isinstance(v, datetime.datetime):
+        return (
+            v.date().isoformat()
+            if v.time() == datetime.time(0, 0)
+            else v.isoformat()
+        )
+    if isinstance(v, datetime.date):
+        return v.isoformat()
     return v
 
 
@@ -55,7 +70,7 @@ def compare(spark_df, con, sql: str, float_tol: float = 0.0) -> None:
         # pairing, but flag int-vs-float (e.g. DuckDB HUGEINT widening).
         ok = sk == dk or {sk, dk} <= {"i", "O"} or {sk, dk} <= {"f", "O"} or (
             {sk, dk} == {"i", "f"} and (sdf[c].isna().any() or ddf[c].isna().any())
-        )
+        ) or {sk, dk} <= {"M", "O"}  # date columns: object(date) vs datetime64
         assert ok, f"dtype-kind mismatch on {c}: spark={sdf[c].dtype} duckdb={ddf[c].dtype}"
 
     srows = sorted(
@@ -67,7 +82,7 @@ def compare(spark_df, con, sql: str, float_tol: float = 0.0) -> None:
     max_delta = 0.0
     for i, (sr, dr) in enumerate(zip(srows, drows)):
         for c, (a, b) in enumerate(zip(sr, dr)):
-            if _values_eq(a, b, float_tol):
+            if _values_eq(_norm(a), _norm(b), float_tol):
                 continue
             if isinstance(a, float) and isinstance(b, float):
                 max_delta = max(max_delta, abs(a - b))
