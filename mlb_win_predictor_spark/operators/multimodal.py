@@ -1,0 +1,86 @@
+"""Multimodal columns (SURVEY §2.10): opaque binary payloads + typed
+metadata, with Arrow-batched decode/feature-extract plumbing.
+
+Design: media travels as a ``binary`` column beside a metadata struct
+(mime, n_bytes, digest). Decode / resize / frame-sample run as
+``mapInPandas`` batch iterators — Arrow transfer, bounded batch memory,
+schema declared up front — exactly the shape a real image/audio pipeline
+needs on a cluster. The actual codecs are NOT in this container, so the
+decoder body is a clearly-marked deterministic stub (per the driver
+brief): the Spark-side plumbing (schema, partitioning, UDF signature,
+batch shape) is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "doc_id long, mime string, n_bytes long, digest string, payload binary"
+)
+
+DECODED_SCHEMA = (
+    "doc_id long, mime string, n_bytes long, width int, height int, n_channels int"
+)
+
+
+def to_media_column(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Wrap a source column as a multimodal payload: binary bytes + typed
+    metadata struct. (Testdata has no real media; text bytes stand in as
+    the opaque payload — the column types are what matter.)"""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.when(F.col("source").isin("src0", "src1"), "image/png")
+        .when(F.col("source") == "src2", "audio/wav")
+        .otherwise("video/mp4")
+        .alias("mime"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.md5(payload).alias("digest"),
+        payload.alias("payload"),
+    )
+
+
+def _decode_stub(payload: bytes, mime: str) -> tuple[int, int, int]:
+    """STUB decoder — real image/audio libs are not in this container.
+
+    Deterministic fake: derives (width, height, channels) from payload
+    length so tests are stable. A production deployment replaces this
+    body with PIL/libav decode; the mapInPandas plumbing is unchanged.
+    """
+    n = len(payload)
+    if mime.startswith("image/"):
+        return (n % 640 + 1, n % 480 + 1, 3)
+    if mime.startswith("audio/"):
+        return (n, 1, 1)
+    if mime.startswith("video/"):
+        return (n % 1920 + 1, n % 1080 + 1, 3)
+    raise NotImplementedError(f"no decoder for mime {mime}")
+
+
+def decode_media(media: DataFrame) -> DataFrame:
+    """Arrow-batched decode over ``mapInPandas``: the batch iterator shape
+    a real decoder uses (bounded memory, vectorized transfer, pure
+    per-partition map — no shuffle)."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            dims = [
+                _decode_stub(p, m) for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": pdf["n_bytes"],
+                    "width": [d[0] for d in dims],
+                    "height": [d[1] for d in dims],
+                    "n_channels": [d[2] for d in dims],
+                }
+            )
+
+    return media.mapInPandas(decode_batches, schema=DECODED_SCHEMA)

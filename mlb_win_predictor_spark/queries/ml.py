@@ -1,0 +1,129 @@
+"""Rows-only catalog entries: MLlib fits + LSH sketch operators
+(SURVEY §2.8, §2.10).
+
+Not SQL-expressible (iterative optimizers, hash-seeded sketches) — the
+driver records the weaker rows-only check; exactness properties (accuracy
+bands, LSH recall vs exact oracle, dedup idempotence) are pytest-enforced
+in tests/test_operators.py and tests/test_ml.py per SURVEY §5.2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..ml.knn import knn_predict_lsh
+from ..ml.nearest_centroid import fit_nearest_centroid
+from ..operators.dedup import minhash_neardup_pairs, simhash_buckets
+from ..operators.similarity import ann_topk_lsh
+from ..session import load_table
+from .base import QueryDef
+
+
+def _emb_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.transform("embedding", lambda v: v.cast("double")).alias("features_arr"),
+    )
+
+
+def ml_logreg_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1-M3/M8 — scale->fit->evaluate on a binary task (label>=5) over
+    embeddings; returns one leaderboard row (model, accuracy, n_train,
+    n_test). The games-table version of the full 3-family leaderboard
+    runs in tests/test_ml.py over the fixture pipeline."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import StandardScaler, VectorAssembler
+    from pyspark.ml import Pipeline
+    from pyspark.ml.functions import array_to_vector
+
+    df = _emb_features(spark, sf_dir).select(
+        "vec_id",
+        (F.col("label") >= 5).cast("double").alias("label"),
+        array_to_vector("features_arr").alias("raw_features"),
+    )
+    train, test = df.randomSplit([0.8, 0.2], seed=42)
+    pipe = Pipeline(
+        stages=[
+            StandardScaler(
+                inputCol="raw_features", outputCol="features", withMean=True, withStd=True
+            ),
+            LogisticRegression(featuresCol="features", labelCol="label"),
+        ]
+    )
+    pred = pipe.fit(train).transform(test)
+    correct = F.sum((F.col("prediction") == F.col("label")).cast("long"))
+    return pred.agg(
+        F.lit("logistic_regression").alias("model"),
+        (correct / F.count(F.lit(1))).alias("accuracy"),
+        F.count(F.lit(1)).alias("n_test"),
+    )
+
+
+def ml_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5 — custom NearestCentroid (fit=Summarizer.mean, predict=broadcast
+    argmin): per-label assignment counts + accuracy."""
+    df = _emb_features(spark, sf_dir)
+    model = fit_nearest_centroid(df, "features_arr", "label")
+    pred = model.transform(df)
+    return pred.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum((F.col("prediction") == F.col("label")).cast("long")).alias("n_correct"),
+    )
+
+
+def ml_knn_lsh_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 — LSH-bucketed approximate kNN majority vote (the scalable dual
+    of the reference's GridSearchCV'd KNeighborsClassifier)."""
+    df = _emb_features(spark, sf_dir)
+    test = df.filter(F.col("vec_id") % 10 == 0)
+    train = df.filter(F.col("vec_id") % 10 != 0)
+    pred = knn_predict_lsh(train, test, k=5)
+    return pred.agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum((F.col("prediction") == F.col("label")).cast("long")).alias("n_correct"),
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star MinHash LSH near-dup: candidate pair count + mean
+    Jaccard distance per band-collision outcome."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_neardup_pairs(docs, jaccard_dist_threshold=0.9)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.min("jaccard_dist").alias("min_dist"),
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star SimHash fingerprinting: bucket occupancy digest."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = simhash_buckets(docs)
+    return sh.groupBy("band").agg(F.count(F.lit(1)).alias("n_docs")).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.max("n_docs").alias("max_bucket_size"),
+        F.sum("n_docs").alias("n_docs_total"),
+    )
+
+
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star ANN: LSH top-k for a bounded query set (recall vs the
+    exact-oracle catalog query is property-tested)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    corpus = e.filter(F.col("vec_id") >= 8)
+    topk = ann_topk_lsh(queries, corpus, k=3)
+    return topk.select("query_id", "rnk", "cand_id")
+
+
+QUERIES: dict[str, QueryDef] = {
+    "ml_logreg_leaderboard": QueryDef(ml_logreg_leaderboard, None, "M1-M3/M8 LR pipeline"),
+    "ml_nearest_centroid": QueryDef(ml_nearest_centroid, None, "M5 NearestCentroid"),
+    "ml_knn_lsh_vote": QueryDef(ml_knn_lsh_vote, None, "M6 LSH kNN vote"),
+    "dedup_minhash_lsh": QueryDef(dedup_minhash_lsh, None, "dedup: MinHash LSH"),
+    "dedup_simhash": QueryDef(dedup_simhash, None, "dedup: SimHash"),
+    "similarity_ann_lsh": QueryDef(similarity_ann_lsh, None, "similarity: LSH ANN"),
+}

@@ -1,0 +1,86 @@
+"""ML-layer tests (SURVEY §5.2): end-to-end E2->E3 replica on fixtures
+with accuracy in the observed band, NearestCentroid correctness vs a
+numpy oracle, split proportions, scaler semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mlb_win_predictor_spark.fixtures import write_fixtures
+from mlb_win_predictor_spark.ml import (
+    FEATURE_FAMILIES,
+    fit_nearest_centroid,
+    select_best,
+    train_leaderboard,
+)
+from mlb_win_predictor_spark.pipeline import build_features
+from mlb_win_predictor_spark.session import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def fixture_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("mlfix")
+    write_fixtures(str(d))
+    return str(d)
+
+
+def test_leaderboard_e2e(spark, fixture_dir):
+    games = spark.read.parquet(f"{fixture_dir}/games.parquet")
+    features = build_features(games)
+    lb = train_leaderboard(spark, features)
+    rows = lb.collect()
+    # 3 families × 3 MLlib models
+    assert len(rows) == len(FEATURE_FAMILIES) * 3
+    for r in rows:
+        # fixtures are label-independent noise => accuracy ~ majority class;
+        # the reference's observed band is 0.45-0.65 (BASELINE.md)
+        assert 0.35 <= r.accuracy <= 0.72, (r.family, r.model, r.accuracy)
+    # split proportions (randomSplit is probabilistic — proportion parity,
+    # SURVEY §7)
+    assert abs(rows[0].n_train / (rows[0].n_train + rows[0].n_test) - 0.8) < 0.05
+    best = select_best(lb).collect()
+    assert len(best) == len(FEATURE_FAMILIES)
+
+
+def test_nearest_centroid_vs_numpy_oracle(spark):
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        F.transform("embedding", lambda v: v.cast("double")).alias("features_arr"),
+    )
+    model = fit_nearest_centroid(emb, "features_arr", "label")
+    pred = {r.vec_id: r.prediction for r in model.transform(emb).collect()}
+
+    rows = emb.collect()
+    X = np.array([r.features_arr for r in rows])
+    y = np.array([r.label for r in rows])
+    ids = np.array([r.vec_id for r in rows])
+    cents = {lab: X[y == lab].mean(axis=0) for lab in np.unique(y)}
+    labs = sorted(cents)
+    C = np.stack([cents[lo] for lo in labs])
+    d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    expected = {i: labs[j] for i, j in zip(ids, d2.argmin(axis=1))}
+    mismatches = [i for i in pred if pred[i] != expected[i]]
+    assert not mismatches, f"{len(mismatches)} centroid assignments differ from numpy"
+
+
+def test_feature_antisymmetry(spark, fixture_dir):
+    """D2 property (SURVEY §5.2): swapping home/away negates every diff."""
+    games = spark.read.parquet(f"{fixture_dir}/games.parquet")
+    swapped = games
+    for c in games.columns:
+        if c.startswith("home_"):
+            other = "away_" + c[len("home_"):]
+            swapped = swapped.withColumnRenamed(c, "_tmp_" + c)
+            swapped = swapped.withColumnRenamed(other, c)
+            swapped = swapped.withColumnRenamed("_tmp_" + c, other)
+    f1 = build_features(games).drop("winning_team")
+    f2 = build_features(swapped).drop("winning_team")
+    s1 = f1.agg(*[F.sum(c).alias(c) for c in f1.columns]).collect()[0]
+    s2 = f2.agg(*[F.sum(c).alias(c) for c in f2.columns]).collect()[0]
+    for c in f1.columns:
+        assert abs(s1[c] + s2[c]) < 1e-6, c

@@ -1,0 +1,111 @@
+"""Property tests for non-SQL-expressible operators (SURVEY §5.2):
+LSH recall vs exact oracle, dedup idempotence/correctness, SimHash
+determinism, multimodal decode plumbing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlb_win_predictor_spark.operators.dedup import (
+    exact_dedup,
+    minhash_neardup_pairs,
+    simhash_buckets,
+)
+from mlb_win_predictor_spark.operators.multimodal import decode_media, to_media_column
+from mlb_win_predictor_spark.operators.similarity import ann_topk_lsh, exact_topk_cosine
+from mlb_win_predictor_spark.session import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings").cache()
+
+
+def test_exact_dedup_idempotent(spark, docs):
+    with_dups = docs.unionByName(docs.limit(50)).unionByName(docs.limit(10))
+    once = exact_dedup(with_dups, ["text"], "doc_id")
+    twice = exact_dedup(once, ["text"], "doc_id")
+    assert once.count() == docs.select("text").distinct().count()
+    assert twice.count() == once.count()
+    assert once.exceptAll(twice).count() == 0
+
+
+def test_minhash_finds_planted_near_dups(spark, docs):
+    # plant near-duplicates: copy of doc with one word changed
+    base = docs.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    clones = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    corpus = base.unionByName(clones)
+    pairs = minhash_neardup_pairs(
+        corpus, jaccard_dist_threshold=0.5, num_hash_tables=8
+    )
+    found = {
+        (r.id_a, r.id_b)
+        for r in pairs.collect()
+    }
+    planted = {(i, i + 100000) for i in range(20)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"minhash recall {recall} (found {len(found)} pairs)"
+
+
+def test_minhash_deterministic(spark, docs):
+    p1 = minhash_neardup_pairs(docs.limit(100), jaccard_dist_threshold=0.95).collect()
+    p2 = minhash_neardup_pairs(docs.limit(100), jaccard_dist_threshold=0.95).collect()
+    assert sorted(map(str, p1)) == sorted(map(str, p2))
+
+
+def test_simhash_near_dup_share_fingerprint(spark, docs):
+    base = docs.filter(F.col("doc_id") < 30).select("doc_id", "text")
+    clones = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zzz")).alias("text"),
+    )
+    sh = simhash_buckets(base.unionByName(clones))
+    rows = {r.doc_id: (r.simhash, r.band) for r in sh.collect()}
+    # hamming distance between a doc and its 1-token-appended clone is small
+    close = 0
+    for i in range(30):
+        a, b = rows[i][0], rows[i + 100000][0]
+        ham = bin((a ^ b) & ((1 << 64) - 1)).count("1")
+        close += ham <= 8
+    assert close >= 24, f"only {close}/30 clones within hamming 8"
+
+
+def test_ann_lsh_recall_vs_exact(spark, emb):
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    k = 10
+    exact = exact_topk_cosine(queries, corpus, k=k)
+    approx = ann_topk_lsh(queries, corpus, k=k, num_hash_tables=6, bucket_length=4.0)
+    e = {(r.query_id, r.cand_id) for r in exact.collect()}
+    a = {(r.query_id, r.cand_id) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, f"ANN recall {recall}"
+
+
+def test_multimodal_roundtrip(spark, docs):
+    media = to_media_column(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    decoded = decode_media(media)
+    out = decoded.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("width").alias("wmin"),
+        F.min("n_channels").alias("cmin"),
+    ).collect()[0]
+    assert out.n == docs.count()
+    assert out.wmin >= 1 and out.cmin >= 1
+    # payload bytes faithfully carry the source text
+    back = media.select(
+        F.decode(F.col("payload"), "UTF-8").alias("text2"), "doc_id"
+    ).join(docs, "doc_id")
+    assert back.filter(F.col("text2") != F.col("text")).count() == 0
