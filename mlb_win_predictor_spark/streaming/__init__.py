@@ -1,0 +1,15 @@
+from .jobs import (
+    dedup_stream,
+    read_events_stream,
+    session_stream,
+    tumbling_stream,
+    upsert_outcomes_foreach_batch,
+)
+
+__all__ = [
+    "dedup_stream",
+    "read_events_stream",
+    "session_stream",
+    "tumbling_stream",
+    "upsert_outcomes_foreach_batch",
+]

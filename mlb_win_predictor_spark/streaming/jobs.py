@@ -1,0 +1,137 @@
+"""Structured Streaming semantics (SURVEY.md §2.7 T1-T5).
+
+The reference is a daily micro-batch job: cron trigger (T1,
+src/function.py:15-21), two-phase insert-then-complete state (T2,
+:462-649), never-arriving outcomes left NULL (T3, :485-494), PK-dedup of
+rescheduled games (T4, :624-636), ISO-timestamped JSON event log (T5,
+:356-362). Each maps here to the idiomatic Structured Streaming
+construct; the batch-equivalent duals are oracle-checked in
+``queries.events`` — these jobs produce the SAME logical aggregation with
+a watermark on top.
+
+Scale: watermark state is bounded by (watermark horizon × key
+cardinality); foreachBatch MERGE touches only matched partitions (with a
+table format; plain-parquet join+overwrite documented as the test-env
+fallback, SURVEY §7).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+def _event_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+
+
+def read_events_stream(
+    spark: SparkSession, src_dir: str, nanos: bool = True
+) -> DataFrame:
+    """T5 — file-source stream over the event-log directory (the JSON/S3
+    log sink of src/function.py:531-535 becomes a streamed landing zone;
+    parquet because that's the testdata format). ``nanos=True`` handles
+    the TIMESTAMP(NANOS) testdata files (read as long under
+    spark.sql.legacy.parquet.nanosAsLong, truncated to µs here)."""
+    schema = _event_schema(T.LongType() if nanos else T.TimestampType())
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    if nanos:
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return stream
+
+
+def tumbling_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """T5 — tumbling 1-day windowed counts with late-data watermark: the
+    streaming dual of queries.events.tumbling_window_agg."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows with a 30-min inactivity gap — the streaming dual
+    of queries.events.session_windows (native session_window operator)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """T4 — rescheduled-event dedup: dropDuplicates on the event id within
+    the watermark horizon (the PK-violation rollback of
+    src/function.py:624-636, minus the round trip)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def upsert_outcomes_foreach_batch(
+    updates: DataFrame, games_path: str, checkpoint: str
+):
+    """T2 — two-phase outcome completion as a foreachBatch MERGE
+    (src/function.py:480-513 semantics): each micro-batch of
+    (game_id, winning_team) results is merged into the stored games
+    table. Plain parquet has no MERGE, so the batch function does
+    join+overwrite (Delta `MERGE INTO` is the production path)."""
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        if not os.path.exists(games_path):
+            return
+        games = spark.read.parquet(games_path)
+        b = batch.dropDuplicates(["game_id"]).select(
+            "game_id", F.col("winning_team").alias("new_winning_team")
+        )
+        merged = (
+            games.join(F.broadcast(b), "game_id", "left")
+            .withColumn(
+                "winning_team",
+                F.coalesce(F.col("new_winning_team"), F.col("winning_team")),
+            )
+            .drop("new_winning_team")
+        )
+        tmp = games_path + f".tmp_epoch_{epoch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        final = spark.read.parquet(tmp)
+        final.write.mode("overwrite").parquet(games_path)
+
+    return (
+        updates.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

@@ -1,0 +1,109 @@
+"""Structured Streaming tests (SURVEY §2.7): each streaming job, driven
+to completion over file micro-batches, must agree with its batch dual."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlb_win_predictor_spark.fixtures import write_fixtures
+from mlb_win_predictor_spark.queries.events import tumbling_window_agg
+from mlb_win_predictor_spark.session import load_table
+from mlb_win_predictor_spark.streaming import (
+    dedup_stream,
+    read_events_stream,
+    tumbling_stream,
+    session_stream,
+    upsert_outcomes_foreach_batch,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(tmp_path_factory):
+    """Events table split into 3 files => 3 file-source micro-batches."""
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{SF}/events.parquet", d / "events_0.parquet")
+    return str(d)
+
+
+def _run_to_memory(spark, df, name, mode="append"):
+    q = (
+        df.writeStream.outputMode(mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return spark.sql(f"SELECT * FROM {name}")
+
+
+def test_tumbling_stream_matches_batch(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    out = _run_to_memory(spark, tumbling_stream(stream), "t_tumbling", "complete")
+    batch = tumbling_window_agg(spark, SF)
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in batch.collect()}
+    assert got == want
+
+
+def test_session_stream_runs(spark, events_dir):
+    stream = read_events_stream(spark, events_dir)
+    out = _run_to_memory(spark, session_stream(stream), "t_session", "complete")
+    rows = out.collect()
+    assert len(rows) > 0
+    n_events = sum(r.n_events for r in rows)
+    assert n_events == load_table(spark, SF, "events").count()
+
+
+def test_dedup_stream_drops_duplicates(spark, tmp_path):
+    src = tmp_path / "dups"
+    src.mkdir()
+    e = load_table(spark, SF, "events").filter(F.col("event_id") < 200)
+    # plain files (not Spark output dirs): the file source doesn't recurse
+    e.toPandas().to_parquet(str(src / "a.parquet"), index=False)
+    e.filter(F.col("event_id") < 50).toPandas().to_parquet(
+        str(src / "b.parquet"), index=False
+    )  # duplicate slice (pandas writes TIMESTAMP(NANOS) => nanos=True)
+    stream = read_events_stream(spark, str(src), nanos=True)
+    out = _run_to_memory(spark, dedup_stream(stream), "t_dedup")
+    assert out.select("event_id").distinct().count() == out.count() == 200
+
+
+def test_foreach_batch_upsert(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("upsert")
+    fix = tmp_path_factory.mktemp("upsert_fix")
+    write_fixtures(str(fix))
+    games_path = str(d / "games_table")
+    games = spark.read.parquet(f"{fix}/games.parquet")
+    games.write.parquet(games_path)
+
+    updates_dir = d / "updates"
+    updates_dir.mkdir()
+    upd = games.filter(F.col("game_id") < 716652).select(
+        "game_id", F.col("away_team_id").alias("winning_team")
+    )
+    upd.toPandas().to_parquet(str(updates_dir / "u0.parquet"), index=False)
+
+    stream = (
+        spark.readStream.schema("game_id long, winning_team long")
+        .parquet(str(updates_dir))
+    )
+    writer = upsert_outcomes_foreach_batch(
+        stream, games_path, str(d / "ckpt")
+    )
+    q = writer.start()
+    q.processAllAvailable()
+    q.stop()
+
+    merged = spark.read.parquet(games_path)
+    assert merged.count() == games.count()
+    changed = merged.alias("m").join(upd.alias("u"), "game_id").filter(
+        F.col("m.winning_team") != F.col("u.winning_team")
+    )
+    assert changed.count() == 0
