@@ -1,0 +1,93 @@
+"""Physical-plan audits (the 100 TB posture, SURVEY §4.2): these
+assertions pin the *plan shape*, not just the results — a regression that
+un-pushes a filter or flips a broadcast join to sort-merge fails here
+long before it becomes a cluster incident."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from mlb_win_predictor_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    return {name: plan_of(QUERIES[name].fn(spark, SF)) for name in QUERIES}
+
+
+def test_filter_and_projection_pushdown(plans):
+    p = plans["scan_project_filter"]
+    assert "PushedFilters: [" in p and "EqualTo(o_orderstatus,F)" in p
+    # projection pruned to the 4 referenced columns (2 projected + 2 filtered)
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "o_orderkey" in read and "o_totalprice" in read
+    assert "o_custkey" not in read and "o_orderpriority" not in read
+
+
+def test_q1_scan_prunes_columns(plans):
+    read = next(l for l in plans["q1_pricing_summary"].splitlines() if "ReadSchema" in l)
+    assert "l_orderkey" not in read and "l_partkey" not in read
+
+
+def test_dim_joins_broadcast(plans):
+    p = plans["broadcast_dim_join"]
+    # formatted plans list each node in the tree AND the detail section
+    detail_nodes = [
+        l for l in p.splitlines() if l.startswith("(") and "BroadcastHashJoin" in l
+    ]
+    assert len(detail_nodes) == 2, detail_nodes
+    assert "SortMergeJoin" not in p
+    # the fact side must not shuffle: the only exchanges are broadcasts
+    for line in p.splitlines():
+        if "Exchange" in line and "BroadcastExchange" not in line:
+            raise AssertionError(f"unexpected shuffle: {line}")
+
+
+def test_q1_partial_aggregation(plans):
+    """Map-side combine before the exchange: HashAggregate -> Exchange ->
+    HashAggregate."""
+    p = plans["q1_pricing_summary"]
+    order = [
+        l.strip()
+        for l in p.splitlines()
+        if l.strip().startswith(("(")) and ("HashAggregate" in l or "Exchange" in l)
+    ]
+    assert len([l for l in p.splitlines() if "HashAggregate" in l and l.strip().startswith("(")]) >= 2
+
+
+def test_derived_columns_broadcasts_part_dim(plans):
+    p = plans["derived_columns"]
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_cosine_topk_broadcasts_queries(plans):
+    p = plans["cosine_topk_bruteforce"]
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_no_cartesian_in_catalog(plans):
+    for name, p in plans.items():
+        assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
+
+
+def test_flagship_single_wide_dependency(plans):
+    """The flagship's only shuffles: one hash partition for the window +
+    the (AQE-coalesced) aggregation exchange."""
+    p = plans["flagship_asof_funnel"]
+    shuffles = [
+        l for l in p.splitlines() if "Exchange hashpartitioning" in l
+    ]
+    assert len(shuffles) <= 2, shuffles
