@@ -1,0 +1,240 @@
+"""Remaining engine-surface catalog entries (SURVEY §2.4-2.6 'absent from
+reference, declared as built-ins' + §2.9 UDTF surface): correlation, cube,
+cross join, non-equi range join, RANGE window frames, positional explode,
+ranking functions, approximate distinct."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.scalars import stable_round
+from ..session import load_table
+from .base import QueryDef
+
+D2 = "decimal(18,2)"
+
+
+def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — pairwise relationships (the sns.pairplot of eda cell 35):
+    sample Pearson correlations over lineitem measures."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.agg(
+        stable_round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        stable_round(F.corr("l_quantity", "l_discount"), 6).alias("corr_qty_disc"),
+        stable_round(F.corr("l_extendedprice", "l_discount"), 6).alias("corr_price_disc"),
+    )
+
+
+CORR_SQL = """
+SELECT (ROUND(CORR(l_quantity, l_extendedprice) * 1000000.0) / 1000000.0) AS corr_qty_price,
+       (ROUND(CORR(l_quantity, l_discount) * 1000000.0) / 1000000.0)      AS corr_qty_disc,
+       (ROUND(CORR(l_extendedprice, l_discount) * 1000000.0) / 1000000.0) AS corr_price_disc
+FROM lineitem
+"""
+
+
+def cube_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cube lattice over (priority, status) — all 4 grouping sets."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast(D2)).cast("double").alias("total"),
+        )
+        .select(
+            F.coalesce(F.col("o_orderpriority"), F.lit("ALL")).alias("priority"),
+            F.coalesce(F.col("o_orderstatus"), F.lit("ALL")).alias("status"),
+            "n",
+            "total",
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+       COALESCE(o_orderstatus, 'ALL') AS status,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+def cross_join_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross join (SURVEY §2.4 — the NearestCentroid scorer shape):
+    region × nation grid with a derived same-region flag."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select(
+        "r_regionkey",
+        "n_nationkey",
+        (F.col("n_regionkey") == F.col("r_regionkey")).cast("int").alias("same_region"),
+    )
+
+
+CROSS_JOIN_SQL = """
+SELECT r_regionkey, n_nationkey,
+       CASE WHEN n_regionkey = r_regionkey THEN 1 ELSE 0 END AS same_region
+FROM region CROSS JOIN nation
+"""
+
+
+PRICE_BANDS = [
+    (0.0, 50000.0, "low"),
+    (50000.0, 150000.0, "mid"),
+    (150000.0, 300000.0, "high"),
+    (300000.0, 1e9, "extreme"),
+]
+
+
+def range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (theta/range) join: orders banded by price via
+    lo <= price < hi against a broadcast band dim — the Spark plan is a
+    BroadcastNestedLoopJoin with the range predicate, the scalable form
+    of a bucketize-then-equi-join."""
+    o = load_table(spark, sf_dir, "orders")
+    bands = spark.createDataFrame(PRICE_BANDS, ["lo", "hi", "band"])
+    joined = o.join(
+        F.broadcast(bands),
+        (o.o_totalprice >= bands.lo) & (o.o_totalprice < bands.hi),
+        "inner",
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(D2)).cast("double").alias("total"),
+    )
+
+
+_bands_values = ", ".join(f"({lo}, {hi}, '{b}')" for lo, hi, b in PRICE_BANDS)
+RANGE_JOIN_SQL = f"""
+WITH bands(lo, hi, band) AS (VALUES {_bands_values})
+SELECT band, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders JOIN bands ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY band
+"""
+
+
+def range_between_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (SURVEY §2.6): per order, count+sum of the customer's
+    orders in the previous 90 days (value-based frame, not row-based) —
+    the time-decayed variant of the J4 as-of pattern."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(day.cast("long"))
+        .rangeBetween(-90, -1)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.count(F.lit(1)).over(w).alias("prior_90d_orders"),
+        F.sum(F.col("o_totalprice").cast(D2)).over(w).cast("double").alias("prior_90d_total"),
+    )
+
+
+RANGE_BETWEEN_SQL = """
+SELECT o_custkey, o_orderkey,
+       COUNT(*) OVER w AS prior_90d_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS prior_90d_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY datediff('day', DATE '1995-01-01', o_orderdate)
+             RANGE BETWEEN 90 PRECEDING AND 1 PRECEDING)
+"""
+
+
+EXPLODE_DOC_CAP = 20
+
+
+def explode_positional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UDTF surface (SURVEY §2.9): posexplode of document tokens —
+    (doc_id, pos, token) rows, 1-based positions."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < EXPLODE_DOC_CAP)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select("doc_id", F.posexplode(toks).alias("pos", "token")).withColumn(
+        "pos", F.col("pos") + 1
+    )
+
+
+EXPLODE_SQL = rf"""
+SELECT doc_id,
+       CAST(generate_subscripts(regexp_split_to_array(TRIM(text), '\s+'), 1) AS INT) AS pos,
+       UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS token
+FROM documents WHERE doc_id < {EXPLODE_DOC_CAP}
+"""
+
+
+def ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile / percent_rank over customer balances
+    within market segments (deterministic: custkey tie-break feeds
+    row_number; rank family computed on the balance alone)."""
+    c = load_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_mktsegment").orderBy(F.col("c_acctbal").desc())
+    wt = W.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey").asc()
+    )
+    return c.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(wt).alias("quartile"),
+        stable_round(F.percent_rank().over(w), 6).alias("pct_rank"),
+    )
+
+
+RANKING_SQL = """
+SELECT c_mktsegment, c_custkey,
+       RANK()       OVER w  AS rnk,
+       DENSE_RANK() OVER w  AS drnk,
+       NTILE(4)     OVER wt AS quartile,
+       (ROUND(PERCENT_RANK() OVER w * 1000000.0) / 1000000.0) AS pct_rank
+FROM customer
+WINDOW w  AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC),
+       wt AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)
+"""
+
+
+def union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) — the dual of unionByName+dropDuplicates."""
+    o = load_table(spark, sf_dir, "orders")
+    hi = o.filter(F.col("o_totalprice") > 300000).select("o_custkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return hi.union(urgent).distinct()
+
+
+UNION_DISTINCT_SQL = """
+SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+UNION
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+
+def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) — sketch semantics differ from
+    DuckDB's approximation, so this is rows-only; the exact dual is
+    oracle-checked in ``distinct_count``."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_customers"),
+        F.countDistinct("o_custkey").alias("exact_customers"),
+    )
+
+
+QUERIES: dict[str, QueryDef] = {
+    "corr_matrix": QueryDef(corr_matrix, CORR_SQL, "A3 correlations"),
+    "cube_aggregation": QueryDef(cube_aggregation, CUBE_SQL, "cube lattice"),
+    "cross_join_dims": QueryDef(cross_join_dims, CROSS_JOIN_SQL, "cross join"),
+    "range_join_bands": QueryDef(range_join_bands, RANGE_JOIN_SQL, "non-equi range join"),
+    "range_between_window": QueryDef(
+        range_between_window, RANGE_BETWEEN_SQL, "RANGE window frame"
+    ),
+    "explode_positional": QueryDef(explode_positional, EXPLODE_SQL, "posexplode UDTF"),
+    "ranking_functions": QueryDef(ranking_functions, RANKING_SQL, "rank/ntile family"),
+    "union_distinct": QueryDef(union_distinct, UNION_DISTINCT_SQL, "union distinct"),
+    "approx_distinct": QueryDef(approx_distinct, None, "approx_count_distinct (HLL)"),
+}
