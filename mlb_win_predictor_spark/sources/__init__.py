@@ -1,0 +1,9 @@
+from .schedule_source import ScheduleDataSource, register_schedule_source
+from .sinks import email_digest, json_log_sink
+
+__all__ = [
+    "ScheduleDataSource",
+    "email_digest",
+    "json_log_sink",
+    "register_schedule_source",
+]

@@ -1,0 +1,49 @@
+"""Sinks (SURVEY §2.1 S8-S12).
+
+- ``json_log_sink``   : the structlog-JSON S3 log sink (S10/S11,
+  src/function.py:349-364,531-535) as a partitioned JSON-lines write with
+  the reference's sanitized timestamp key (D8, :42).
+- ``email_digest``    : the email notification sink (S12, :367-401) —
+  out of engine scope as delivery, but the digest CONTENT (counts +
+  <li> item lists) is an aggregation, computed here as a DataFrame.
+
+Parquet/append/upsert sinks (S6-S9) are first-class engine paths:
+``df.write.parquet`` in pipeline.games, MERGE emulation in
+queries.core.merge_upsert and streaming.jobs.upsert_outcomes_foreach_batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def json_log_sink(events: DataFrame, out_dir: str, job_name: str) -> str:
+    """Write an append-only JSON event log under a sanitized timestamped
+    key (the reference's S3 object-key scheme, src/function.py:42,529)."""
+    key_row = events.sparkSession.range(1).select(
+        F.concat(
+            F.date_format(F.current_timestamp(), "yyyy-MM-dd_HH-mm-ss"),
+            F.lit(f"_{job_name}"),
+        ).alias("key")
+    ).collect()[0]
+    path = os.path.join(out_dir, key_row.key)
+    events.write.mode("overwrite").json(path)
+    return path
+
+
+def email_digest(prepared: DataFrame, updated: DataFrame) -> DataFrame:
+    """S12/D10/A5 — the send_email() digest (src/function.py:367-384):
+    per-bucket counts + HTML <li> item list, one row per bucket."""
+
+    def digest(df: DataFrame, bucket: str) -> DataFrame:
+        li = F.concat(F.lit("<li>"), F.col("game_id").cast("string"), F.lit("</li>"))
+        return df.agg(
+            F.lit(bucket).alias("bucket"),
+            F.count(F.lit(1)).alias("n_games"),
+            F.concat_ws("", F.array_sort(F.collect_list(li))).alias("html_items"),
+        )
+
+    return digest(prepared, "prepared").unionByName(digest(updated, "updated"))
