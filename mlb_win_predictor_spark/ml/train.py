@@ -131,6 +131,88 @@ def train_leaderboard(
     return spark.createDataFrame(rows)
 
 
+def grid_search_cv(
+    features: DataFrame,
+    feature_cols: list[str] | None = None,
+    label_col: str = "winning_team",
+    num_folds: int = 5,
+    seed: int = 42,
+):
+    """M6/A9 — grid search with k-fold CV (the reference grid-searches
+    KNeighborsClassifier over 10 k values with GridSearchCV(cv=5),
+    modeling.ipynb:617-635): ParamGridBuilder + CrossValidator over LR
+    regularization, mean CV accuracy per grid point, argmax selection.
+
+    Returns (cv_model, grid_metrics) where grid_metrics is a list of
+    (param_value, mean_accuracy) — the reference's per-k accuracy list.
+    """
+    from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    feature_cols = feature_cols or FEATURE_FAMILIES["all_stats"]
+    df = features.withColumn("label", F.col(label_col).cast("double")).drop(label_col)
+    lr = LogisticRegression(featuresCol="features", labelCol="label")
+    pipe = make_pipeline(feature_cols, lr)
+    grid = (
+        ParamGridBuilder()
+        .addGrid(lr.regParam, [0.0, 0.01, 0.1, 1.0])
+        .build()
+    )
+    cv = CrossValidator(
+        estimator=pipe,
+        estimatorParamMaps=grid,
+        evaluator=MulticlassClassificationEvaluator(
+            labelCol="label", predictionCol="prediction", metricName="accuracy"
+        ),
+        numFolds=num_folds,
+        seed=seed,
+        parallelism=4,
+    )
+    model = cv.fit(df)
+    metrics = [
+        (pm[lr.regParam], m) for pm, m in zip(grid, model.avgMetrics)
+    ]
+    return model, metrics
+
+
+def auc_of(pred: DataFrame, label_col: str = "label") -> float:
+    """A7 — areaUnderROC via BinaryClassificationEvaluator
+    (the roc_curve+auc of modeling.ipynb:243-244)."""
+    from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+    ev = BinaryClassificationEvaluator(
+        labelCol=label_col, rawPredictionCol="rawPrediction", metricName="areaUnderROC"
+    )
+    return float(ev.evaluate(pred))
+
+
+def roc_curve_points(pred: DataFrame, label_col: str = "label", n_bins: int = 20) -> DataFrame:
+    """A7 — ROC curve points as a DataFrame: thresholds over the positive
+    -class probability, (fpr, tpr) per threshold via one aggregation."""
+    from pyspark.ml.functions import vector_to_array
+
+    p1 = vector_to_array(F.col("probability")).getItem(1)
+    scored = pred.select(F.col(label_col).alias("y"), p1.alias("p"))
+    bins = scored.sparkSession.range(n_bins + 1).select(
+        (F.col("id").cast("double") / n_bins).alias("thr")
+    )
+    joined = scored.crossJoin(F.broadcast(bins))
+    return (
+        joined.groupBy("thr")
+        .agg(
+            F.sum(((F.col("p") >= F.col("thr")) & (F.col("y") == 1)).cast("long")).alias("tp"),
+            F.sum(((F.col("p") >= F.col("thr")) & (F.col("y") == 0)).cast("long")).alias("fp"),
+            F.sum(F.col("y").cast("long")).alias("pos"),
+            F.sum((1 - F.col("y")).cast("long")).alias("neg"),
+        )
+        .select(
+            "thr",
+            (F.col("tp") / F.col("pos")).alias("tpr"),
+            (F.col("fp") / F.col("neg")).alias("fpr"),
+        )
+    )
+
+
 def select_best(leaderboard: DataFrame) -> DataFrame:
     """M9/A4 — best model per family: max_by(model, accuracy) with a
     deterministic tie-break (modeling.ipynb:1925-1999)."""

@@ -84,3 +84,24 @@ def test_feature_antisymmetry(spark, fixture_dir):
     s2 = f2.agg(*[F.sum(c).alias(c) for c in f2.columns]).collect()[0]
     for c in f1.columns:
         assert abs(s1[c] + s2[c]) < 1e-6, c
+
+
+def test_grid_search_cv(spark, fixture_dir):
+    from mlb_win_predictor_spark.ml.train import auc_of, grid_search_cv, roc_curve_points
+
+    games = spark.read.parquet(f"{fixture_dir}/games.parquet")
+    features = build_features(games).cache()
+    model, metrics = grid_search_cv(features, num_folds=3)
+    assert len(metrics) == 4  # one mean accuracy per grid point (A9)
+    assert all(0.3 <= m <= 0.75 for _, m in metrics)
+    # best param selected by argmax of CV accuracy
+    best_reg = max(metrics, key=lambda t: t[1])[0]
+    assert model.bestModel.stages[-1].getRegParam() == best_reg
+    # A7: AUC + ROC points on the CV winner's predictions
+    pred = model.transform(features.withColumn("label", F.col("winning_team").cast("double")))
+    auc = auc_of(pred)
+    assert 0.3 <= auc <= 0.75
+    roc = roc_curve_points(pred, n_bins=10).collect()
+    assert len(roc) == 11
+    by_thr = sorted(roc, key=lambda r: r.thr)
+    assert by_thr[0].tpr == 1.0 and by_thr[-1].tpr <= 0.05
