@@ -20,7 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from mlb_win_predictor_spark.queries import QUERIES  # noqa: E402
 from mlb_win_predictor_spark.session import get_spark  # noqa: E402
 
-# Headline set: one per operator family, weighted toward shuffle-heavy plans.
+# Headline set: one per operator family, weighted toward shuffle-heavy plans,
+# plus the north-star training-data ops.
 HEADLINE = [
     "q1_pricing_summary",
     "flagship_asof_funnel",
@@ -32,6 +33,12 @@ HEADLINE = [
     "rollup_aggregation",
     "json_props_extract",
     "confusion_matrix_metrics",
+    "range_between_window",
+    "dedup_exact",
+    "text_quality_score",
+    "cosine_topk_bruteforce",
+    "nearest_centroid_assign",
+    "tumbling_window_agg",
 ]
 
 
