@@ -65,14 +65,30 @@ def _decode_stub(payload: bytes, mime: str) -> tuple[int, int, int]:
 def decode_media(media: DataFrame) -> DataFrame:
     """Arrow-batched decode over ``mapInPandas``: the batch iterator shape
     a real decoder uses (bounded memory, vectorized transfer, pure
-    per-partition map — no shuffle)."""
+    per-partition map — no shuffle).
+
+    The closure is deliberately self-contained (local imports, stub
+    inlined): Python workers deserialize it without needing this package
+    on their sys.path, so the catalog entry runs under any driver cwd.
+    """
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def stub(payload: bytes, mime: str) -> tuple[int, int, int]:
+            # STUB decoder (see _decode_stub) — swap for PIL/libav in prod
+            n = len(payload)
+            if mime.startswith("image/"):
+                return (n % 640 + 1, n % 480 + 1, 3)
+            if mime.startswith("audio/"):
+                return (n, 1, 1)
+            if mime.startswith("video/"):
+                return (n % 1920 + 1, n % 1080 + 1, 3)
+            raise NotImplementedError(f"no decoder for mime {mime}")
+
         for pdf in batches:
-            dims = [
-                _decode_stub(p, m) for p, m in zip(pdf["payload"], pdf["mime"])
-            ]
-            yield pd.DataFrame(
+            dims = [stub(p, m) for p, m in zip(pdf["payload"], pdf["mime"])]
+            yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "mime": pdf["mime"],
