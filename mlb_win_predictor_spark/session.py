@@ -69,6 +69,7 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.warehouse.dir", "/tmp/mlb-spark-warehouse")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("WARN")

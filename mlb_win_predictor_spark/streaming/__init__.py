@@ -1,5 +1,6 @@
 from .jobs import (
     dedup_stream,
+    running_user_totals_stream,
     read_events_stream,
     session_stream,
     tumbling_stream,
@@ -8,6 +9,7 @@ from .jobs import (
 
 __all__ = [
     "dedup_stream",
+    "running_user_totals_stream",
     "read_events_stream",
     "session_stream",
     "tumbling_stream",

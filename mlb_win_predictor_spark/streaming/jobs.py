@@ -100,6 +100,39 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def running_user_totals_stream(events: DataFrame) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState`` (SURVEY
+    §2.7 engine surface): per-user running event count + value total
+    maintained as explicit state across micro-batches — the
+    two-phase-accumulation pattern (T2) generalized to arbitrary state.
+
+    Closure is self-contained (local imports only) so Python workers need
+    nothing on sys.path.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update_totals(key, pdfs, state):
+        import pandas as _pd
+
+        (user_id,) = key
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, float(total)))
+        yield _pd.DataFrame(
+            {"user_id": [user_id], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update_totals,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def upsert_outcomes_foreach_batch(
     updates: DataFrame, games_path: str, checkpoint: str
 ):

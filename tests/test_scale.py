@@ -1,0 +1,121 @@
+"""Scale-engineering tests: salted aggregation/join equivalence, bucketed
+co-located joins (no shuffle), partitioned writes with partition pruning.
+
+These pin the techniques the 100 TB deployment depends on — each verified
+both for CORRECTNESS (same results as the naive plan) and for PLAN SHAPE
+(the shuffle/pruning behavior that motivates them).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from mlb_win_predictor_spark.operators.skew import salted_aggregate, salted_join
+from mlb_win_predictor_spark.session import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_salted_aggregate_matches_plain(spark):
+    li = load_table(spark, SF, "lineitem")
+    plain = li.groupBy("l_returnflag").agg(
+        F.count("l_orderkey").alias("n"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("qty"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+    salted = salted_aggregate(
+        li,
+        ["l_returnflag"],
+        {
+            "n": ("l_orderkey", "count"),
+            "qty": ("l_quantity", "sum"),
+            "mx": ("l_extendedprice", "max"),
+        },
+        n_salts=8,
+        salt_source_cols=["l_orderkey", "l_linenumber"],
+    )
+    # salted phase-1 must aggregate on (key, salt): its first exchange
+    # partitions on both columns
+    p = plan_of(salted)
+    assert "_salt" in p
+    got = {tuple(r) for r in salted.withColumn("qty", F.col("qty").cast("decimal(18,2)")).collect()}
+    want = {tuple(r) for r in plain.collect()}
+    assert got == want
+
+
+def test_salted_join_matches_plain(spark):
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    c = load_table(spark, SF, "customer").select("c_custkey", "c_mktsegment")
+    plain = o.join(c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey")
+    salted = salted_join(
+        o, c.withColumnRenamed("c_custkey", "o_custkey"), "o_custkey", n_salts=4
+    )
+    assert salted.count() == plain.count()
+    g = {tuple(r) for r in salted.select("o_orderkey", "c_mktsegment").collect()}
+    w = {tuple(r) for r in plain.select("o_orderkey", "c_mktsegment").collect()}
+    assert g == w
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Bucketing both sides on the join key co-locates matching rows:
+    the sort-merge join runs with ZERO Exchange nodes — at 100 TB this is
+    the difference between a full-cluster shuffle and a local merge."""
+    o = load_table(spark, SF, "orders")
+    li = load_table(spark, SF, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    (
+        o.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("b_orders")
+    )
+    (
+        li.withColumnRenamed("l_orderkey", "o_orderkey")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("b_lineitem")
+    )
+    # disable broadcast so the join strategy is genuinely sort-merge
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        p = plan_of(j)
+        assert "SortMergeJoin" in p
+        assert "Exchange" not in p, "bucketed join should not shuffle"
+        assert j.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """Date/key-partitioned layout + partition pruning: a filtered read
+    touches only the matching directories (PartitionFilters, not a full
+    scan) — the games table's date-partitioning story (SURVEY §4.2)."""
+    o = load_table(spark, SF, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year")
+    o.write.mode("overwrite").partitionBy("order_year").parquet(path)
+    back = spark.read.parquet(path).filter(F.col("order_year") == 1996)
+    p = plan_of(back)
+    assert "PartitionFilters" in p and "order_year" in p
+    want = o.filter(F.col("order_year") == 1996).count()
+    assert back.count() == want
+    # pruned scan reads only the 1996 directory
+    scan_line = next(l for l in p.splitlines() if "PartitionFilters" in l)
+    assert "1996" in scan_line

@@ -107,3 +107,31 @@ def test_foreach_batch_upsert(spark, tmp_path_factory):
         F.col("m.winning_team") != F.col("u.winning_team")
     )
     assert changed.count() == 0
+
+
+def test_stateful_running_totals(spark, events_dir):
+    """applyInPandasWithState: final per-user state equals the batch
+    aggregation over all events."""
+    from mlb_win_predictor_spark.streaming import running_user_totals_stream
+
+    stream = read_events_stream(spark, events_dir)
+    out = _run_to_memory(
+        spark, running_user_totals_stream(stream), "t_stateful", "update"
+    )
+    # update mode emits one row per user per batch touching it; the LAST
+    # emission per user is the final state
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value"))
+    )
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total_value"),
+        )
+    )
+    g = {(r.user_id, r.n_events, round(r.total_value, 4)) for r in final.collect()}
+    w = {(r.user_id, r.n_events, round(r.total_value, 4)) for r in batch.collect()}
+    assert g == w
