@@ -15,7 +15,7 @@ from pyspark.sql import functions as F
 from ..ml.knn import knn_predict_lsh
 from ..ml.nearest_centroid import fit_nearest_centroid
 from ..operators.dedup import minhash_neardup_pairs, simhash_buckets
-from ..operators.similarity import ann_topk_lsh
+from ..operators.similarity import ann_topk_lsh, ivf_topk
 from ..session import load_table
 from .base import QueryDef
 
@@ -119,7 +119,18 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select("query_id", "rnk", "cand_id")
 
 
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star ANN, IVF variant: KMeans coarse quantizer + probe-and-
+    rerank (scan fraction ~ n_probe/n_cells of the corpus)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    corpus = e.filter(F.col("vec_id") >= 8)
+    topk = ivf_topk(queries, corpus, k=3, n_cells=8, n_probe=4)
+    return topk.select("query_id", "rnk", "cand_id")
+
+
 QUERIES: dict[str, QueryDef] = {
+    "similarity_ann_ivf": QueryDef(similarity_ann_ivf, None, "similarity: IVF ANN"),
     "ml_logreg_leaderboard": QueryDef(ml_logreg_leaderboard, None, "M1-M3/M8 LR pipeline"),
     "ml_nearest_centroid": QueryDef(ml_nearest_centroid, None, "M5 NearestCentroid"),
     "ml_knn_lsh_vote": QueryDef(ml_knn_lsh_vote, None, "M6 LSH kNN vote"),

@@ -109,3 +109,53 @@ def test_multimodal_roundtrip(spark, docs):
         F.decode(F.col("payload"), "UTF-8").alias("text2"), "doc_id"
     ).join(docs, "doc_id")
     assert back.filter(F.col("text2") != F.col("text")).count() == 0
+
+
+def test_ivf_topk_recall_vs_exact(spark, emb):
+    from mlb_win_predictor_spark.operators.similarity import ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    k = 10
+    exact = exact_topk_cosine(queries, corpus, k=k)
+    ivf = ivf_topk(queries, corpus, k=k, n_cells=8, n_probe=4)
+    e = {(r.query_id, r.cand_id) for r in exact.collect()}
+    a = {(r.query_id, r.cand_id) for r in ivf.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"IVF recall {recall} (probing half the cells)"
+    # probing ALL cells must reproduce the exact result
+    full = ivf_topk(queries, corpus, k=k, n_cells=8, n_probe=8)
+    f = {(r.query_id, r.cand_id) for r in full.collect()}
+    assert f == e
+
+
+def test_grouped_median_udaf(spark):
+    from mlb_win_predictor_spark.functions.pandas_fns import grouped_median
+
+    c = load_table(spark, SF, "customer")
+    got = {
+        r.c_mktsegment: r.median_value
+        for r in grouped_median(c, "c_mktsegment", "c_acctbal").collect()
+    }
+    want = {
+        r.c_mktsegment: r.m
+        for r in c.groupBy("c_mktsegment")
+        .agg(F.expr("percentile(c_acctbal, 0.5)").alias("m"))
+        .collect()
+    }
+    assert got.keys() == want.keys()
+    for k2 in got:
+        assert got[k2] == pytest.approx(want[k2])
+
+
+def test_standardize_per_group(spark):
+    from mlb_win_predictor_spark.functions.pandas_fns import standardize_per_group
+
+    c = load_table(spark, SF, "customer")
+    out = standardize_per_group(c, "c_mktsegment", ["c_acctbal"])
+    stats = out.groupBy("c_mktsegment").agg(
+        F.avg("c_acctbal").alias("mu"), F.stddev_pop("c_acctbal").alias("sd")
+    )
+    for r in stats.collect():
+        assert abs(r.mu) < 1e-9
+        assert r.sd == pytest.approx(1.0, abs=1e-9)
