@@ -1,0 +1,62 @@
+"""Format readers/writers (SURVEY §2.1 S5-S7, S10).
+
+Explicit-schema discipline throughout: ``inferSchema`` re-scans the data
+and guesses types per run — at 100 TB that is both a second full pass and
+a correctness hazard, so every reader takes a DDL/StructType schema.
+
+The reference's PostgreSQL scan (S5) maps to ``spark.read.jdbc`` in
+deployment; no database exists in this container, so ``read_jdbc`` builds
+the reader config and is exercised only for its option plumbing.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def read_csv(spark: SparkSession, path: str, schema: str, **options) -> DataFrame:
+    opts = {"header": "true", "mode": "PERMISSIVE", **options}
+    return spark.read.schema(schema).options(**opts).csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema: str, **options) -> DataFrame:
+    return spark.read.schema(schema).options(**options).json(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).option("header", "true").csv(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).json(path)
+
+
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    **options,
+):
+    """S5 — the ``select * from games`` scan as a parallel JDBC read.
+
+    With (partition_column, bounds, num_partitions) Spark issues
+    ``num_partitions`` range-sliced queries instead of one cursor — the
+    fix for the reference's single-threaded fetchall
+    (modeling/eda.ipynb:71). Returns the configured reader (unresolved —
+    resolving requires a live database, absent in this container).
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader

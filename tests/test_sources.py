@@ -90,3 +90,89 @@ def test_email_digest(spark):
     assert rows["prepared"].n_games == 3
     assert rows["prepared"].html_items == "<li>1</li><li>2</li><li>3</li>"
     assert rows["updated"].html_items == "<li>10</li><li>11</li>"
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    from mlb_win_predictor_spark.sources.readers import (
+        read_csv,
+        read_json,
+        write_csv,
+        write_json,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") * 2.5).alias("val"),
+        F.concat(F.lit("name_"), F.col("id")).alias("name"),
+    )
+    schema = "id long, val double, name string"
+    write_csv(df, str(tmp_path / "csv"))
+    back_csv = read_csv(spark, str(tmp_path / "csv"), schema)
+    assert back_csv.exceptAll(df).count() == 0 and back_csv.count() == 100
+
+    write_json(df, str(tmp_path / "json"))
+    back_json = read_json(spark, str(tmp_path / "json"), schema)
+    assert back_json.exceptAll(df).count() == 0
+
+    # malformed CSV row -> PERMISSIVE null, not a job failure (null-on-error
+    # parity with the reference's accessors)
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    (bad / "part.csv").write_text("id,val,name\n1,notanumber,x\n2,3.5,y\n")
+    got = read_csv(spark, str(bad), schema).collect()
+    assert {r.id for r in got} == {1, 2}
+    assert [r.val for r in sorted(got, key=lambda r: r.id)][0] is None
+
+
+def test_jdbc_reader_config(spark):
+    from mlb_win_predictor_spark.sources.readers import read_jdbc
+
+    reader = read_jdbc(
+        spark,
+        "jdbc:postgresql://host/db",
+        "games",
+        partition_column="game_id",
+        num_partitions=8,
+        lower_bound=716352,
+        upper_bound=748585,
+    )
+    assert reader is not None  # option plumbing only; no live DB here
+
+
+def test_save_best_models(spark, fixture_dir, tmp_path):
+    import json as _json
+    import os
+
+    from mlb_win_predictor_spark.ml.train import (
+        FEATURE_FAMILIES,
+        MODELS,
+        make_pipeline,
+        evaluate_predictions,
+        save_best_models,
+    )
+    from mlb_win_predictor_spark.pipeline import build_features
+    from pyspark.ml import PipelineModel
+
+    games = spark.read.parquet(f"{fixture_dir}/games.parquet")
+    features = build_features(games).withColumn(
+        "label", F.col("winning_team").cast("double")
+    )
+    train, test = features.randomSplit([0.8, 0.2], seed=42)
+    fams = {"all_stats": FEATURE_FAMILIES["all_stats"]}
+    fitted, rows = {}, []
+    for fam, cols in fams.items():
+        for mname in ("logistic_regression",):
+            m = make_pipeline(cols, MODELS[mname]()).fit(train)
+            fitted[(fam, mname)] = m
+            met = evaluate_predictions(m.transform(test), "label")
+            rows.append({"family": fam, "model": mname, **met,
+                         "n_train": 1, "n_test": 1})
+    lb = spark.createDataFrame(rows)
+    out = str(tmp_path / "models")
+    save_best_models(lb, fitted, out)
+    path = os.path.join(out, "all_stats__logistic_regression")
+    assert os.path.isdir(path)
+    meta = _json.load(open(path + ".json"))
+    assert meta["family"] == "all_stats"
+    reloaded = PipelineModel.load(path)
+    assert reloaded.transform(test).count() == test.count()
