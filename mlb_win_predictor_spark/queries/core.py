@@ -274,7 +274,7 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.upper(F.col("p_name")).alias("name_upper"),
         F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_key"),
         F.substring(F.col("p_brand"), 7, 10).alias("brand_num"),
-        F.length(F.col("p_type")).alias("type_len"),
+        F.length(F.col("p_type")).cast("long").alias("type_len"),
         F.concat(F.lit("<li>"), F.col("p_name"), F.lit("</li>")).alias("name_li"),
         F.trim(F.col("p_type")).alias("type_trim"),
     ).filter(F.col("p_name").like("%bolt%"))
@@ -285,7 +285,7 @@ SELECT p_partkey,
        UPPER(p_name)                        AS name_upper,
        REPLACE(p_name, ' ', '_')            AS name_key,
        SUBSTRING(p_brand, 7, 10)            AS brand_num,
-       LENGTH(p_type)                       AS type_len,
+       CAST(LENGTH(p_type) AS BIGINT)       AS type_len,
        '<li>' || p_name || '</li>'          AS name_li,
        TRIM(p_type)                         AS type_trim
 FROM part WHERE p_name LIKE '%bolt%'
@@ -628,7 +628,12 @@ def topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= 3)
-        .select("o_orderpriority", "rnk", "o_orderkey", "o_totalprice")
+        .select(
+            "o_orderpriority",
+            F.col("rnk").cast("long").alias("rnk"),
+            "o_orderkey",
+            "o_totalprice",
+        )
     )
 
 

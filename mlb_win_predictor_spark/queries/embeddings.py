@@ -46,22 +46,33 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts; the candidate scan streams — a map-side nested-loop with
     no shuffle until the final per-query top-k."""
     e = load_table(spark, sf_dir, "embeddings")
+    # norms computed ONCE per vector before the join (the pairwise loop
+    # would otherwise re-fold dot(v,v) per pair — 3x the HOF work);
+    # bit-identical to inline _cosine since the fold ops are the same
     q = e.filter(F.col("vec_id") < TOPK_N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _dot(F.col("embedding"), F.col("embedding")).alias("q_nrm"),
     )
     c = e.filter(F.col("vec_id") >= TOPK_N_QUERIES).select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        _dot(F.col("embedding"), F.col("embedding")).alias("c_nrm"),
     )
     scored = c.join(F.broadcast(q)).select(
         "query_id",
         "cand_id",
-        stable_round(_cosine(F.col("q_emb"), F.col("c_emb")), 6).alias("cosine"),
+        stable_round(
+            _dot(F.col("q_emb"), F.col("c_emb"))
+            / F.sqrt(F.col("q_nrm") * F.col("c_nrm")),
+            6,
+        ).alias("cosine"),
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= TOPK_K)
-        .select("query_id", "rnk", "cand_id", "cosine")
+        .select("query_id", F.col("rnk").cast("long").alias("rnk"), "cand_id", "cosine")
     )
 
 
@@ -120,15 +131,28 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = (
         load_table(spark, sf_dir, "embeddings")
         .filter(F.col("vec_id") < NEARDUP_CAP)
-        .select("vec_id", "embedding")
+        .select(
+            "vec_id",
+            "embedding",
+            _dot(F.col("embedding"), F.col("embedding")).alias("nrm"),
+        )
     )
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"))
+    a = e.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
     pairs = a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
     return pairs.select(
         "id_a",
         "id_b",
-        stable_round(_cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cosine"),
+        stable_round(
+            _dot(F.col("emb_a"), F.col("emb_b")) / F.sqrt(F.col("nrm_a") * F.col("nrm_b")),
+            6,
+        ).alias("cosine"),
     ).filter(F.col("cosine") >= NEARDUP_MIN_COS)
 
 

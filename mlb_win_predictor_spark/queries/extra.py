@@ -180,9 +180,9 @@ def ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select(
         "c_mktsegment",
         "c_custkey",
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(wt).alias("quartile"),
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(wt).cast("long").alias("quartile"),
         stable_round(F.percent_rank().over(w), 6).alias("pct_rank"),
     )
 

@@ -33,7 +33,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         "lang",
-        F.length("text").alias("n_chars_actual"),
+        F.length("text").cast("long").alias("n_chars_actual"),
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
     )
@@ -41,7 +41,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOKEN_COUNT_SQL = r"""
 SELECT doc_id, lang,
-       LENGTH(text) AS n_chars_actual,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars_actual,
        CAST(len(regexp_split_to_array(TRIM(text), '\s+')) AS INT) AS n_tokens,
        CAST(len(list_distinct(regexp_split_to_array(TRIM(text), '\s+'))) AS INT) AS n_unique_tokens
 FROM documents
