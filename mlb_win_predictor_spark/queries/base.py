@@ -43,6 +43,11 @@ def dec(col: str, prec: int = 18, scale: int = 2) -> str:
 def sround(expr: str, k: int) -> str:
     """SQL dual of ``functions.scalars.stable_round`` — identical IEEE op
     sequence on both engines (see that docstring for why plain ROUND(x,k)
-    is not cross-engine stable)."""
-    scale = float(10**k)
-    return f"(ROUND(({expr}) * {scale}) / {scale})"
+    is not cross-engine stable).
+
+    The scale MUST be written in scientific notation: DuckDB types a
+    ``100.0`` literal as DECIMAL(4,1), making ``x * 100.0`` a
+    decimal-path multiply that differs from Spark's IEEE product by an
+    ulp on tie-adjacent values; ``1e2`` is typed DOUBLE.
+    """
+    return f"(ROUND(({expr}) * 1e{k}) / 1e{k})"

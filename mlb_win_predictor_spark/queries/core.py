@@ -488,7 +488,7 @@ SUMMARY_STATS_SQL = """
 SELECT COUNT(l_quantity) AS cnt,
        CAST(SUM(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(l_quantity) AS mean,
-       (ROUND(STDDEV_SAMP(l_quantity) * 10000.0) / 10000.0) AS std,
+       (ROUND(STDDEV_SAMP(l_quantity) * 1e4) / 1e4) AS std,
        MIN(l_quantity) AS min_v,
        QUANTILE_CONT(l_quantity, 0.25) AS p25,
        QUANTILE_CONT(l_quantity, 0.5)  AS p50,
@@ -611,10 +611,10 @@ WITH truth AS (
   FROM scored
 )
 SELECT tp, fp, fn, tn,
-       (ROUND(CAST(tp+tn AS DOUBLE)/(tp+fp+fn+tn) * 1000000.0) / 1000000.0) AS accuracy,
-       (ROUND(CAST(tp AS DOUBLE)/(tp+fp) * 1000000.0) / 1000000.0) AS precision_,
-       (ROUND(CAST(tp AS DOUBLE)/(tp+fn) * 1000000.0) / 1000000.0) AS recall_,
-       (ROUND(2*CAST(tp AS DOUBLE)/(2*tp+fp+fn) * 1000000.0) / 1000000.0) AS f1
+       (ROUND(CAST(tp+tn AS DOUBLE)/(tp+fp+fn+tn) * 1e6) / 1e6) AS accuracy,
+       (ROUND(CAST(tp AS DOUBLE)/(tp+fp) * 1e6) / 1e6) AS precision_,
+       (ROUND(CAST(tp AS DOUBLE)/(tp+fn) * 1e6) / 1e6) AS recall_,
+       (ROUND(2*CAST(tp AS DOUBLE)/(2*tp+fp+fn) * 1e6) / 1e6) AS f1
 FROM cm
 """
 

@@ -111,7 +111,7 @@ WITH pairs AS (
   GROUP BY 1
 ), scored AS (
   SELECT query_id, cand_id,
-         (ROUND(dot / SQRT(nq.nrm * nc.nrm) * 1000000.0) / 1000000.0) AS cosine
+         (ROUND(dot / SQRT(nq.nrm * nc.nrm) * 1e6) / 1e6) AS cosine
   FROM pairs
   JOIN norms nq ON nq.vec_id = query_id
   JOIN norms nc ON nc.vec_id = cand_id
@@ -172,9 +172,9 @@ pairs AS (
   FROM (SELECT vec_id, UNNEST(embedding) AS v FROM sub)
   GROUP BY 1
 )
-SELECT id_a, id_b, (ROUND(dot / SQRT(na.nrm * nb.nrm) * 1000000.0) / 1000000.0) AS cosine
+SELECT id_a, id_b, (ROUND(dot / SQRT(na.nrm * nb.nrm) * 1e6) / 1e6) AS cosine
 FROM pairs JOIN norms na ON na.vec_id = id_a JOIN norms nb ON nb.vec_id = id_b
-WHERE (ROUND(dot / SQRT(na.nrm * nb.nrm) * 1000000.0) / 1000000.0) >= {NEARDUP_MIN_COS}
+WHERE (ROUND(dot / SQRT(na.nrm * nb.nrm) * 1e6) / 1e6) >= {NEARDUP_MIN_COS}
 """
 
 
@@ -237,13 +237,13 @@ WITH flat AS (
   FROM embeddings
 ), cent AS (
   SELECT label AS c_label, i,
-         (ROUND(SUM(CAST(v AS DOUBLE)) / COUNT(*) * 1000000.0) / 1000000.0) AS cv
+         (ROUND(SUM(CAST(v AS DOUBLE)) / COUNT(*) * 1e6) / 1e6) AS cv
   FROM flat GROUP BY 1, 2
 ), sub AS (
   SELECT * FROM flat WHERE vec_id < {CENTROID_ASSIGN_CAP}
 ), dists AS (
   SELECT sub.vec_id, sub.label AS true_label, cent.c_label,
-         (ROUND(SUM((CAST(sub.v AS DOUBLE) - cent.cv) * (CAST(sub.v AS DOUBLE) - cent.cv)) * 1000000.0) / 1000000.0) AS sq_dist
+         (ROUND(SUM((CAST(sub.v AS DOUBLE) - cent.cv) * (CAST(sub.v AS DOUBLE) - cent.cv)) * 1e6) / 1e6) AS sq_dist
   FROM sub JOIN cent ON sub.i = cent.i
   GROUP BY 1, 2, 3
 )

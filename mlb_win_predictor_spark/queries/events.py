@@ -114,7 +114,7 @@ WITH flagged AS (
   FROM flagged
 )
 SELECT user_id, session_no, COUNT(*) AS n_events,
-       (ROUND((MAX(epoch(ts)) - MIN(epoch(ts))) * 1000.0) / 1000.0) AS duration_sec
+       (ROUND((MAX(epoch(ts)) - MIN(epoch(ts))) * 1e3) / 1e3) AS duration_sec
 FROM numbered GROUP BY user_id, session_no
 """
 

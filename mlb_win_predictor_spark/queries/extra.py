@@ -28,9 +28,9 @@ def corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CORR_SQL = """
-SELECT (ROUND(CORR(l_quantity, l_extendedprice) * 1000000.0) / 1000000.0) AS corr_qty_price,
-       (ROUND(CORR(l_quantity, l_discount) * 1000000.0) / 1000000.0)      AS corr_qty_disc,
-       (ROUND(CORR(l_extendedprice, l_discount) * 1000000.0) / 1000000.0) AS corr_price_disc
+SELECT (ROUND(CORR(l_quantity, l_extendedprice) * 1e6) / 1e6) AS corr_qty_price,
+       (ROUND(CORR(l_quantity, l_discount) * 1e6) / 1e6)      AS corr_qty_disc,
+       (ROUND(CORR(l_extendedprice, l_discount) * 1e6) / 1e6) AS corr_price_disc
 FROM lineitem
 """
 
@@ -192,7 +192,7 @@ SELECT c_mktsegment, c_custkey,
        RANK()       OVER w  AS rnk,
        DENSE_RANK() OVER w  AS drnk,
        NTILE(4)     OVER wt AS quartile,
-       (ROUND(PERCENT_RANK() OVER w * 1000000.0) / 1000000.0) AS pct_rank
+       (ROUND(PERCENT_RANK() OVER w * 1e6) / 1e6) AS pct_rank
 FROM customer
 WINDOW w  AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC),
        wt AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey ASC)

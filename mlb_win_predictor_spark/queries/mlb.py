@@ -68,7 +68,7 @@ WITH enriched AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
 ), ratioed AS (
   SELECT *, (ROUND((CASE WHEN prior_avg IS NULL OR prior_avg = 0 THEN NULL
-                       ELSE o_totalprice / prior_avg END) * 1000000.0) / 1000000.0) AS ratio
+                       ELSE o_totalprice / prior_avg END) * 1e6) / 1e6) AS ratio
   FROM enriched
 ), kept AS (
   SELECT * FROM ratioed

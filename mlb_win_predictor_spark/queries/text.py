@@ -90,9 +90,9 @@ WITH t AS (
   FROM t
 )
 SELECT doc_id, n_tokens,
-       (ROUND(mean_wlen * 1000000.0) / 1000000.0) AS mean_word_len,
-       (ROUND(sw_ratio * 1000000.0) / 1000000.0)  AS stopword_ratio,
-       (ROUND(tt_ratio * 1000000.0) / 1000000.0)  AS type_token_ratio,
+       (ROUND(mean_wlen * 1e6) / 1e6) AS mean_word_len,
+       (ROUND(sw_ratio * 1e6) / 1e6)  AS stopword_ratio,
+       (ROUND(tt_ratio * 1e6) / 1e6)  AS type_token_ratio,
        CASE WHEN n_tokens >= 20 AND sw_ratio < 0.5 AND tt_ratio > 0.2
             THEN 1 ELSE 0 END AS keep_flag
 FROM s
@@ -287,11 +287,11 @@ WITH toks AS (
   GROUP BY 1, 2
 )
 SELECT doc_a, doc_b,
-       (ROUND(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) * 1000000.0) / 1000000.0) AS jaccard
+       (ROUND(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) * 1e6) / 1e6) AS jaccard
 FROM shared
 JOIN sized sa ON doc_a = sa.doc_id
 JOIN sized sb ON doc_b = sb.doc_id
-WHERE (ROUND(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) * 1000000.0) / 1000000.0) >= {JACCARD_THRESHOLD}
+WHERE (ROUND(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) * 1e6) / 1e6) >= {JACCARD_THRESHOLD}
 """
 
 

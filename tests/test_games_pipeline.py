@@ -135,18 +135,18 @@ def test_asof_pitcher_stats_duckdb_parity(spark, fixture_dir, fcon):
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     )
     SELECT pitcher_id, game_id, game_date, prior_appearances,
-           (ROUND((CASE WHEN ip IS NULL OR ip = 0 THEN NULL ELSE 9.0*er/ip END) * 100.0) / 100.0) AS era,
+           (ROUND((CASE WHEN ip IS NULL OR ip = 0 THEN NULL ELSE 9.0*er/ip END) * 1e2) / 1e2) AS era,
            (ROUND((CASE WHEN wins+losses IS NULL OR wins+losses = 0 THEN NULL
-                      ELSE wins/(wins+losses) END) * 1000.0) / 1000.0) AS win_percentage,
+                      ELSE wins/(wins+losses) END) * 1e3) / 1e3) AS win_percentage,
            wins, losses,
-           (ROUND(ip * 1000000.0) / 1000000.0) AS innings_pitched,
-           (ROUND((CASE WHEN ip IS NULL OR ip = 0 THEN NULL ELSE 9.0*so/ip END) * 1000000.0) / 1000000.0) AS k_nine,
-           (ROUND((CASE WHEN ip IS NULL OR ip = 0 THEN NULL ELSE 9.0*bb/ip END) * 1000000.0) / 1000000.0) AS bb_nine,
+           (ROUND(ip * 1e6) / 1e6) AS innings_pitched,
+           (ROUND((CASE WHEN ip IS NULL OR ip = 0 THEN NULL ELSE 9.0*so/ip END) * 1e6) / 1e6) AS k_nine,
+           (ROUND((CASE WHEN ip IS NULL OR ip = 0 THEN NULL ELSE 9.0*bb/ip END) * 1e6) / 1e6) AS bb_nine,
            (ROUND((CASE WHEN bf IS NULL OR bf = 0 THEN NULL ELSE so/bf END
-               - CASE WHEN bf IS NULL OR bf = 0 THEN NULL ELSE bb/bf END) * 1000000.0) / 1000000.0) AS k_bb_diff,
-           (ROUND((CASE WHEN ip IS NULL OR ip = 0 THEN NULL ELSE (h+bb)/ip END) * 1000000.0) / 1000000.0) AS whip,
+               - CASE WHEN bf IS NULL OR bf = 0 THEN NULL ELSE bb/bf END) * 1e6) / 1e6) AS k_bb_diff,
+           (ROUND((CASE WHEN ip IS NULL OR ip = 0 THEN NULL ELSE (h+bb)/ip END) * 1e6) / 1e6) AS whip,
            (ROUND((CASE WHEN ab-so-hr+sf IS NULL OR ab-so-hr+sf = 0 THEN NULL
-                      ELSE (h-hr)/(ab-so-hr+sf) END) * 1000000.0) / 1000000.0) AS babip
+                      ELSE (h-hr)/(ab-so-hr+sf) END) * 1e6) / 1e6) AS babip
     FROM c
     """
     compare(out, fcon, sql)
