@@ -82,6 +82,72 @@ def minhash_neardup_pairs(
     )
 
 
+def components_from_pairs(
+    pairs: DataFrame,
+    a_col: str = "id_a",
+    b_col: str = "id_b",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Connected components over near-dup candidate pairs (the grouping
+    step of SURVEY §2.10 dedup): iterative min-label propagation.
+
+    Each node starts labeled with itself; every iteration each node takes
+    the min label among itself and its neighbors; converges in
+    O(diameter) rounds (near-dup clusters are tiny, so few iterations).
+    Returns (node, component). Each iteration is two shuffles (join +
+    groupBy) over the EDGE set only — at corpus scale edges ≈ near-dup
+    density, far smaller than the corpus.
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels.cache()
+        if changed == 0:
+            break
+    return labels
+
+
+def keep_canonical_per_component(
+    docs: DataFrame, components: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Final dedup: every doc in a near-dup component except its minimum
+    id is dropped; docs in no component pass through."""
+    reps = components.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return docs.join(reps, id_col, "left_anti")
+
+
 def simhash_buckets(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", band_bits: int = 16
 ) -> DataFrame:

@@ -770,8 +770,87 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+
+
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q3-shaped: 3-way join (dim filter -> fact -> fact) + agg +
+    deterministic top-10 — the multi-join analytics shape. The customer
+    filter prunes before the join; revenue in DECIMAL."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1996-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1996-03-15 00:00:00").cast("timestamp")
+    )
+    revenue = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
+        .agg(F.sum(revenue.cast("decimal(28,6)")).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+Q3_SQL = """
+SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount), 6) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1996-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1996-03-15 00:00:00'
+GROUP BY 1, 2
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q5-shaped: 5-way star join through two dim hops + per-nation
+    revenue — broadcast dims, fact side never shuffles until the agg."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    dims = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .groupBy("n_name")
+        .agg(F.sum(revenue.cast("decimal(28,6)")).cast("double").alias("revenue"))
+    )
+
+
+Q5_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount), 6) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "q1_pricing_summary": QueryDef(q1_pricing_summary, Q1_SQL, "TPC-H Q1-shaped agg (A1)"),
+    "q3_shipping_priority": QueryDef(q3_shipping_priority, Q3_SQL, "Q3-shaped 3-way join"),
+    "q5_region_revenue": QueryDef(q5_region_revenue, Q5_SQL, "Q5-shaped star join"),
     "scan_project_filter": QueryDef(scan_project_filter, SCAN_PROJECT_FILTER_SQL, "S5/P3 pushdown"),
     "drop_columns": QueryDef(drop_columns, DROP_COLUMNS_SQL, "P1 column drop"),
     "limit_topk": QueryDef(limit_topk, LIMIT_TOPK_SQL, "P5 ordered limit"),

@@ -295,8 +295,37 @@ WHERE (ROUND(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) * 1e6) / 
 """
 
 
+
+
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (north-star token counting): word /
+    number / punctuation classes via regexp_extract_all — the
+    pre-tokenizer split a BPE vocab trainer consumes."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PATTERN), 0)
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_bpe_tokens"),
+        F.element_at(toks, 1).alias("first_token"),
+    )
+
+
+TOKEN_BPE_SQL = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(LOWER(text), '{BPE_PATTERN}')) AS INT) AS n_bpe_tokens,
+       CAST(len(list_distinct(regexp_extract_all(LOWER(text), '{BPE_PATTERN}'))) AS INT) AS n_unique_bpe_tokens,
+       regexp_extract_all(LOWER(text), '{BPE_PATTERN}')[1] AS first_token
+FROM documents
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "token_count": QueryDef(token_count, TOKEN_COUNT_SQL, "text: token counting"),
+    "token_count_bpe": QueryDef(token_count_bpe, TOKEN_BPE_SQL, "text: BPE-ish tokenizer"),
     "text_quality_score": QueryDef(text_quality_score, TEXT_QUALITY_SQL, "text: quality"),
     "lang_id_heuristic": QueryDef(lang_id_heuristic, LANG_ID_SQL, "text: language id"),
     "dedup_exact": QueryDef(dedup_exact, DEDUP_EXACT_SQL, "dedup: exact"),

@@ -159,3 +159,22 @@ def test_standardize_per_group(spark):
     for r in stats.collect():
         assert abs(r.mu) < 1e-9
         assert r.sd == pytest.approx(1.0, abs=1e-9)
+
+
+def test_connected_components_dedup(spark):
+    from mlb_win_predictor_spark.operators.dedup import (
+        components_from_pairs,
+        keep_canonical_per_component,
+    )
+
+    # planted clusters: {1,2,3,4} via chain, {10,11}, {20,21,22} via star
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)], ["id_a", "id_b"]
+    )
+    comp = {r.node: r.component for r in components_from_pairs(pairs).collect()}
+    assert comp[1] == comp[2] == comp[3] == comp[4] == 1
+    assert comp[10] == comp[11] == 10
+    assert comp[20] == comp[21] == comp[22] == 20
+    docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 22, 99]], ["doc_id"])
+    kept = keep_canonical_per_component(docs, components_from_pairs(pairs))
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 10, 20, 99]
