@@ -24,6 +24,8 @@ from mlb_win_predictor_spark.session import get_spark  # noqa: E402
 # plus the north-star training-data ops.
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
     "flagship_asof_funnel",
     "broadcast_dim_join",
     "merge_upsert",
