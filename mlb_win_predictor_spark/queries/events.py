@@ -205,11 +205,38 @@ FROM first f LEFT JOIN purchases p ON f.user_id = p.user_id
 """
 
 
+
+
+def from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json with a declared schema (the structured dual of
+    get_json_object): parse props into a typed struct, filter on a field."""
+    e = load_table(spark, sf_dir, "events")
+    parsed = e.withColumn("p", F.from_json("props", "k INT"))
+    return (
+        parsed.filter(F.col("p.k") > 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_high_k"),
+            F.sum(F.col("p.k").cast("long")).alias("sum_high_k"),
+        )
+    )
+
+
+FROM_JSON_SQL = """
+SELECT event_type, COUNT(*) AS n_high_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_high_k
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "tumbling_window_agg": QueryDef(tumbling_window_agg, TUMBLING_SQL, "T5 tumbling window"),
     "sliding_window_agg": QueryDef(sliding_window_agg, SLIDING_SQL, "T5 sliding window"),
     "session_windows": QueryDef(session_windows, SESSION_SQL, "sessionization"),
     "json_props_extract": QueryDef(json_props_extract, JSON_PROPS_SQL, "JSON scalar fns"),
+    "from_json_struct": QueryDef(from_json_struct, FROM_JSON_SQL, "from_json typed parse"),
     "dedup_latest_event": QueryDef(dedup_latest_event, DEDUP_EVENT_SQL, "T4 dedup"),
     "late_outcome_upsert": QueryDef(late_outcome_upsert, LATE_OUTCOME_SQL, "T2/T3 late data"),
 }

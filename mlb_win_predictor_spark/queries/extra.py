@@ -225,8 +225,66 @@ def approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+def having_filter_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING through the SQL API (the catalog is otherwise
+    DataFrame-API; Catalyst produces the same plan either way — this
+    entry pins that equivalence): customers with 15+ orders and their
+    decimal-exact spend."""
+    from ..session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_custkey,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+        FROM orders
+        GROUP BY o_custkey
+        HAVING COUNT(*) >= 15
+        """
+    )
+
+
+HAVING_SQL = """
+SELECT o_custkey, COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
+"""
+
+
+def first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value over a full-partition frame: each
+    customer's first and latest order total beside every order."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_total"),
+        F.last("o_totalprice").over(w).alias("last_total"),
+    )
+
+
+FIRST_LAST_SQL = """
+SELECT o_custkey, o_orderkey,
+       FIRST_VALUE(o_totalprice) OVER w AS first_total,
+       LAST_VALUE(o_totalprice)  OVER w AS last_total
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "corr_matrix": QueryDef(corr_matrix, CORR_SQL, "A3 correlations"),
+    "having_filter_sql_api": QueryDef(having_filter_sql_api, HAVING_SQL, "SQL API + HAVING"),
+    "first_last_window": QueryDef(first_last_window, FIRST_LAST_SQL, "first/last_value"),
     "cube_aggregation": QueryDef(cube_aggregation, CUBE_SQL, "cube lattice"),
     "cross_join_dims": QueryDef(cross_join_dims, CROSS_JOIN_SQL, "cross join"),
     "range_join_bands": QueryDef(range_join_bands, RANGE_JOIN_SQL, "non-equi range join"),
