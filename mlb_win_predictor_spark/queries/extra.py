@@ -281,9 +281,69 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
 """
 
 
+
+
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide->long, the dual of pivot_wide): lineitem measures
+    melted to (key, measure, value) rows via df.unpivot/stack."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "measure",
+        "value",
+    )
+
+
+UNPIVOT_SQL = """
+SELECT l_orderkey, l_linenumber, measure, value
+FROM (
+  SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax
+  FROM lineitem WHERE l_orderkey < 200
+) UNPIVOT (value FOR measure IN (l_quantity, l_discount, l_tax))
+"""
+
+
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function battery over token arrays: union/intersect/except,
+    sort, slice, contains, flatten-free sizes — the list-manipulation
+    surface the dedup/text operators compose from."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    toks = F.array_distinct(F.split(F.trim(F.col("text")), r"\s+"))
+    common = F.array(F.lit("the"), F.lit("data"), F.lit("row"), F.lit("table"))
+    return d.select(
+        "doc_id",
+        F.size(F.array_intersect(toks, common)).alias("n_common"),
+        F.size(F.array_except(toks, common)).alias("n_rest"),
+        F.size(F.array_union(toks, common)).alias("n_union"),
+        F.element_at(F.array_sort(toks), 1).alias("first_sorted_token"),
+        F.array_contains(toks, "spark").cast("int").alias("mentions_spark"),
+        F.concat_ws("|", F.slice(F.array_sort(toks), 1, 3)).alias("first3"),
+    )
+
+
+ARRAY_FUNCTIONS_SQL = r"""
+WITH t AS (
+  SELECT doc_id, list_distinct(regexp_split_to_array(TRIM(text), '\s+')) AS toks,
+         ['the', 'data', 'row', 'table'] AS common
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+       CAST(len(list_intersect(toks, common)) AS INT) AS n_common,
+       CAST(len(list_filter(toks, x -> NOT list_contains(common, x))) AS INT) AS n_rest,
+       CAST(len(list_distinct(list_concat(toks, common))) AS INT) AS n_union,
+       list_sort(toks)[1] AS first_sorted_token,
+       CASE WHEN list_contains(toks, 'spark') THEN 1 ELSE 0 END AS mentions_spark,
+       array_to_string(list_slice(list_sort(toks), 1, 3), '|') AS first3
+FROM t
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "corr_matrix": QueryDef(corr_matrix, CORR_SQL, "A3 correlations"),
     "having_filter_sql_api": QueryDef(having_filter_sql_api, HAVING_SQL, "SQL API + HAVING"),
+    "unpivot_measures": QueryDef(unpivot_measures, UNPIVOT_SQL, "unpivot wide->long"),
+    "array_functions": QueryDef(array_functions, ARRAY_FUNCTIONS_SQL, "array fn battery"),
     "first_last_window": QueryDef(first_last_window, FIRST_LAST_SQL, "first/last_value"),
     "cube_aggregation": QueryDef(cube_aggregation, CUBE_SQL, "cube lattice"),
     "cross_join_dims": QueryDef(cross_join_dims, CROSS_JOIN_SQL, "cross join"),

@@ -178,3 +178,30 @@ def test_connected_components_dedup(spark):
     docs = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21, 22, 99]], ["doc_id"])
     kept = keep_canonical_per_component(docs, components_from_pairs(pairs))
     assert sorted(r.doc_id for r in kept.collect()) == [1, 10, 20, 99]
+
+
+def test_python_udtf_shingles(spark, docs):
+    """Python UDTF output must agree with the native shingle expression."""
+    from mlb_win_predictor_spark.functions.udtfs import shingles_via_udtf
+    from mlb_win_predictor_spark.operators.dedup import ngram_shingles
+
+    sub = docs.filter(F.col("doc_id") < 10).select("doc_id", "text")
+    via_udtf = shingles_via_udtf(spark, sub, n=3)
+    got = {(r.doc_id, r.pos, r.shingle) for r in via_udtf.collect()}
+    native = ngram_shingles(sub, "text", 3).select(
+        "doc_id", F.posexplode(F.col("shingles")).alias("p", "sh")
+    )
+    # native shingles are array_distinct'ed; compare the distinct sets
+    want_sets = {}
+    for r in native.collect():
+        want_sets.setdefault(r.doc_id, set()).add(r.sh)
+    got_sets = {}
+    for d, _, sh in got:
+        got_sets.setdefault(d, set()).add(sh)
+    assert got_sets == want_sets
+    # positions are 1-based and contiguous
+    by_doc = {}
+    for d, p, _ in got:
+        by_doc.setdefault(d, []).append(p)
+    for d, ps in by_doc.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1)), d
