@@ -231,10 +231,54 @@ GROUP BY event_type
 """
 
 
+
+
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session_window in BATCH mode (same operator the streaming
+    job uses) — oracle is the lag-cumsum construction, proving the two
+    sessionization formulations agree."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "sess_start"
+            ),
+            "n_events",
+        )
+    )
+
+
+SESSION_NATIVE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN epoch(ts) - LAG(epoch(ts)) OVER w IS NULL
+                OR epoch(ts) - LAG(epoch(ts)) OVER w > 1800
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+), numbered AS (
+  SELECT user_id, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+  FROM flagged
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS sess_start,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, session_no
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "tumbling_window_agg": QueryDef(tumbling_window_agg, TUMBLING_SQL, "T5 tumbling window"),
     "sliding_window_agg": QueryDef(sliding_window_agg, SLIDING_SQL, "T5 sliding window"),
     "session_windows": QueryDef(session_windows, SESSION_SQL, "sessionization"),
+    "session_window_native": QueryDef(
+        session_window_native, SESSION_NATIVE_SQL, "native session_window (batch)"
+    ),
     "json_props_extract": QueryDef(json_props_extract, JSON_PROPS_SQL, "JSON scalar fns"),
     "from_json_struct": QueryDef(from_json_struct, FROM_JSON_SQL, "from_json typed parse"),
     "dedup_latest_event": QueryDef(dedup_latest_event, DEDUP_EVENT_SQL, "T4 dedup"),
