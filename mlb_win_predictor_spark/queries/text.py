@@ -323,6 +323,40 @@ FROM documents
 """
 
 
+
+
+LEV_CAP = 80
+LEV_MAX_DIST = 4
+
+
+def edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy matching via Levenshtein distance (the string-level near-dup
+    primitive, complementing shingle Jaccard): part-name pairs within
+    edit distance {d}, bounded candidate set (p_partkey < {cap})."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") < LEV_CAP)
+        .select("p_partkey", "p_name")
+    )
+    a = p.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"))
+    pairs = a.join(F.broadcast(b), F.col("key_a") < F.col("key_b"))
+    return pairs.select(
+        "key_a",
+        "key_b",
+        F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+    ).filter(F.col("edit_dist") <= LEV_MAX_DIST)
+
+
+EDIT_DISTANCE_SQL = f"""
+WITH sub AS (SELECT p_partkey, p_name FROM part WHERE p_partkey < {LEV_CAP})
+SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+FROM sub a JOIN sub b ON a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= {LEV_MAX_DIST}
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "token_count": QueryDef(token_count, TOKEN_COUNT_SQL, "text: token counting"),
     "token_count_bpe": QueryDef(token_count_bpe, TOKEN_BPE_SQL, "text: BPE-ish tokenizer"),
@@ -330,6 +364,9 @@ QUERIES: dict[str, QueryDef] = {
     "lang_id_heuristic": QueryDef(lang_id_heuristic, LANG_ID_SQL, "text: language id"),
     "dedup_exact": QueryDef(dedup_exact, DEDUP_EXACT_SQL, "dedup: exact"),
     "doc_fingerprint": QueryDef(doc_fingerprint, DOC_FINGERPRINT_SQL, "text: fingerprint"),
+    "edit_distance_pairs": QueryDef(
+        edit_distance_pairs, EDIT_DISTANCE_SQL, "dedup: levenshtein fuzzy pairs"
+    ),
     "ngram_jaccard_pairs": QueryDef(
         ngram_jaccard_pairs, NGRAM_JACCARD_SQL, "dedup: n-gram jaccard"
     ),
