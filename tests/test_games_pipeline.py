@@ -107,9 +107,10 @@ def test_funnel_shape(spark, fixture_dir):
     out = build_features(games)
     final = out.count()
     assert raw == 2000
-    # funnel must mirror the reference's 2129→1693→1673 shape: the stat-block
-    # nulls + winning_team nulls cut ~11%, the ratio nulls cut a little more
-    assert 1500 < final < raw
+    # golden counts (seed 42, SURVEY §5.2): the funnel mirrors the
+    # reference's 2129→1693→1673 shape — dropna cuts 2000→1756 (stat-block
+    # + outcome nulls), the guarded-ratio nulls cut →1643
+    assert final == 1643
     assert out.columns == [f"pitcher_{c}_comp" for c in DIFFS] + ["winning_team"]
 
 

@@ -1,0 +1,77 @@
+"""Hypothesis-driven property tests (SURVEY §5.2) for the scalar layer.
+
+Each property runs ONE Spark job over a hypothesis-generated batch (not
+one job per example — executor round-trips would dominate).
+"""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from mlb_win_predictor_spark.functions import scalars as S
+
+finite = st.floats(
+    allow_nan=False, allow_infinity=False, min_value=-1e12, max_value=1e12
+)
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.tuples(finite, finite), min_size=1, max_size=50))
+def test_guarded_div_total_function(spark, pairs):
+    """guarded_div never raises, never yields inf/nan; equals num/den
+    exactly when den != 0, NULL when den == 0."""
+    df = spark.createDataFrame(pairs, "num double, den double")
+    rows = df.select(
+        "num", "den", S.guarded_div("num", "den").alias("r")
+    ).collect()
+    for r in rows:
+        if r.den == 0:
+            assert r.r is None
+        else:
+            expected = r.num / r.den
+            if math.isnan(expected) or math.isinf(expected):
+                # doubles can overflow to inf only via extreme ratios the
+                # generator can't produce within these bounds
+                continue
+            assert r.r == expected
+        if r.r is not None:
+            assert not math.isinf(r.r) and not math.isnan(r.r)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 500), st.integers(0, 2)), min_size=1, max_size=50
+    )
+)
+def test_decode_ip_encode_decode_roundtrip(spark, items):
+    """D6 roundtrip: encode (whole, outs) -> '<whole>.<outs>' -> decode
+    == whole + outs*3/10, for every valid outs value."""
+    df = spark.createDataFrame(items, "whole long, outs long")
+    enc = F.concat(F.col("whole").cast("string"), F.lit("."), F.col("outs").cast("string"))
+    rows = df.select("whole", "outs", S.decode_ip_str(enc).alias("dec")).collect()
+    for r in rows:
+        assert r.dec == r.whole + r.outs * 3 / 10
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(finite, min_size=1, max_size=40), st.sampled_from([2, 3, 4, 6]))
+def test_stable_round_is_idempotent_and_bounded(spark, vals, k):
+    """stable_round(stable_round(x)) == stable_round(x), and the result
+    is within half a grid step of x."""
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    rows = df.select(
+        "x",
+        S.stable_round(F.col("x"), k).alias("r1"),
+        S.stable_round(S.stable_round(F.col("x"), k), k).alias("r2"),
+    ).collect()
+    step = 10.0 ** (-k)
+    for r in rows:
+        assert r.r1 == r.r2
+        # |x*10^k| can exceed 2^53 for huge x; rounding grain then exceeds
+        # the step — only assert boundedness in the exactly-representable range
+        if abs(r.x) < 2**52 / 10.0**k:
+            assert abs(r.r1 - r.x) <= step * 0.5 + abs(r.x) * 1e-15
