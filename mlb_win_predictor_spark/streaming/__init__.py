@@ -3,6 +3,7 @@ from .jobs import (
     running_user_totals_stream,
     read_events_stream,
     session_stream,
+    sliding_stream,
     tumbling_stream,
     upsert_outcomes_foreach_batch,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "running_user_totals_stream",
     "read_events_stream",
     "session_stream",
+    "sliding_stream",
     "tumbling_stream",
     "upsert_outcomes_foreach_batch",
 ]

@@ -76,6 +76,20 @@ def tumbling_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def sliding_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """T5 — sliding 2h/1h windowed counts (each event in 2 buckets), the
+    streaming dual of queries.events.sliding_window_agg."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+        )
+    )
+
+
 def session_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     """Session windows with a 30-min inactivity gap — the streaming dual
     of queries.events.session_windows (native session_window operator)."""

@@ -1,0 +1,92 @@
+"""Data-quality constraint checker + per-group model fit tests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from mlb_win_predictor_spark.operators.quality import (
+    check_constraints,
+    in_range,
+    matches,
+    not_null,
+    one_of,
+    unique_key_violations,
+    violating_rows,
+)
+from mlb_win_predictor_spark.session import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_check_constraints_single_pass(spark):
+    li = load_table(spark, SF, "lineitem")
+    rules = [
+        not_null("l_orderkey"),
+        in_range("l_discount", 0.0, 0.1),
+        in_range("l_quantity", 1.0, 50.0),
+        one_of("l_returnflag", ["A", "N", "R"]),
+        matches("l_linestatus", "^[OF]$"),
+    ]
+    out = {r.rule: (r.violations, r.violation_rate) for r in check_constraints(li, rules).collect()}
+    assert len(out) == 5
+    # clean synthetic data: no violations anywhere
+    assert all(v == 0 for v, _ in out.values())
+
+    # plant violations and see them counted + extracted
+    dirty = li.limit(10).select(
+        F.lit(None).cast("long").alias("l_orderkey"),
+        F.lit(0.5).alias("l_discount"),
+        F.lit(5.0).alias("l_quantity"),
+        F.lit("X").alias("l_returnflag"),
+        F.lit("Z").alias("l_linestatus"),
+    )
+    mixed = li.select(
+        "l_orderkey", "l_discount", "l_quantity", "l_returnflag", "l_linestatus"
+    ).unionByName(dirty)
+    out2 = {r.rule: r.violations for r in check_constraints(mixed, rules).collect()}
+    assert out2["l_orderkey_not_null"] == 10
+    assert out2["l_discount_in_range"] == 10
+    assert out2["l_returnflag_one_of"] == 10
+    assert out2["l_linestatus_matches"] == 10
+    assert out2["l_quantity_in_range"] == 0
+    bad = violating_rows(mixed, rules)
+    assert bad.count() == 10
+    assert set(bad.first().broken_rules) == {
+        "l_orderkey_not_null",
+        "l_discount_in_range",
+        "l_returnflag_one_of",
+        "l_linestatus_matches",
+    }
+
+
+def test_unique_key_violations(spark):
+    o = load_table(spark, SF, "orders")
+    assert unique_key_violations(o, ["o_orderkey"]).count() == 0
+    dup = o.limit(7)
+    assert unique_key_violations(o.unionByName(dup), ["o_orderkey"]).count() == 7
+
+
+def test_fit_linear_per_group_matches_numpy(spark):
+    from mlb_win_predictor_spark.ml.per_group import fit_linear_per_group
+
+    rng = np.random.default_rng(7)
+    rows = []
+    truth = {"a": (1.0, 2.0, -3.0), "b": (-5.0, 0.5, 4.0)}
+    for g, (b0, b1, b2) in truth.items():
+        for _ in range(200):
+            x1, x2 = rng.uniform(-5, 5), rng.uniform(-5, 5)
+            noise = rng.normal(0, 0.01)
+            rows.append((g, float(x1), float(x2), float(b0 + b1 * x1 + b2 * x2 + noise)))
+    df = spark.createDataFrame(rows, "grp string, x1 double, x2 double, y double")
+    out = {r.grp: r for r in fit_linear_per_group(df, "grp", ["x1", "x2"], "y").collect()}
+    for g, (b0, b1, b2) in truth.items():
+        got = out[g]
+        assert got.n_rows == 200
+        assert got.coef == pytest.approx([b0, b1, b2], abs=0.01)
+        assert got.rmse < 0.05
+    # degenerate group: too few rows -> null coefficients, no crash
+    tiny = spark.createDataFrame([("c", 1.0, 2.0, 3.0)], "grp string, x1 double, x2 double, y double")
+    r = fit_linear_per_group(tiny, "grp", ["x1", "x2"], "y").collect()[0]
+    assert r.coef is None and r.n_rows == 1

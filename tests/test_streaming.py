@@ -135,3 +135,14 @@ def test_stateful_running_totals(spark, events_dir):
     g = {(r.user_id, r.n_events, round(r.total_value, 4)) for r in final.collect()}
     w = {(r.user_id, r.n_events, round(r.total_value, 4)) for r in batch.collect()}
     assert g == w
+
+
+def test_sliding_stream_matches_batch(spark, events_dir):
+    from mlb_win_predictor_spark.queries.events import sliding_window_agg
+    from mlb_win_predictor_spark.streaming import sliding_stream
+
+    stream = read_events_stream(spark, events_dir)
+    out = _run_to_memory(spark, sliding_stream(stream), "t_sliding", "complete")
+    got = {tuple(r) for r in out.collect()}
+    want = {tuple(r) for r in sliding_window_agg(spark, SF).collect()}
+    assert got == want
