@@ -31,6 +31,54 @@ def grouped_median(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     return df.groupBy(group_col).agg(_median(F.col(value_col)).alias("median_value"))
 
 
+def winnowing_fingerprints(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints via a true ROLLING hash (the
+    substring-level dedup primitive; md5 covers whole-document identity).
+
+    Rabin-Karp polynomial hash over every k-char window, then the MIN
+    hash per sliding window of ``window`` positions (winnowing) — two
+    documents sharing a k-char substring share a fingerprint with
+    guaranteed detection for matches >= k + window - 1 chars. Vectorized
+    pandas UDF (numpy rolling-hash recurrence), self-contained closure.
+    """
+
+    @F.pandas_udf("array<long>")
+    def _winnow(texts: pd.Series) -> pd.Series:
+        import numpy as _np
+
+        B, M = 257, (1 << 61) - 1
+
+        def fp(s):
+            if s is None or len(s) < k:
+                return []
+            codes = _np.frombuffer(s.encode("utf-8", "ignore"), dtype=_np.uint8)
+            n = len(codes) - k + 1
+            if n <= 0:
+                return []
+            # rolling recurrence: h[i+1] = (h[i] - c[i]*B^(k-1))*B + c[i+k]
+            powk = pow(B, k - 1, M)
+            hs = _np.empty(n, dtype=_np.int64)
+            h = 0
+            for c in codes[:k]:
+                h = (h * B + int(c)) % M
+            hs[0] = h
+            for i in range(1, n):
+                h = ((h - int(codes[i - 1]) * powk) * B + int(codes[i + k - 1])) % M
+                hs[i] = h
+            if n <= window:
+                return [int(hs.min())]
+            mins = {
+                int(hs[i : i + window].min()) for i in range(n - window + 1)
+            }
+            return sorted(mins)
+
+        return texts.map(fp)
+
+    return df.select(id_col, _winnow(F.col(text_col)).alias("fingerprints"))
+
+
 def standardize_per_group(
     df: DataFrame, group_col: str, value_cols: list[str]
 ) -> DataFrame:

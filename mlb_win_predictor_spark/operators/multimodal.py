@@ -62,6 +62,38 @@ def _decode_stub(payload: bytes, mime: str) -> tuple[int, int, int]:
     raise NotImplementedError(f"no decoder for mime {mime}")
 
 
+FRAME_SCHEMA = "doc_id long, frame_idx int, frame_bytes binary"
+
+
+def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8) -> DataFrame:
+    """Frame sampling — the one-to-MANY multimodal op (decode is 1:1):
+    each video payload yields up to ``max_frames`` frame rows via
+    mapInPandas. The frame extraction itself is STUBBED (no codecs in
+    this container: a frame = a byte slice); the real thing swaps the
+    slice for libav keyframe extraction — the batch-iterator plumbing,
+    output schema, and row fan-out are what this exercises."""
+
+    def frames(batches):
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, idxs, blobs = [], [], []
+            for doc_id, mime, payload in zip(
+                pdf["doc_id"], pdf["mime"], pdf["payload"]
+            ):
+                if not mime.startswith("video/"):
+                    continue
+                for k in range(min(max(len(payload) // every_n_bytes, 1), max_frames)):
+                    ids.append(doc_id)
+                    idxs.append(k)
+                    blobs.append(bytes(payload[k * every_n_bytes : (k + 1) * every_n_bytes]))
+            yield _pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_bytes": blobs}
+            )
+
+    return media.mapInPandas(frames, schema=FRAME_SCHEMA)
+
+
 def decode_media(media: DataFrame) -> DataFrame:
     """Arrow-batched decode over ``mapInPandas``: the batch iterator shape
     a real decoder uses (bounded memory, vectorized transfer, pure

@@ -205,3 +205,47 @@ def test_python_udtf_shingles(spark, docs):
         by_doc.setdefault(d, []).append(p)
     for d, ps in by_doc.items():
         assert sorted(ps) == list(range(1, len(ps) + 1)), d
+
+
+def test_sample_frames_fanout(spark, docs):
+    from mlb_win_predictor_spark.operators.multimodal import sample_frames, to_media_column
+
+    media = to_media_column(docs)
+    frames = sample_frames(media, every_n_bytes=64, max_frames=8)
+    rows = frames.collect()
+    assert len(rows) > 0
+    video_ids = {r.doc_id for r in media.filter(F.col("mime") == "video/mp4").collect()}
+    assert {r.doc_id for r in rows} == video_ids  # only videos fan out
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d, fs in by_doc.items():
+        assert sorted(f.frame_idx for f in fs) == list(range(len(fs)))
+        assert len(fs) <= 8
+        assert all(len(f.frame_bytes) <= 64 for f in fs)
+
+
+def test_winnowing_fingerprints_detect_shared_substring(spark):
+    from mlb_win_predictor_spark.functions.pandas_fns import winnowing_fingerprints
+
+    shared = "the quick brown fox jumps over the lazy dog"
+    df = spark.createDataFrame(
+        [
+            (1, "prefix one " + shared + " suffix alpha"),
+            (2, "totally different start " + shared + " and another end"),
+            (3, "no overlap here at all zzz qqq www eee rrr ttt yyy"),
+            (4, None),
+            (5, "short"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: set(r.fingerprints) for r in winnowing_fingerprints(df, "doc_id", "text").collect()}
+    # docs 1 and 2 share a long substring -> fingerprint overlap
+    assert out[1] & out[2], "winnowing missed the shared substring"
+    # doc 3 shares nothing with 1
+    assert not (out[1] & out[3])
+    # degenerate inputs are empty, not errors
+    assert out[4] == set() and out[5] == set()
+    # deterministic
+    again = {r.doc_id: set(r.fingerprints) for r in winnowing_fingerprints(df, "doc_id", "text").collect()}
+    assert again == out
