@@ -129,8 +129,92 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select("query_id", "rnk", "cand_id")
 
 
+
+
+def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate as a catalog query (one-pass declarative rules
+    over lineitem): violation count + rate per rule."""
+    from ..operators.quality import check_constraints, in_range, matches, not_null, one_of
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rules = [
+        not_null("l_orderkey"),
+        in_range("l_discount", 0.0, 0.1),
+        in_range("l_quantity", 1.0, 50.0),
+        one_of("l_returnflag", ["A", "N", "R"]),
+        matches("l_linestatus", "^[OF]$"),
+    ]
+    return check_constraints(li, rules)
+
+
+DATA_QUALITY_SQL = """
+WITH agg AS (
+  SELECT COUNT(*) AS total,
+         CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+         CAST(SUM(CASE WHEN l_discount IS NOT NULL AND (l_discount < 0.0 OR l_discount > 0.1) THEN 1 ELSE 0 END) AS BIGINT) AS r2,
+         CAST(SUM(CASE WHEN l_quantity IS NOT NULL AND (l_quantity < 1.0 OR l_quantity > 50.0) THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+         CAST(SUM(CASE WHEN l_returnflag IS NOT NULL AND l_returnflag NOT IN ('A','N','R') THEN 1 ELSE 0 END) AS BIGINT) AS r4,
+         CAST(SUM(CASE WHEN l_linestatus IS NOT NULL AND NOT regexp_matches(l_linestatus, '^[OF]$') THEN 1 ELSE 0 END) AS BIGINT) AS r5
+  FROM lineitem
+)
+SELECT rule, violations, CAST(violations AS DOUBLE) / total AS violation_rate
+FROM agg
+UNPIVOT (violations FOR r IN (r1, r2, r3, r4, r5))
+JOIN (VALUES ('r1','l_orderkey_not_null'), ('r2','l_discount_in_range'),
+             ('r3','l_quantity_in_range'), ('r4','l_returnflag_one_of'),
+             ('r5','l_linestatus_matches')) names(r2name, rule)
+  ON r = r2name
+"""
+
+
+def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (rows-only: pandas-UDF hash):
+    per-doc fingerprint count + substring-collision pair count within a
+    bounded set."""
+    from ..functions.pandas_fns import winnowing_fingerprints
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    fp = winnowing_fingerprints(d, "doc_id", "text")
+    ex = fp.select("doc_id", F.explode("fingerprints").alias("fp"))
+    pairs = (
+        ex.alias("a")
+        .join(ex.alias("b"), (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+    )
+    return fp.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("fingerprints")).alias("n_fingerprints"),
+    ).crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_collision_pairs")))
+
+
+def per_group_linear_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label linear models over embeddings (rows-only: applyInPandas
+    + numpy lstsq): predict dim0 from dims 1-3 within each label."""
+    from ..ml.per_group import fit_linear_per_group
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("label").cast("string").alias("grp"),
+        F.element_at("embedding", 2).cast("double").alias("x1"),
+        F.element_at("embedding", 3).cast("double").alias("x2"),
+        F.element_at("embedding", 4).cast("double").alias("x3"),
+        F.element_at("embedding", 1).cast("double").alias("y"),
+    )
+    out = fit_linear_per_group(e, "grp", ["x1", "x2", "x3"], "y")
+    return out.select("grp", "n_rows", F.size("coef").alias("n_coefs"))
+
+
 QUERIES: dict[str, QueryDef] = {
     "similarity_ann_ivf": QueryDef(similarity_ann_ivf, None, "similarity: IVF ANN"),
+    "data_quality_report": QueryDef(
+        data_quality_report, DATA_QUALITY_SQL, "data-quality gate (one-pass rules)"
+    ),
+    "fingerprint_winnowing": QueryDef(
+        fingerprint_winnowing, None, "winnowing rolling-hash fingerprints"
+    ),
+    "per_group_linear_models": QueryDef(
+        per_group_linear_models, None, "per-group numpy linear fits"
+    ),
     "ml_logreg_leaderboard": QueryDef(ml_logreg_leaderboard, None, "M1-M3/M8 LR pipeline"),
     "ml_nearest_centroid": QueryDef(ml_nearest_centroid, None, "M5 NearestCentroid"),
     "ml_knn_lsh_vote": QueryDef(ml_knn_lsh_vote, None, "M6 LSH kNN vote"),
