@@ -82,6 +82,87 @@ def minhash_neardup_pairs(
     )
 
 
+def minhash_banded_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Banded MinHash near-dup pairs as pure JVM column expressions — the
+    native (no-MLlib) scale path for SURVEY §2.10 near-dedup.
+
+    Signature: ``num_hashes`` min-hashes per doc, hash i of a shingle
+    computed as ``xxhash64(shingle, seed + i)``. The min-fold is a
+    **map-side partial hash aggregation** over exploded shingles (one
+    ``min`` column per hash), so the shuffle carries only
+    ``num_hashes`` longs per doc and the whole signature stage stays in
+    whole-stage codegen — no CountVectorizer vocabulary fit (an extra
+    full pass over the corpus) and no per-hash-table row explosion as in
+    MLlib's ``approxSimilarityJoin``. (A higher-order-function variant
+    — ``array_min(transform(...))`` per band — re-evaluates the
+    signature lambda per band element outside codegen and measured ~2×
+    slower; the agg layout is the fast path.)
+
+    Banding: ``bands`` groups of ``num_hashes/bands`` rows; a candidate
+    pair is two docs agreeing on an entire band (classic LSH banding from
+    the MMDS construction). Candidates then pass an **exact** Jaccard
+    re-check over their shingle sets, so every emitted pair is a true
+    near-dup at ``jaccard_threshold``; banding only bounds recall.
+
+    Scale: shuffle is `bands` rows per doc for the band self-join plus
+    one hash-join back to shingle sets for candidates only — cost tracks
+    actual collisions, never n².
+    """
+    r = num_hashes // bands
+    if bands * r != num_hashes:
+        raise ValueError("num_hashes must be divisible by bands")
+    sh = ngram_shingles(docs.select(id_col, text_col), text_col, n).select(
+        id_col, "shingles"
+    )
+    ex = sh.select(id_col, F.explode("shingles").alias("sh"))
+    mins = ex.groupBy(id_col).agg(
+        *[
+            F.min(F.xxhash64("sh", F.lit(seed + i))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    )
+    band_cols = [
+        F.xxhash64(F.array(*[F.col(f"h{j * r + k}") for k in range(r)]))
+        for j in range(bands)
+    ]
+    band_rows = mins.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_sig"),
+    )
+    cand = (
+        band_rows.alias("a")
+        .join(
+            band_rows.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
 def components_from_pairs(
     pairs: DataFrame,
     a_col: str = "id_a",

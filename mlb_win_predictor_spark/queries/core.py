@@ -847,8 +847,101 @@ GROUP BY n_name
 """
 
 
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q10-shaped: returned-item revenue per customer for one
+    quarter — fact/fact shuffle join + a shuffled customer join (customer
+    is NOT broadcast: at 100 TB it's a fact-sized table; AQE may still
+    downgrade to broadcast at small SF) + broadcast nation, deterministic
+    top-20 on the exact DECIMAL revenue."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-10-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    revenue = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum(revenue.cast("decimal(28,6)")).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount), 6) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey  = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+Q18_QTY_THRESHOLD = 300
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q18-shaped: orders whose total quantity exceeds a threshold,
+    joined back to orders + customer. The inner agg is a map-side-partial
+    hash agg over the fact; the HAVING filter shrinks it to a handful of
+    keys, so the join back is broadcast-sized at any SF (AQE picks that
+    up at runtime)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_QTY_THRESHOLD)
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("sum_qty").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+    )
+
+
+Q18_SQL = f"""
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_totalprice,
+       CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > {Q18_QTY_THRESHOLD}
+) big
+JOIN orders   ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey  = c_custkey
+ORDER BY sum_qty DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "q1_pricing_summary": QueryDef(q1_pricing_summary, Q1_SQL, "TPC-H Q1-shaped agg (A1)"),
+    "q10_returned_items": QueryDef(q10_returned_items, Q10_SQL, "Q10-shaped returned items"),
+    "q18_large_orders": QueryDef(q18_large_orders, Q18_SQL, "Q18-shaped having+join-back"),
     "q3_shipping_priority": QueryDef(q3_shipping_priority, Q3_SQL, "Q3-shaped 3-way join"),
     "q5_region_revenue": QueryDef(q5_region_revenue, Q5_SQL, "Q5-shaped star join"),
     "scan_project_filter": QueryDef(scan_project_filter, SCAN_PROJECT_FILTER_SQL, "S5/P3 pushdown"),

@@ -14,7 +14,11 @@ from pyspark.sql import functions as F
 
 from ..ml.knn import knn_predict_lsh
 from ..ml.nearest_centroid import fit_nearest_centroid
-from ..operators.dedup import minhash_neardup_pairs, simhash_buckets
+from ..operators.dedup import (
+    minhash_banded_pairs,
+    minhash_neardup_pairs,
+    simhash_buckets,
+)
 from ..operators.similarity import ann_topk_lsh, ivf_topk
 from ..session import load_table
 from .base import QueryDef
@@ -95,6 +99,20 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.agg(
         F.count(F.lit(1)).alias("n_candidate_pairs"),
         F.min("jaccard_dist").alias("min_dist"),
+    )
+
+
+def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star near-dedup, native banded-MinHash path (no MLlib, pure
+    column expressions): true-pair count + Jaccard digest. Every emitted
+    pair passed the exact-Jaccard re-check, so the digest is exact over
+    the collision-bounded candidate set."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_banded_pairs(docs, jaccard_threshold=0.5)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("jaccard").alias("min_jaccard"),
+        F.max("jaccard").alias("max_jaccard"),
     )
 
 
@@ -219,6 +237,9 @@ QUERIES: dict[str, QueryDef] = {
     "ml_nearest_centroid": QueryDef(ml_nearest_centroid, None, "M5 NearestCentroid"),
     "ml_knn_lsh_vote": QueryDef(ml_knn_lsh_vote, None, "M6 LSH kNN vote"),
     "dedup_minhash_lsh": QueryDef(dedup_minhash_lsh, None, "dedup: MinHash LSH"),
+    "dedup_minhash_banded": QueryDef(
+        dedup_minhash_banded, None, "dedup: native banded MinHash"
+    ),
     "dedup_simhash": QueryDef(dedup_simhash, None, "dedup: SimHash"),
     "similarity_ann_lsh": QueryDef(similarity_ann_lsh, None, "similarity: LSH ANN"),
 }

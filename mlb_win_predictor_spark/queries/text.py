@@ -325,6 +325,66 @@ FROM documents
 
 
 
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top terms per document (north-star text analysis): alnum
+    tokenization, term frequency per doc, document frequency, idf =
+    ln(N/df), top-{k} terms per doc by rounded tfidf with a term-name
+    tie-break. Two hash aggregations + a broadcast of the 1-row corpus
+    count; the per-doc rank is a window over the scored terms."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    terms = d.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            stable_round(
+                F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "rnk", "term", "tfidf")
+    )
+
+
+TFIDF_SQL = rf"""
+WITH terms AS (
+  SELECT doc_id, t AS term
+  FROM documents, UNNEST(regexp_split_to_array(LOWER(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM terms GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), total AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, term,
+         (ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df) * 1e6) / 1e6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN total
+), ranked AS (
+  SELECT doc_id, term, tfidf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS BIGINT) AS rnk
+  FROM scored
+)
+SELECT doc_id, rnk, term, tfidf FROM ranked WHERE rnk <= {TFIDF_TOP_K}
+"""
+
+
 LEV_CAP = 80
 LEV_MAX_DIST = 4
 
@@ -370,4 +430,5 @@ QUERIES: dict[str, QueryDef] = {
     "ngram_jaccard_pairs": QueryDef(
         ngram_jaccard_pairs, NGRAM_JACCARD_SQL, "dedup: n-gram jaccard"
     ),
+    "tfidf_top_terms": QueryDef(tfidf_top_terms, TFIDF_SQL, "text: TF-IDF top terms"),
 }

@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 
 from mlb_win_predictor_spark.operators.dedup import (
     exact_dedup,
+    minhash_banded_pairs,
     minhash_neardup_pairs,
     simhash_buckets,
 )
@@ -56,6 +57,41 @@ def test_minhash_finds_planted_near_dups(spark, docs):
     planted = {(i, i + 100000) for i in range(20)}
     recall = len(found & planted) / len(planted)
     assert recall >= 0.9, f"minhash recall {recall} (found {len(found)} pairs)"
+
+
+def test_minhash_banded_finds_planted_near_dups(spark, docs):
+    base = docs.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    clones = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    corpus = base.unionByName(clones)
+    pairs = minhash_banded_pairs(corpus, jaccard_threshold=0.5)
+    rows = pairs.collect()
+    found = {(r.id_a, r.id_b) for r in rows}
+    planted = {(i, i + 100000) for i in range(20)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"banded minhash recall {recall} ({len(found)} pairs)"
+    # exactness: every emitted pair passed the exact-Jaccard re-check
+    assert all(r.jaccard >= 0.5 for r in rows)
+
+
+def test_minhash_banded_pairs_match_exact_jaccard(spark, docs):
+    """Banded candidates that survive the re-check must agree with the
+    exact pairwise-join Jaccard (operator-vs-oracle, bounded set)."""
+    sub = docs.filter(F.col("doc_id") < 60).select("doc_id", "text")
+    dup = sub.unionByName(
+        sub.filter(F.col("doc_id") < 10).select(
+            (F.col("doc_id") + 500).alias("doc_id"), "text"
+        )
+    )
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_banded_pairs(dup, jaccard_threshold=0.99).collect()
+    }
+    exact_expected = {(i, i + 500) for i in range(10)}
+    assert exact_expected <= set(got), "exact duplicates must always collide"
+    assert all(abs(v - 1.0) < 1e-9 for k, v in got.items() if k in exact_expected)
 
 
 def test_minhash_deterministic(spark, docs):
