@@ -26,6 +26,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q10_returned_items",
+    "q18_large_orders",
     "flagship_asof_funnel",
     "broadcast_dim_join",
     "merge_upsert",
@@ -37,7 +39,9 @@ HEADLINE = [
     "confusion_matrix_metrics",
     "range_between_window",
     "dedup_exact",
+    "dedup_minhash_banded",
     "text_quality_score",
+    "tfidf_top_terms",
     "cosine_topk_bruteforce",
     "nearest_centroid_assign",
     "tumbling_window_agg",

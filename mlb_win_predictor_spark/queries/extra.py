@@ -254,6 +254,61 @@ FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15
 """
 
 
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping_id — the generalization of the
+    rollup/cube entries: three explicit granularities in one pass
+    (Spark expands to a single Expand + hash agg, one shuffle)."""
+    from ..session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+
+def exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (`percentile` /
+    `quantile_cont`) — the exact complement of A1's percentile_approx.
+    Exact percentiles need a per-group sort; at 100 TB the approx path
+    (one-pass GK sketch, mergeable) is the default and this is the
+    bounded-cardinality / oracle path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pcts = F.percentile("l_extendedprice", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    agg = li.groupBy("l_returnflag").agg(pcts.alias("p"))
+    return agg.select(
+        "l_returnflag",
+        stable_round(F.element_at("p", 1), 6).alias("p25"),
+        stable_round(F.element_at("p", 2), 6).alias("p50"),
+        stable_round(F.element_at("p", 3), 6).alias("p75"),
+    )
+
+
+EXACT_PERCENTILES_SQL = """
+SELECT l_returnflag,
+       (ROUND(quantile_cont(l_extendedprice, 0.25) * 1e6) / 1e6) AS p25,
+       (ROUND(quantile_cont(l_extendedprice, 0.50) * 1e6) / 1e6) AS p50,
+       (ROUND(quantile_cont(l_extendedprice, 0.75) * 1e6) / 1e6) AS p75
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 def first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first_value / last_value over a full-partition frame: each
     customer's first and latest order total beside every order."""
@@ -340,6 +395,12 @@ FROM t
 
 
 QUERIES: dict[str, QueryDef] = {
+    "grouping_sets_agg": QueryDef(
+        grouping_sets_agg, GROUPING_SETS_SQL, "GROUPING SETS + grouping_id"
+    ),
+    "exact_percentiles": QueryDef(
+        exact_percentiles, EXACT_PERCENTILES_SQL, "exact interpolated percentiles"
+    ),
     "corr_matrix": QueryDef(corr_matrix, CORR_SQL, "A3 correlations"),
     "having_filter_sql_api": QueryDef(having_filter_sql_api, HAVING_SQL, "SQL API + HAVING"),
     "unpivot_measures": QueryDef(unpivot_measures, UNPIVOT_SQL, "unpivot wide->long"),

@@ -222,7 +222,22 @@ def per_group_linear_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("grp", "n_rows", F.size("coef").alias("n_coefs"))
 
 
+SAMPLE_FRACTIONS = {"en": 0.5, "fr": 0.3, "es": 0.3, "de": 0.3, "zh": 0.3}
+
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified sampling via sampleBy (per-stratum Bernoulli, seeded) —
+    the class-balancing / downsampling primitive of a training-data
+    pipeline. Map-only: each task keeps rows by per-stratum coin flips;
+    no shuffle until the digest agg. Rows-only: the kept set is
+    seed+partitioning dependent; proportions are pytest-asserted."""
+    d = load_table(spark, sf_dir, "documents")
+    s = d.sampleBy("lang", SAMPLE_FRACTIONS, seed=42)
+    return s.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
 QUERIES: dict[str, QueryDef] = {
+    "stratified_sample": QueryDef(stratified_sample, None, "stratified sampleBy"),
     "similarity_ann_ivf": QueryDef(similarity_ann_ivf, None, "similarity: IVF ANN"),
     "data_quality_report": QueryDef(
         data_quality_report, DATA_QUALITY_SQL, "data-quality gate (one-pass rules)"

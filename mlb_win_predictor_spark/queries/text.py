@@ -325,6 +325,41 @@ FROM documents
 
 
 
+REDACT_A = r"\bthe\b"
+REDACT_B = r"\bdup\w*"
+REDACT_TOKEN = "[REDACTED]"
+
+
+def pattern_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style pattern scrubbing (north-star text analysis): count and
+    redact regex hits per document, emit the redacted-content digest.
+    The real-pipeline version swaps the patterns for email/phone/ssn
+    regexes; the mechanics — regexp_count + chained regexp_replace +
+    content digest, all JVM-side — are identical. Map-only, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    red = F.regexp_replace(
+        F.regexp_replace(F.col("text"), REDACT_A, REDACT_TOKEN),
+        REDACT_B,
+        REDACT_TOKEN,
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(REDACT_A)).cast("long").alias("n_hits_a"),
+        F.regexp_count("text", F.lit(REDACT_B)).cast("long").alias("n_hits_b"),
+        F.md5(red.cast("binary")).alias("redacted_digest"),
+    )
+
+
+PATTERN_REDACTION_SQL = rf"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{REDACT_A}')) AS BIGINT) AS n_hits_a,
+       CAST(len(regexp_extract_all(text, '{REDACT_B}')) AS BIGINT) AS n_hits_b,
+       md5(regexp_replace(regexp_replace(text, '{REDACT_A}', '{REDACT_TOKEN}', 'g'),
+                          '{REDACT_B}', '{REDACT_TOKEN}', 'g')) AS redacted_digest
+FROM documents
+"""
+
+
 TFIDF_TOP_K = 3
 
 
@@ -431,4 +466,7 @@ QUERIES: dict[str, QueryDef] = {
         ngram_jaccard_pairs, NGRAM_JACCARD_SQL, "dedup: n-gram jaccard"
     ),
     "tfidf_top_terms": QueryDef(tfidf_top_terms, TFIDF_SQL, "text: TF-IDF top terms"),
+    "pattern_redaction": QueryDef(
+        pattern_redaction, PATTERN_REDACTION_SQL, "text: regex scrub + digest"
+    ),
 }

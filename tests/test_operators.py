@@ -59,6 +59,20 @@ def test_minhash_finds_planted_near_dups(spark, docs):
     assert recall >= 0.9, f"minhash recall {recall} (found {len(found)} pairs)"
 
 
+def test_stratified_sample_proportions(spark):
+    from mlb_win_predictor_spark.queries.ml import SAMPLE_FRACTIONS, stratified_sample
+
+    d = load_table(spark, "/root/testdata/sf0.01", "documents")
+    totals = {r.lang: r.n for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sampled = {r.lang: r.n_sampled for r in stratified_sample(spark, "/root/testdata/sf0.01").collect()}
+    for lang, frac in SAMPLE_FRACTIONS.items():
+        got = sampled.get(lang, 0) / totals[lang]
+        assert abs(got - frac) < 0.2, f"{lang}: got {got:.2f}, want ~{frac}"
+    # deterministic under a fixed seed and input partitioning
+    again = {r.lang: r.n_sampled for r in stratified_sample(spark, "/root/testdata/sf0.01").collect()}
+    assert sampled == again
+
+
 def test_minhash_banded_finds_planted_near_dups(spark, docs):
     base = docs.filter(F.col("doc_id") < 20).select("doc_id", "text")
     clones = base.select(
