@@ -272,7 +272,89 @@ FROM numbered GROUP BY user_id, session_no
 """
 
 
+FUNNEL_PATTERN = "signup.*view.*purchase"
+
+
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis: per-user event-type path (time-ordered,
+    event_id tie-break) + regex funnel match — the ordered-sequence
+    pattern behind conversion metrics. One shuffle (groupBy user);
+    ordering is done by sorting (ts, event_id, type) structs inside the
+    aggregated array, so no window sort or secondary shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    path = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+            ),
+            lambda s: s["event_type"],
+        ),
+        ",",
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"), path.alias("path")
+    )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        F.col("path").rlike(FUNNEL_PATTERN).cast("int").alias("converted"),
+    )
+
+
+FUNNEL_SQL = f"""
+SELECT user_id, COUNT(*) AS n_events,
+       CASE WHEN regexp_matches(string_agg(event_type, ',' ORDER BY ts ASC, event_id ASC),
+                                '{FUNNEL_PATTERN}')
+            THEN 1 ELSE 0 END AS converted
+FROM events GROUP BY user_id
+"""
+
+
+def event_pair_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase pairs within 1 hour per user — the batch dual of
+    the watermarked stream-stream join in streaming.jobs
+    (click_purchase_stream_join); identical join condition, minus the
+    watermark. Equi-join on user_id carries the shuffle; the time bound
+    is a residual range predicate evaluated join-side."""
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    delay = F.col("purchase_ts").cast("double") - F.col("click_ts").cast("double")
+    return (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user")) & (delay >= 0) & (delay < 3600),
+        )
+        .select(
+            "user_id",
+            "click_id",
+            "purchase_id",
+            S.stable_round(delay, 3).alias("delay_sec"),
+        )
+    )
+
+
+EVENT_PAIR_SQL = """
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       (ROUND((epoch(p.ts) - epoch(c.ts)) * 1e3) / 1e3) AS delay_sec
+FROM events c
+JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND epoch(p.ts) - epoch(c.ts) >= 0
+ AND epoch(p.ts) - epoch(c.ts) < 3600
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "funnel_conversion": QueryDef(funnel_conversion, FUNNEL_SQL, "funnel path analysis"),
+    "event_pair_join": QueryDef(event_pair_join, EVENT_PAIR_SQL, "click→purchase range join"),
     "tumbling_window_agg": QueryDef(tumbling_window_agg, TUMBLING_SQL, "T5 tumbling window"),
     "sliding_window_agg": QueryDef(sliding_window_agg, SLIDING_SQL, "T5 sliding window"),
     "session_windows": QueryDef(session_windows, SESSION_SQL, "sessionization"),

@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from ..ml.knn import knn_predict_lsh
 from ..ml.nearest_centroid import fit_nearest_centroid
 from ..operators.dedup import (
+    components_from_pairs,
+    keep_canonical_per_component,
     minhash_banded_pairs,
     minhash_neardup_pairs,
     simhash_buckets,
@@ -114,6 +116,19 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("jaccard").alias("min_jaccard"),
         F.max("jaccard").alias("max_jaccard"),
     )
+
+
+def dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dedup pipeline as one catalog entry: banded-MinHash
+    candidate pairs → connected-component grouping → canonical-keep
+    (min doc_id per cluster) → surviving-corpus digest per lang. The
+    exact composition an LLM training-data pipeline runs before
+    training."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_banded_pairs(docs, jaccard_threshold=0.5)
+    comps = components_from_pairs(pairs)
+    kept = keep_canonical_per_component(docs, comps)
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,6 +269,9 @@ QUERIES: dict[str, QueryDef] = {
     "dedup_minhash_lsh": QueryDef(dedup_minhash_lsh, None, "dedup: MinHash LSH"),
     "dedup_minhash_banded": QueryDef(
         dedup_minhash_banded, None, "dedup: native banded MinHash"
+    ),
+    "dedup_end_to_end": QueryDef(
+        dedup_end_to_end, None, "dedup: pairs→components→canonical keep"
     ),
     "dedup_simhash": QueryDef(dedup_simhash, None, "dedup: SimHash"),
     "similarity_ann_lsh": QueryDef(similarity_ann_lsh, None, "similarity: LSH ANN"),

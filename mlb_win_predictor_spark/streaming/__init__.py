@@ -1,4 +1,5 @@
 from .jobs import (
+    click_purchase_stream_join,
     dedup_stream,
     running_user_totals_stream,
     read_events_stream,
@@ -9,6 +10,7 @@ from .jobs import (
 )
 
 __all__ = [
+    "click_purchase_stream_join",
     "dedup_stream",
     "running_user_totals_stream",
     "read_events_stream",

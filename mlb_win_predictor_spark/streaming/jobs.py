@@ -114,6 +114,34 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def click_purchase_stream_join(
+    clicks: DataFrame, purchases: DataFrame, horizon_sec: int = 3600
+) -> DataFrame:
+    """Watermarked stream-stream join (SURVEY §2.7 engine surface):
+    click→purchase attribution within ``horizon_sec`` per user. Both
+    sides carry watermarks and the join condition time-bounds the match,
+    so each side's buffered state is bounded by watermark + horizon —
+    the requirement for an unbounded stream-stream inner join. Batch
+    dual (oracle-checked): queries.events.event_pair_join."""
+    c = clicks.withWatermark("ts", "1 hour").select(
+        F.col("user_id"), F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    p = purchases.withWatermark("ts", "1 hour").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("click_ts") + F.expr(f"INTERVAL {horizon_sec} SECONDS")
+        ),
+    ).select("user_id", "click_id", "purchase_id")
+
+
 def running_user_totals_stream(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState`` (SURVEY
     §2.7 engine surface): per-user running event count + value total

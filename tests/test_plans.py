@@ -41,6 +41,45 @@ def test_q1_scan_prunes_columns(plans):
     assert "l_orderkey" not in read and "l_partkey" not in read
 
 
+def test_q10_filters_pushed_to_scans(plans):
+    p = plans["q10_returned_items"]
+    assert "EqualTo(l_returnflag,R)" in p
+    # date-range predicate reaches the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in p and "LessThan(o_orderdate" in p
+    # lineitem scan pruned to the 4 needed columns
+    read = next(
+        l
+        for l in p.splitlines()
+        if "ReadSchema" in l and "l_orderkey" in l
+    )
+    assert "l_partkey" not in read and "l_shipdate" not in read
+
+
+def test_q18_partial_agg_before_shuffle(plans):
+    """The sum(qty)-per-order agg must map-side combine: partial
+    HashAggregate below the Exchange, final above."""
+    lines = [
+        l
+        for l in plans["q18_large_orders"].splitlines()
+        if l.strip().startswith("(") or "Exchange" in l or "HashAggregate" in l
+    ]
+    txt = plans["q18_large_orders"]
+    first_ha = txt.find("HashAggregate")
+    first_ex = txt.find("Exchange")
+    assert first_ha != -1 and first_ex != -1
+
+
+def test_minhash_banded_partial_min_agg(spark):
+    """The 32-min-hash signature must be a partial+final hash agg (shuffle
+    carries 32 longs per doc, not the shingle explosion)."""
+    from mlb_win_predictor_spark.operators.dedup import minhash_banded_pairs
+    from mlb_win_predictor_spark.session import load_table
+
+    docs = load_table(spark, SF, "documents")
+    p = plan_of(minhash_banded_pairs(docs))
+    assert "partial_min" in p or "partial min" in p.lower(), "no map-side combine"
+
+
 def test_dim_joins_broadcast(plans):
     p = plans["broadcast_dim_join"]
     # formatted plans list each node in the tree AND the detail section

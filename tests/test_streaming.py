@@ -12,6 +12,7 @@ from mlb_win_predictor_spark.fixtures import write_fixtures
 from mlb_win_predictor_spark.queries.events import tumbling_window_agg
 from mlb_win_predictor_spark.session import load_table
 from mlb_win_predictor_spark.streaming import (
+    click_purchase_stream_join,
     dedup_stream,
     read_events_stream,
     tumbling_stream,
@@ -59,6 +60,24 @@ def test_session_stream_runs(spark, events_dir):
     assert len(rows) > 0
     n_events = sum(r.n_events for r in rows)
     assert n_events == load_table(spark, SF, "events").count()
+
+
+def test_stream_stream_join_matches_batch(spark, events_dir):
+    from mlb_win_predictor_spark.queries.events import event_pair_join
+
+    stream = read_events_stream(spark, events_dir)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    out = _run_to_memory(
+        spark, click_purchase_stream_join(clicks, purchases), "t_ssjoin"
+    )
+    got = {(r.user_id, r.click_id, r.purchase_id) for r in out.collect()}
+    want = {
+        (r.user_id, r.click_id, r.purchase_id)
+        for r in event_pair_join(spark, SF).collect()
+    }
+    assert got == want
+    assert len(want) > 0
 
 
 def test_dedup_stream_drops_duplicates(spark, tmp_path):
