@@ -1,0 +1,66 @@
+"""Distributed dense row indexing (surrogate-key assignment).
+
+The naive formulation — ``row_number() OVER (ORDER BY ...)`` with no
+partition key — collapses the whole dataset into ONE partition (Spark
+warns `No Partition Defined for Window operation`); at 100 TB that is a
+single-task sort of the universe. This operator produces the identical
+0..n-1 dense index with no single-partition stage:
+
+1. range-partition (and locally sort) by the order columns — a real
+   shuffle but a parallel one (or keep existing partitioning when
+   ``order_cols=None`` for an arbitrary-but-stable dense id);
+2. per-partition ``row_number`` (sort is partition-local);
+3. per-partition counts → cumulative offsets (a driver-side list of
+   num_partitions integers — the only driver data);
+4. index = partition offset + local row_number − 1 via a broadcast join.
+
+The ``order_cols`` variant is deterministic and SQL-expressible
+(``ROW_NUMBER() OVER (ORDER BY ...) − 1``), so it is DuckDB-oracle
+checked; the plan-shape test pins that no SinglePartition exchange
+appears.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+
+def dense_global_index(
+    df: DataFrame,
+    order_cols: list[str] | None = None,
+    id_name: str = "row_idx",
+) -> DataFrame:
+    """Assign a dense 0..n-1 ``id_name`` column. With ``order_cols`` the
+    index follows that total order (make it unique for determinism);
+    without, the order is the incoming partition order (stable within a
+    run, not across layouts)."""
+    if order_cols:
+        base = df.repartitionByRange(*[F.col(c) for c in order_cols])
+        w = W.partitionBy("_pid").orderBy(*[F.col(c).asc() for c in order_cols])
+    else:
+        base = df
+        w = W.partitionBy("_pid").orderBy(F.col("_mid").asc())
+
+    part = base.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_mid", F.monotonically_increasing_id()
+    )
+    counts = sorted(
+        (r._pid, r.n)
+        for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets, acc = {}, 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    spark = df.sparkSession
+    off_df = spark.createDataFrame(
+        [(int(p), int(o)) for p, o in offsets.items()], ["_pid", "_offset"]
+    )
+    indexed = (
+        part.withColumn("_rn", F.row_number().over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(id_name, (F.col("_offset") + F.col("_rn") - 1).cast("long"))
+    )
+    return indexed.drop("_pid", "_mid", "_rn", "_offset")

@@ -309,6 +309,59 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def dense_global_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense 0..n-1 surrogate-key assignment over orders ordered by
+    o_orderkey — implemented WITHOUT the single-partition global window
+    (operators.indexing: range partition → local row_number → offset
+    join); the oracle is the naive ROW_NUMBER()-1 formulation."""
+    from ..operators.indexing import dense_global_index
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    return dense_global_index(o, order_cols=["o_orderkey"]).select(
+        "o_orderkey", "row_idx"
+    )
+
+
+DENSE_INDEX_SQL = """
+SELECT o_orderkey,
+       CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey ASC) - 1 AS BIGINT) AS row_idx
+FROM orders
+"""
+
+
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding (the leakage-free categorical
+    encoder of a feature pipeline): each customer's segment is encoded as
+    the mean positive-balance rate of the OTHER customers in the segment
+    — window sums minus self, no per-row subquery."""
+    c = load_table(spark, sf_dir, "customer")
+    label = (F.col("c_acctbal") > 0).cast("long")
+    w = W.partitionBy("c_mktsegment")
+    loo = (F.sum(label).over(w) - label).cast("double") / (
+        F.count(F.lit(1)).over(w) - 1
+    )
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        label.alias("label"),
+        stable_round(loo, 6).alias("segment_loo_rate"),
+    )
+
+
+TARGET_ENCODE_SQL = """
+WITH lab AS (
+  SELECT c_custkey, c_mktsegment,
+         CASE WHEN c_acctbal > 0 THEN 1 ELSE 0 END AS label
+  FROM customer
+)
+SELECT c_custkey, c_mktsegment, CAST(label AS BIGINT) AS label,
+       (ROUND(CAST(SUM(label) OVER w - label AS DOUBLE)
+              / (COUNT(*) OVER w - 1) * 1e6) / 1e6) AS segment_loo_rate
+FROM lab
+WINDOW w AS (PARTITION BY c_mktsegment)
+"""
+
+
 def first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first_value / last_value over a full-partition frame: each
     customer's first and latest order total beside every order."""
@@ -400,6 +453,12 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "exact_percentiles": QueryDef(
         exact_percentiles, EXACT_PERCENTILES_SQL, "exact interpolated percentiles"
+    ),
+    "dense_global_index": QueryDef(
+        dense_global_index_query, DENSE_INDEX_SQL, "dense surrogate keys, no 1-partition sort"
+    ),
+    "target_encode_loo": QueryDef(
+        target_encode_loo, TARGET_ENCODE_SQL, "leave-one-out target encoding"
     ),
     "corr_matrix": QueryDef(corr_matrix, CORR_SQL, "A3 correlations"),
     "having_filter_sql_api": QueryDef(having_filter_sql_api, HAVING_SQL, "SQL API + HAVING"),

@@ -179,6 +179,38 @@ def test_ivf_topk_recall_vs_exact(spark, emb):
     assert f == e
 
 
+def test_dense_global_index_is_dense_and_ordered(spark):
+    from mlb_win_predictor_spark.operators.indexing import dense_global_index
+
+    o = load_table(spark, SF, "orders").select("o_orderkey")
+    n = o.count()
+    idx = dense_global_index(o, order_cols=["o_orderkey"])
+    rows = idx.orderBy("row_idx").collect()
+    assert [r.row_idx for r in rows] == list(range(n))
+    keys = [r.o_orderkey for r in rows]
+    assert keys == sorted(keys), "index does not follow the requested order"
+    # unordered variant: still dense 0..n-1
+    ids = {r.row_idx for r in dense_global_index(o).collect()}
+    assert ids == set(range(n))
+
+
+def test_pq_topk_recall_vs_exact(spark, emb):
+    from mlb_win_predictor_spark.operators.similarity import pq_topk
+
+    queries = emb.filter(F.col("vec_id") < 10)
+    corpus = emb.filter(F.col("vec_id") >= 10)
+    k = 10
+    exact = exact_topk_cosine(queries, corpus, k=k)
+    pq = pq_topk(queries, corpus, k=k)
+    e = {(r.query_id, r.cand_id) for r in exact.collect()}
+    a = {(r.query_id, r.cand_id) for r in pq.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.8, f"PQ recall {recall} (16x16 codebooks + 8k rerank)"
+    # determinism under fixed seed
+    a2 = {(r.query_id, r.cand_id) for r in pq_topk(queries, corpus, k=k).collect()}
+    assert a == a2
+
+
 def test_grouped_median_udaf(spark):
     from mlb_win_predictor_spark.functions.pandas_fns import grouped_median
 

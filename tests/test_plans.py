@@ -80,6 +80,14 @@ def test_minhash_banded_partial_min_agg(spark):
     assert "partial_min" in p or "partial min" in p.lower(), "no map-side combine"
 
 
+def test_dense_index_no_single_partition_sort(plans):
+    """The surrogate-key assignment must not collapse to one partition
+    (the naive ROW_NUMBER-over-everything plan does)."""
+    p = plans["dense_global_index"]
+    assert "SinglePartition" not in p, "global window collapsed to 1 partition"
+    assert "rangepartitioning" in p.lower()
+
+
 def test_dim_joins_broadcast(plans):
     p = plans["broadcast_dim_join"]
     # formatted plans list each node in the tree AND the detail section
