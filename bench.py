@@ -39,7 +39,6 @@ HEADLINE = [
     "confusion_matrix_metrics",
     "range_between_window",
     "dedup_exact",
-    "dedup_minhash_banded",
     "text_quality_score",
     "tfidf_top_terms",
     "cosine_topk_bruteforce",

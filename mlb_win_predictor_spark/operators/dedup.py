@@ -82,6 +82,31 @@ def minhash_neardup_pairs(
     )
 
 
+def minhash_signatures(
+    hashed_shingles: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signature table from hashed shingle sets: one map-only
+    projection producing ``num_hashes`` ``array_min(transform(...))``
+    columns (h0..h{k-1}). Zero shuffle — at corpus scale this is the
+    table you persist."""
+
+    def _minhash(i: int):
+        # NB: the transform lambda must take ONE arg — a two-arg lambda
+        # receives (element, array_index) and would silently replace the
+        # per-signature seed with the element position, collapsing all
+        # signatures into one hash function.
+        return F.array_min(
+            F.transform("shingles", lambda h: F.xxhash64(h, F.lit(seed + i)))
+        )
+
+    return hashed_shingles.select(
+        id_col, *[_minhash(i).alias(f"h{i}") for i in range(num_hashes)]
+    )
+
+
 def minhash_banded_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -96,16 +121,15 @@ def minhash_banded_pairs(
     native (no-MLlib) scale path for SURVEY §2.10 near-dedup.
 
     Signature: ``num_hashes`` min-hashes per doc, hash i of a shingle
-    computed as ``xxhash64(shingle, seed + i)``. The min-fold is a
-    **map-side partial hash aggregation** over exploded shingles (one
-    ``min`` column per hash), so the shuffle carries only
-    ``num_hashes`` longs per doc and the whole signature stage stays in
-    whole-stage codegen — no CountVectorizer vocabulary fit (an extra
-    full pass over the corpus) and no per-hash-table row explosion as in
-    MLlib's ``approxSimilarityJoin``. (A higher-order-function variant
-    — ``array_min(transform(...))`` per band — re-evaluates the
-    signature lambda per band element outside codegen and measured ~2×
-    slower; the agg layout is the fast path.)
+    computed as ``xxhash64(shingle_hash, seed + i)`` and min-folded as a
+    flat ``array_min(transform(...))`` column per hash — the whole
+    signature is ONE map-only projection: zero shuffle, no
+    CountVectorizer vocabulary fit (an extra full pass over the corpus),
+    and no per-hash-table row explosion as in MLlib's
+    ``approxSimilarityJoin``. (Measured alternatives at sf0.1: nesting
+    the signature inside the per-band lambda re-evaluates it per band,
+    ~3× slower; explode + 32 min-agg columns adds a shuffle and agg
+    buffers, ~2× slower.)
 
     Banding: ``bands`` groups of ``num_hashes/bands`` rows; a candidate
     pair is two docs agreeing on an entire band (classic LSH banding from
@@ -120,16 +144,23 @@ def minhash_banded_pairs(
     r = num_hashes // bands
     if bands * r != num_hashes:
         raise ValueError("num_hashes must be divisible by bands")
+    # hash each shingle string to a long ONCE; every downstream pass
+    # (32 min-hashes, the exact-Jaccard set ops) operates on longs.
+    # Set semantics survive w.h.p. (64-bit collisions ~ n²/2⁶⁴).
     sh = ngram_shingles(docs.select(id_col, text_col), text_col, n).select(
-        id_col, "shingles"
+        id_col,
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
     )
-    ex = sh.select(id_col, F.explode("shingles").alias("sh"))
-    mins = ex.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64("sh", F.lit(seed + i))).alias(f"h{i}")
-            for i in range(num_hashes)
-        ]
-    )
+    # cache: the hashed shingle sets feed the signature once and BOTH
+    # sides of the candidate re-check; the signature table feeds both
+    # sides of the band self-join. Without these the whole
+    # split→hash→agg pipeline re-executes per branch (measured ~3×
+    # wall). The signature cache is num_docs × num_hashes longs —
+    # bounded; the shingle cache is token-scale (spills to disk at
+    # corpus scale; persisting the signature table to storage is the
+    # 100 TB pattern).
+    sh = sh.persist()
+    mins = minhash_signatures(sh, id_col, num_hashes=num_hashes, seed=seed).persist()
     band_cols = [
         F.xxhash64(F.array(*[F.col(f"h{j * r + k}") for k in range(r)]))
         for j in range(bands)

@@ -69,15 +69,39 @@ def test_q18_partial_agg_before_shuffle(plans):
     assert first_ha != -1 and first_ex != -1
 
 
-def test_minhash_banded_partial_min_agg(spark):
-    """The 32-min-hash signature must be a partial+final hash agg (shuffle
-    carries 32 longs per doc, not the shingle explosion)."""
+def test_minhash_banded_signature_map_only_and_cached(spark):
+    """The 32-min-hash signature must be a single map-only projection
+    (array_min over transform — no explode, no aggregate shuffle) and
+    the signature/shingle tables must be cache-backed so the band
+    self-join and the Jaccard re-check don't recompute the pipeline."""
     from mlb_win_predictor_spark.operators.dedup import minhash_banded_pairs
     from mlb_win_predictor_spark.session import load_table
 
     docs = load_table(spark, SF, "documents")
     p = plan_of(minhash_banded_pairs(docs))
-    assert "partial_min" in p or "partial min" in p.lower(), "no map-side combine"
+    assert "array_min" in p, "signature not a flat array_min projection"
+    assert "InMemoryRelation" in p or "InMemoryTableScan" in p, "signature not cached"
+
+
+def test_minhash_signatures_are_independent(spark):
+    """Each signature column must use its own seed: h0 and h1 should
+    disagree on most docs (a degenerate shared seed makes them equal)."""
+    from pyspark.sql import functions as F
+
+    from mlb_win_predictor_spark.operators.dedup import (
+        minhash_signatures,
+        ngram_shingles,
+    )
+    from mlb_win_predictor_spark.session import load_table
+
+    docs = load_table(spark, SF, "documents")
+    sh = ngram_shingles(docs.select("doc_id", "text"), "text", 3).select(
+        "doc_id", F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles")
+    )
+    sig = minhash_signatures(sh, num_hashes=4)
+    n = sig.count()
+    same = sig.filter(F.col("h0") == F.col("h1")).count()
+    assert same < n * 0.1, f"h0==h1 on {same}/{n} docs — seeds not independent"
 
 
 def test_dense_index_no_single_partition_sort(plans):
