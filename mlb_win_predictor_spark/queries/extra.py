@@ -362,6 +362,31 @@ WINDOW w AS (PARTITION BY c_mktsegment)
 """
 
 
+def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — THE pattern for distinct counts at
+    100 TB: build per-nation HLL sketches of customer keys once, then
+    roll up to region by merging sketches (`hll_union_agg`) without
+    rescanning the fact. Rows-only: the estimate is
+    implementation-defined (Datasketches), accuracy vs exact is
+    pytest-asserted."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey", "n_nationkey")
+        .agg(F.hll_sketch_agg("c_custkey").alias("sk"))
+    )
+    return (
+        per_nation.groupBy("n_regionkey")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("long").alias(
+                "approx_customers"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
+
+
 def first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first_value / last_value over a full-partition frame: each
     customer's first and latest order total beside every order."""
@@ -459,6 +484,9 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "target_encode_loo": QueryDef(
         target_encode_loo, TARGET_ENCODE_SQL, "leave-one-out target encoding"
+    ),
+    "hll_mergeable_rollup": QueryDef(
+        hll_mergeable_rollup, None, "HLL sketch rollup (merge, no rescan)"
     ),
     "corr_matrix": QueryDef(corr_matrix, CORR_SQL, "A3 correlations"),
     "having_filter_sql_api": QueryDef(having_filter_sql_api, HAVING_SQL, "SQL API + HAVING"),

@@ -34,6 +34,34 @@ def json_log_sink(events: DataFrame, out_dir: str, job_name: str) -> str:
     return path
 
 
+def write_sized_parquet(
+    df: DataFrame, path: str, target_rows_per_file: int, order_cols: list[str] | None = None
+) -> int:
+    """Small-files-aware parquet writer: emit ~``target_rows_per_file``
+    rows per output file. The small-files problem is the classic 100 TB
+    failure mode — a 32-partition job writing a 500-row dim produces 32
+    tiny files; a 200-partition shuffle output produces 200.
+
+    Mechanics: one cheap count picks the file count; ``repartition(n)``
+    (round-robin, even) or ``repartitionByRange(n, cols)`` (clustered —
+    doubles as a sort-by-write for downstream pruning) sets the layout;
+    ``maxRecordsPerFile`` caps stragglers. Returns the partition count.
+    """
+    n = df.count()
+    files = max(1, -(-n // target_rows_per_file))
+    out = (
+        df.repartitionByRange(files, *[F.col(c) for c in order_cols])
+        if order_cols
+        else df.repartition(files)
+    )
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", target_rows_per_file)
+        .parquet(path)
+    )
+    return files
+
+
 def email_digest(prepared: DataFrame, updated: DataFrame) -> DataFrame:
     """S12/D10/A5 — the send_email() digest (src/function.py:367-384):
     per-bucket counts + HTML <li> item list, one row per bucket."""

@@ -66,6 +66,53 @@ def test_prepare_games_from_source(spark, fixture_dir):
     assert out.filter(F.col("home_pitcher_id").isNull()).count() == 0
 
 
+def test_write_sized_parquet_controls_file_count(spark, tmp_path):
+    from mlb_win_predictor_spark.sources import write_sized_parquet
+    from mlb_win_predictor_spark.session import load_table
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders")  # 1500 rows
+    n = o.count()
+    out = str(tmp_path / "sized")
+    files = write_sized_parquet(o, out, target_rows_per_file=400)
+    parts = glob.glob(os.path.join(out, "part-*.parquet"))
+    assert files == -(-n // 400)
+    assert len(parts) == files, f"{len(parts)} files, wanted {files}"
+    assert spark.read.parquet(out).count() == n
+    # range-clustered variant: files are key-disjoint => prunable
+    out2 = str(tmp_path / "sized_ranged")
+    write_sized_parquet(o, out2, 400, order_cols=["o_orderkey"])
+    ranges = []
+    for f in sorted(glob.glob(os.path.join(out2, "part-*.parquet"))):
+        pdf = spark.read.parquet(f).agg(
+            F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+        ).collect()[0]
+        ranges.append((pdf.lo, pdf.hi))
+    ranges.sort()
+    for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
+        assert hi_prev <= lo_next, f"overlapping key ranges: {ranges}"
+
+
+def test_hll_rollup_accuracy(spark):
+    from mlb_win_predictor_spark.queries.extra import hll_mergeable_rollup
+    from mlb_win_predictor_spark.session import load_table
+
+    got = {
+        r.n_regionkey: r.approx_customers
+        for r in hll_mergeable_rollup(spark, "/root/testdata/sf0.01").collect()
+    }
+    c = load_table(spark, "/root/testdata/sf0.01", "customer")
+    n = load_table(spark, "/root/testdata/sf0.01", "nation")
+    exact = {
+        r.n_regionkey: r.n
+        for r in c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_regionkey")
+        .agg(F.countDistinct("c_custkey").alias("n"))
+        .collect()
+    }
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+
+
 def test_json_log_sink_roundtrip(spark, tmp_path):
     events = spark.range(5).select(
         F.lit("game_prepared").alias("event"),
