@@ -66,6 +66,26 @@ def test_prepare_games_from_source(spark, fixture_dir):
     assert out.filter(F.col("home_pitcher_id").isNull()).count() == 0
 
 
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema evolution on the landing zone (SURVEY §1.3 notes the
+    reference has none — the engine supports additive evolution via
+    parquet mergeSchema): files written before a column existed read
+    back as NULL for that column."""
+    d = str(tmp_path / "evolving")
+    v1 = spark.range(3).select(F.col("id").alias("game_id"), F.lit("A").alias("team"))
+    v1.write.parquet(d + "/batch=1")
+    v2 = spark.range(3, 5).select(
+        F.col("id").alias("game_id"),
+        F.lit("B").alias("team"),
+        F.lit(2.5).alias("era"),
+    )
+    v2.write.parquet(d + "/batch=2")
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert set(merged.columns) == {"game_id", "team", "era", "batch"}
+    assert merged.count() == 5
+    assert merged.filter(F.col("era").isNull()).count() == 3
+
+
 def test_write_sized_parquet_controls_file_count(spark, tmp_path):
     from mlb_win_predictor_spark.sources import write_sized_parquet
     from mlb_win_predictor_spark.session import load_table
