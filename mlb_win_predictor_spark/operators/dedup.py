@@ -243,7 +243,12 @@ def components_from_pairs(
             .limit(1)
             .count()
         )
-        labels = new_labels.cache()
+        # localCheckpoint truncates the per-iteration lineage — without
+        # it the plan doubles every round and stage submission cost
+        # dominates long chains (the standard iterative-algorithm
+        # pattern; at cluster scale use checkpoint() to durable storage
+        # for executor-loss recovery).
+        labels = new_labels.localCheckpoint(eager=False)
         if changed == 0:
             break
     return labels

@@ -64,6 +64,26 @@ def check_constraints(df: DataFrame, rules: list[Rule]) -> DataFrame:
     )
 
 
+def observe_constraints(df: DataFrame, rules: list[Rule], name: str = "dq"):
+    """Zero-extra-pass quality metrics via ``df.observe``: violation
+    counters piggyback on whatever action the pipeline runs anyway
+    (write, count, stream batch) — at 100 TB the quality gate costs no
+    second scan at all. Returns ``(df_with_observation, observation)``;
+    read ``observation.get`` AFTER an action has run.
+
+    The metric set mirrors check_constraints (total + one violation
+    count per rule)."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    observed = df.observe(
+        obs,
+        F.count(F.lit(1)).alias("_total"),
+        *[F.sum(r.violated.cast("long")).alias(r.name) for r in rules],
+    )
+    return observed, obs
+
+
 def violating_rows(df: DataFrame, rules: list[Rule]) -> DataFrame:
     """Rows breaking any rule, tagged with the list of broken rule names."""
     broken = F.filter(

@@ -376,9 +376,12 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("term"),
     ).filter(F.col("term") != "")
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # document frequency as a window over the tf table (one row per
+    # (doc, term) already) — saves the separate dfreq aggregate + the
+    # re-shuffle join on term: shuffles are (doc,term) -> term -> doc.
+    dfreq = F.count(F.lit(1)).over(W.partitionBy("term"))
     scored = (
-        tf.join(dfreq, "term")
+        tf.withColumn("df", dfreq)
         .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",

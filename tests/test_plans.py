@@ -104,6 +104,22 @@ def test_minhash_signatures_are_independent(spark):
     assert same < n * 0.1, f"h0==h1 on {same}/{n} docs — seeds not independent"
 
 
+def test_join_strategy_hints_respected(spark):
+    """Strategy control: a `merge` hint must force SortMergeJoin even
+    where AQE would broadcast, and `broadcast` must force the reverse —
+    the manual override for mis-estimated sides at scale."""
+    from mlb_win_predictor_spark.session import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    o = load_table(spark, SF, "orders")
+    merged = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    p1 = plan_of(merged)
+    assert "SortMergeJoin" in p1, "merge hint ignored"
+    bcast = li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey)
+    p2 = plan_of(bcast)
+    assert "BroadcastHashJoin" in p2 and "SortMergeJoin" not in p2
+
+
 def test_dense_index_no_single_partition_sort(plans):
     """The surrogate-key assignment must not collapse to one partition
     (the naive ROW_NUMBER-over-everything plan does)."""

@@ -61,6 +61,27 @@ def test_check_constraints_single_pass(spark):
     }
 
 
+def test_observe_constraints_piggybacks_on_action(spark, tmp_path):
+    from mlb_win_predictor_spark.operators.quality import observe_constraints
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_orderkey", "l_discount", "l_quantity"
+    )
+    rules = [
+        not_null("l_orderkey"),
+        in_range("l_discount", 0.0, 0.1),
+        in_range("l_quantity", 1.0, 50.0),
+    ]
+    observed, obs = observe_constraints(li, rules, name="dq_test")
+    # the metrics ride the write action — no separate aggregation scan
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got["_total"] == li.count()
+    assert got["l_orderkey_not_null"] == 0
+    assert got["l_discount_in_range"] == 0
+    assert got["l_quantity_in_range"] == 0
+
+
 def test_unique_key_violations(spark):
     o = load_table(spark, SF, "orders")
     assert unique_key_violations(o, ["o_orderkey"]).count() == 0
