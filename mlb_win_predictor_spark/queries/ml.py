@@ -248,6 +248,24 @@ def per_group_linear_models(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("grp", "n_rows", F.size("coef").alias("n_coefs"))
 
 
+def hash_split_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/dev/test assignment by key hash (the
+    reproducible, layout-independent alternative to randomSplit: the
+    same doc always lands in the same split, on any cluster, any
+    partitioning, any run — essential for dataset versioning). 80/10/10
+    via xxhash64(doc_id) mod 10; per-split digest. Map-only."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.pmod(F.xxhash64("doc_id", F.lit(42)), F.lit(10))
+    split = (
+        F.when(bucket < 8, F.lit("train"))
+        .when(bucket < 9, F.lit("dev"))
+        .otherwise(F.lit("test"))
+    )
+    return d.select(split.alias("split")).groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 SAMPLE_FRACTIONS = {"en": 0.5, "fr": 0.3, "es": 0.3, "de": 0.3, "zh": 0.3}
 
 
@@ -264,6 +282,9 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES: dict[str, QueryDef] = {
     "stratified_sample": QueryDef(stratified_sample, None, "stratified sampleBy"),
+    "hash_split_digest": QueryDef(
+        hash_split_digest, None, "deterministic hash train/dev/test split"
+    ),
     "similarity_ann_ivf": QueryDef(similarity_ann_ivf, None, "similarity: IVF ANN"),
     "data_quality_report": QueryDef(
         data_quality_report, DATA_QUALITY_SQL, "data-quality gate (one-pass rules)"

@@ -423,6 +423,54 @@ SELECT doc_id, rnk, term, tfidf FROM ranked WHERE rnk <= {TFIDF_TOP_K}
 """
 
 
+PACK_BUDGET = 512
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing (the batching step of an LLM
+    training pipeline): documents fill fixed token-budget bins in
+    deterministic (lang, doc_id) order; a doc starting before the bin
+    boundary stays in that bin, so bins can overflow by < 1 doc — the
+    standard streaming-pack semantics. Parallel by lang (each group
+    packs independently — no global sort); per-bin digest output."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    w = W.partitionBy("lang").orderBy(F.col("doc_id").asc())
+    cum_before = F.coalesce(
+        F.sum(toks).over(w.rowsBetween(W.unboundedPreceding, -1)), F.lit(0)
+    )
+    binned = d.select(
+        "lang",
+        "doc_id",
+        toks.alias("n_toks"),
+        F.floor(cum_before / PACK_BUDGET).cast("long").alias("bin"),
+    )
+    return binned.groupBy("lang", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.min("doc_id").alias("first_doc"),
+    )
+
+
+SEQUENCE_PACKING_SQL = rf"""
+WITH sized AS (
+  SELECT lang, doc_id,
+         len(regexp_split_to_array(TRIM(text), '\s+')) AS n_toks
+  FROM documents
+), binned AS (
+  SELECT lang, doc_id, n_toks,
+         CAST(FLOOR(COALESCE(SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id ASC
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    / {PACK_BUDGET}) AS BIGINT) AS bin
+  FROM sized
+)
+SELECT lang, bin, COUNT(*) AS n_docs,
+       CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+       MIN(doc_id) AS first_doc
+FROM binned GROUP BY lang, bin
+"""
+
+
 LEV_CAP = 80
 LEV_MAX_DIST = 4
 
@@ -471,5 +519,8 @@ QUERIES: dict[str, QueryDef] = {
     "tfidf_top_terms": QueryDef(tfidf_top_terms, TFIDF_SQL, "text: TF-IDF top terms"),
     "pattern_redaction": QueryDef(
         pattern_redaction, PATTERN_REDACTION_SQL, "text: regex scrub + digest"
+    ),
+    "sequence_packing": QueryDef(
+        sequence_packing, SEQUENCE_PACKING_SQL, "text: token-budget packing"
     ),
 }

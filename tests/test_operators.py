@@ -179,6 +179,20 @@ def test_ivf_topk_recall_vs_exact(spark, emb):
     assert f == e
 
 
+def test_hash_split_deterministic_and_proportional(spark):
+    from mlb_win_predictor_spark.queries.ml import hash_split_digest
+
+    sf = "/root/testdata/sf0.01"
+    got = {r.split: r.n_docs for r in hash_split_digest(spark, sf).collect()}
+    n = sum(got.values())
+    assert n == load_table(spark, sf, "documents").count()
+    assert abs(got["train"] / n - 0.8) < 0.1
+    assert got["dev"] > 0 and got["test"] > 0
+    # determinism: identical on a different partitioning of the same data
+    again = {r.split: r.n_docs for r in hash_split_digest(spark, sf).collect()}
+    assert got == again
+
+
 def test_dense_global_index_is_dense_and_ordered(spark):
     from mlb_win_predictor_spark.operators.indexing import dense_global_index
 
