@@ -309,6 +309,31 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+APPROX_PCT_ACCURACY = 10000
+
+
+def approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass mergeable quantile sketch per group (`percentile_approx`,
+    Greenwald-Khanna) — the 100 TB default for A1-style summaries: no
+    per-group sort, map-side partial sketches merge associatively, error
+    bounded by 1/accuracy. Rows-only entry (DuckDB's approx_quantile is a
+    different sketch); accuracy vs the exact sort-based percentile is
+    pytest-enforced (test_approx_percentiles_within_rank_error)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pcts = F.percentile_approx(
+        "l_extendedprice",
+        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+        F.lit(APPROX_PCT_ACCURACY),
+    )
+    agg = li.groupBy("l_returnflag").agg(pcts.alias("p"))
+    return agg.select(
+        "l_returnflag",
+        F.element_at("p", 1).alias("p25"),
+        F.element_at("p", 2).alias("p50"),
+        F.element_at("p", 3).alias("p75"),
+    )
+
+
 def dense_global_index_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dense 0..n-1 surrogate-key assignment over orders ordered by
     o_orderkey — implemented WITHOUT the single-partition global window
@@ -478,6 +503,9 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "exact_percentiles": QueryDef(
         exact_percentiles, EXACT_PERCENTILES_SQL, "exact interpolated percentiles"
+    ),
+    "approx_percentiles": QueryDef(
+        approx_percentiles, None, "mergeable GK quantile sketch"
     ),
     "dense_global_index": QueryDef(
         dense_global_index_query, DENSE_INDEX_SQL, "dense surrogate keys, no 1-partition sort"

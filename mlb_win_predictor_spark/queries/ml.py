@@ -21,6 +21,7 @@ from ..operators.dedup import (
     minhash_neardup_pairs,
     simhash_buckets,
 )
+from ..functions.scalars import stable_round
 from ..operators.similarity import ann_topk_lsh, ivf_topk, pq_topk
 from ..session import load_table
 from .base import QueryDef
@@ -266,6 +267,44 @@ def hash_split_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled domain mixture weights (the sampling-ratio step
+    of a multilingual training mix, alpha=0.5): per-lang token totals →
+    sqrt-damped share. Token sums are exact BIGINT; the sqrt weight goes
+    through DECIMAL before the (tiny, lang-cardinality) normalizing sum so
+    the result is partition-order independent; the total joins back via
+    broadcast — no single-partition window."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    per = d.groupBy("lang").agg(F.sum(toks.cast("long")).alias("n_tokens"))
+    w = F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(38,6)")
+    weighted = per.select("lang", "n_tokens", w.alias("w"))
+    total = weighted.agg(F.sum("w").alias("w_total"))
+    return weighted.join(F.broadcast(total)).select(
+        "lang",
+        "n_tokens",
+        stable_round((F.col("w") / F.col("w_total")).cast("double"), 6).alias(
+            "mix_weight"
+        ),
+    )
+
+
+MIXTURE_WEIGHTS_SQL = r"""
+WITH per AS (
+  SELECT lang,
+         CAST(SUM(len(regexp_split_to_array(TRIM(text), '\s+'))) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY lang
+), wt AS (
+  SELECT lang, n_tokens,
+         CAST(SQRT(CAST(n_tokens AS DOUBLE)) AS DECIMAL(38,6)) AS w
+  FROM per
+)
+SELECT lang, n_tokens,
+       (ROUND(CAST(w / (SELECT SUM(w) FROM wt) AS DOUBLE) * 1e6) / 1e6) AS mix_weight
+FROM wt
+"""
+
+
 SAMPLE_FRACTIONS = {"en": 0.5, "fr": 0.3, "es": 0.3, "de": 0.3, "zh": 0.3}
 
 
@@ -284,6 +323,9 @@ QUERIES: dict[str, QueryDef] = {
     "stratified_sample": QueryDef(stratified_sample, None, "stratified sampleBy"),
     "hash_split_digest": QueryDef(
         hash_split_digest, None, "deterministic hash train/dev/test split"
+    ),
+    "mixture_weights": QueryDef(
+        mixture_weights, MIXTURE_WEIGHTS_SQL, "temperature-scaled mixture weights"
     ),
     "similarity_ann_ivf": QueryDef(similarity_ann_ivf, None, "similarity: IVF ANN"),
     "data_quality_report": QueryDef(

@@ -471,6 +471,115 @@ FROM binned GROUP BY lang, bin
 """
 
 
+REP_N = 3
+
+
+def _word_ngrams(toks, n: int):
+    """Map-side word n-gram array via transform over an index sequence —
+    no explode, no shuffle; the whole construction stays in codegen.
+    Empty when the doc has fewer than ``n`` tokens (sequence() would
+    otherwise count DOWN for start > stop)."""
+    cnt = F.size(toks)
+    return F.when(
+        cnt >= n,
+        F.transform(
+            F.sequence(F.lit(0), cnt - n),
+            lambda i: F.concat_ws(" ", *[F.get(toks, i + k) for k in range(n)]),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition scoring (the Gopher-style
+    duplicate-n-gram quality filter of an LLM data pipeline): fraction of
+    word {n}-grams that are repeats of an earlier n-gram in the same doc.
+    Entirely map-side — n-gram build, distinct, and the ratio are all
+    array expressions; no shuffle at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grams = _word_ngrams(toks, REP_N)
+    n_grams = F.size(grams).cast("long")
+    n_dup = (F.size(grams) - F.size(F.array_distinct(grams))).cast("long")
+    return d.select(
+        "doc_id",
+        "lang",
+        n_grams.alias("n_grams"),
+        n_dup.alias("n_dup_grams"),
+        stable_round(
+            F.when(n_grams > 0, n_dup.cast("double") / n_grams.cast("double")), 6
+        ).alias("dup_frac"),
+    )
+
+
+NGRAM_REPETITION_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, lang, regexp_split_to_array(TRIM(text), '\s+') AS w FROM documents
+), g AS (
+  SELECT doc_id, lang,
+         list_transform(range(1, len(w) - {REP_N} + 2),
+                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) AS grams
+  FROM t
+)
+SELECT doc_id, lang,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(grams) - len(list_distinct(grams)) AS BIGINT) AS n_dup_grams,
+       CASE WHEN len(grams) > 0 THEN
+         (ROUND((CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+                 / CAST(len(grams) AS DOUBLE)) * 1e6) / 1e6)
+       END AS dup_frac
+FROM g
+"""
+
+
+DECON_N = 5
+DECON_BENCH_MOD = 97
+
+
+def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the eval-leakage check every training
+    corpus needs): docs sharing any word {n}-gram with a held-out
+    benchmark set (here docs with doc_id % {m} == 0 stand in for the eval
+    suite). Per-doc distinct grams are built map-side (array_distinct
+    BEFORE explode — no dedup shuffle); the benchmark gram set is tiny by
+    construction, so the probe is a broadcast hash join: at 100 TB the
+    corpus side streams map-only into a partial-agg groupBy."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    exploded = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(_word_ngrams(toks, DECON_N))).alias("gram"),
+    )
+    is_bench = F.pmod(F.col("doc_id"), F.lit(DECON_BENCH_MOD)) == 0
+    bench = exploded.filter(is_bench).select("gram").distinct()
+    corpus = exploded.filter(~is_bench)
+    return (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap_grams"))
+    )
+
+
+DECONTAMINATION_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS w FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - {DECON_N} + 2),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4])) AS grams
+  FROM t
+), e AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g
+), bench AS (
+  SELECT DISTINCT gram FROM e WHERE doc_id % {DECON_BENCH_MOD} = 0
+), corpus AS (
+  SELECT doc_id, gram FROM e WHERE doc_id % {DECON_BENCH_MOD} <> 0
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_overlap_grams
+FROM corpus JOIN bench USING (gram)
+GROUP BY doc_id
+"""
+
+
 LEV_CAP = 80
 LEV_MAX_DIST = 4
 
@@ -522,5 +631,11 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "sequence_packing": QueryDef(
         sequence_packing, SEQUENCE_PACKING_SQL, "text: token-budget packing"
+    ),
+    "ngram_repetition": QueryDef(
+        ngram_repetition, NGRAM_REPETITION_SQL, "text: dup-ngram repetition score"
+    ),
+    "decontamination_overlap": QueryDef(
+        decontamination_overlap, DECONTAMINATION_SQL, "text: benchmark decontamination"
     ),
 }

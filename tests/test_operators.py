@@ -193,6 +193,63 @@ def test_hash_split_deterministic_and_proportional(spark):
     assert got == again
 
 
+def test_ngram_repetition_matches_python(spark, docs):
+    from mlb_win_predictor_spark.queries.text import REP_N, ngram_repetition
+
+    got = {r.doc_id: r for r in ngram_repetition(spark, SF).collect()}
+    for row in docs.orderBy("doc_id").limit(5).collect():
+        words = row.text.strip().split()
+        grams = [
+            " ".join(words[i : i + REP_N]) for i in range(len(words) - REP_N + 1)
+        ]
+        g = got[row.doc_id]
+        assert g.n_grams == len(grams)
+        assert g.n_dup_grams == len(grams) - len(set(grams))
+        if grams:
+            assert abs(g.dup_frac - (1 - len(set(grams)) / len(grams))) < 1e-6
+
+
+def test_decontamination_excludes_benchmark_docs(spark):
+    from mlb_win_predictor_spark.queries.text import (
+        DECON_BENCH_MOD,
+        decontamination_overlap,
+    )
+
+    rows = decontamination_overlap(spark, SF).collect()
+    assert rows, "synthetic vocab overlaps; expected nonempty contamination"
+    for r in rows:
+        assert r.doc_id % DECON_BENCH_MOD != 0
+        assert r.n_overlap_grams > 0
+
+
+def test_mixture_weights_normalized(spark):
+    from mlb_win_predictor_spark.queries.ml import mixture_weights
+
+    rows = mixture_weights(spark, SF).collect()
+    assert len(rows) == 5
+    assert abs(sum(r.mix_weight for r in rows) - 1.0) < 1e-4
+    # sqrt damping: weights are flatter than raw token shares
+    tot = sum(r.n_tokens for r in rows)
+    for r in rows:
+        raw = r.n_tokens / tot
+        assert (r.mix_weight > raw) == (raw < 1 / len(rows)) or abs(
+            r.mix_weight - raw
+        ) < 1e-3
+
+
+def test_approx_percentiles_within_rank_error(spark):
+    from mlb_win_predictor_spark.queries.extra import (
+        approx_percentiles,
+        exact_percentiles,
+    )
+
+    exact = {r.l_returnflag: r for r in exact_percentiles(spark, SF).collect()}
+    for r in approx_percentiles(spark, SF).collect():
+        e = exact[r.l_returnflag]
+        for p in ("p25", "p50", "p75"):
+            assert abs(getattr(r, p) - getattr(e, p)) / getattr(e, p) < 0.01
+
+
 def test_dense_global_index_is_dense_and_ordered(spark):
     from mlb_win_predictor_spark.operators.indexing import dense_global_index
 
