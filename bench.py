@@ -44,6 +44,10 @@ HEADLINE = [
     "cosine_topk_bruteforce",
     "nearest_centroid_assign",
     "tumbling_window_agg",
+    "sequence_packing",
+    "ngram_repetition",
+    "decontamination_overlap",
+    "mixture_weights",
 ]
 
 
