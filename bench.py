@@ -28,6 +28,8 @@ HEADLINE = [
     "q5_region_revenue",
     "q10_returned_items",
     "q18_large_orders",
+    "q4_order_priority",
+    "q6_forecast_revenue",
     "flagship_asof_funnel",
     "broadcast_dim_join",
     "merge_upsert",

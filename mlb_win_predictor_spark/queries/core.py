@@ -938,8 +938,154 @@ LIMIT 100
 """
 
 
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q6-shaped: the pushdown showcase — a highly selective
+    single-table scan-and-sum. All three predicates and the 4-column
+    projection reach the parquet reader (PushedFilters/ReadSchema pinned
+    in test_plans.py); at 100 TB this is the query where column pruning
+    + predicate pushdown + partial agg do ALL the work: no shuffle wider
+    than one row per partition."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sel = li.filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    revenue = F.round(F.col("l_extendedprice") * F.col("l_discount"), 6)
+    return sel.agg(
+        F.sum(revenue.cast("decimal(28,6)")).cast("double").alias("revenue")
+    )
+
+
+Q6_SQL = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice*l_discount, 6) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+  AND l_discount >= 0.05 AND l_discount <= 0.07
+  AND l_quantity < 24
+"""
+
+
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q4-shaped: EXISTS → left-semi join. Orders in one quarter
+    with at least one line shipped >60 days after the order date (the
+    testdata has no commit/receipt dates, so "late ship" stands in for
+    Q4's commit<receipt). The semi join carries no payload columns and
+    deduplicates on the build side — strictly cheaper than inner-join +
+    distinct at any scale."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+Q4_SQL = """
+SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q19-shaped: disjunctive (OR-of-ANDs) predicate across a
+    part⋈lineitem broadcast join. Catalyst extracts the common
+    `p_partkey = l_partkey` conjunct so the join stays a broadcast hash
+    join with the OR evaluated post-join; the p_size/p_brand legs also
+    prune the broadcast side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    leg = lambda brand, size_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & (F.col("p_size") >= 1)
+        & (F.col("p_size") <= size_hi)
+        & (F.col("l_quantity") >= q_lo)
+        & (F.col("l_quantity") <= q_hi)
+    )
+    sel = j.filter(leg("Brand#1", 15, 1, 11) | leg("Brand#2", 25, 10, 20) | leg("Brand#3", 35, 20, 30))
+    revenue = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    return sel.agg(
+        F.sum(revenue.cast("decimal(28,6)")).cast("double").alias("revenue")
+    )
+
+
+Q19_SQL = """
+SELECT CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount), 6) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+Q22_SEGMENTS = ("BUILDING", "AUTOMOBILE", "MACHINERY")
+
+
+def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q22-shaped: scalar subquery + anti join. Customers in target
+    segments with above-average balance (threshold = a 1-row broadcast,
+    computed as exact DECIMAL sum / count so both engines agree) who have
+    never ordered (left-anti against orders). The anti join's build side
+    only needs o_custkey — column pruning keeps it narrow."""
+    c = load_table(spark, sf_dir, "customer")
+    thr = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg(
+            (
+                F.sum(F.col("c_acctbal").cast(D2)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("thr")
+        )
+    )
+    eligible = (
+        c.filter(F.col("c_mktsegment").isin(*Q22_SEGMENTS))
+        .join(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("thr"))
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    never_ordered = eligible.join(o, eligible.c_custkey == o.o_custkey, "left_anti")
+    return never_ordered.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.sum(F.col("c_acctbal").cast(D2)).cast("double").alias("totacctbal"),
+    )
+
+
+Q22_SQL = f"""
+SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer
+WHERE c_mktsegment IN {Q22_SEGMENTS!r}
+  AND c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+                   FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "q1_pricing_summary": QueryDef(q1_pricing_summary, Q1_SQL, "TPC-H Q1-shaped agg (A1)"),
+    "q4_order_priority": QueryDef(q4_order_priority, Q4_SQL, "Q4-shaped EXISTS semi-join"),
+    "q6_forecast_revenue": QueryDef(q6_forecast_revenue, Q6_SQL, "Q6-shaped pushdown scan-agg"),
+    "q19_discounted_revenue": QueryDef(q19_discounted_revenue, Q19_SQL, "Q19-shaped OR-of-ANDs join"),
+    "q22_sales_opportunity": QueryDef(q22_sales_opportunity, Q22_SQL, "Q22-shaped scalar-subquery + anti-join"),
     "q10_returned_items": QueryDef(q10_returned_items, Q10_SQL, "Q10-shaped returned items"),
     "q18_large_orders": QueryDef(q18_large_orders, Q18_SQL, "Q18-shaped having+join-back"),
     "q3_shipping_priority": QueryDef(q3_shipping_priority, Q3_SQL, "Q3-shaped 3-way join"),

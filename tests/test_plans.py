@@ -170,6 +170,33 @@ def test_no_cartesian_in_catalog(plans):
         assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
 
 
+def test_q6_full_pushdown_narrow_scan(plans):
+    """Q6 is the pushdown benchmark: all three predicates reach the
+    parquet reader and the scan reads only the 4 referenced columns."""
+    p = plans["q6_forecast_revenue"]
+    assert "GreaterThanOrEqual(l_shipdate" in p and "LessThan(l_shipdate" in p
+    assert "GreaterThanOrEqual(l_discount,0.05)" in p
+    assert "LessThan(l_quantity,24.0)" in p
+    read = next(l for l in p.splitlines() if "ReadSchema" in l)
+    for col in ("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"):
+        assert col in read
+    assert "l_orderkey" not in read and "l_returnflag" not in read
+
+
+def test_q4_uses_semi_join(plans):
+    p = plans["q4_order_priority"]
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q19_stays_broadcast_hash_join(plans):
+    """The OR-of-ANDs must not break the equi-join: Catalyst extracts the
+    common p_partkey=l_partkey conjunct, keeping a broadcast hash join."""
+    p = plans["q19_discounted_revenue"]
+    assert "BroadcastHashJoin" in p
+    assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
+
+
 def test_flagship_single_wide_dependency(plans):
     """The flagship's only shuffles: one hash partition for the window +
     the (AQE-coalesced) aggregation exchange."""
