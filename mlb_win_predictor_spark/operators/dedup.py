@@ -22,15 +22,26 @@ from pyspark.sql.window import Window as W
 
 
 def ngram_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Word n-gram shingle sets as a native column expression."""
+    """Word n-gram shingle sets as a native column expression. The token
+    array is materialized in its own projection before the transform()
+    lambda slices it: higher-order functions run interpreted, and a free
+    split() referenced per element re-evaluates per element (~25x slower
+    at sf0.1 — see SCALE.md, queries/text.py::_word_ngrams)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    staged = df.withColumn("_toks", toks)
     shingles = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            F.sequence(
+                F.lit(1), F.greatest(F.size(F.col("_toks")) - (n - 1), F.lit(0))
+            ),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n)),
         )
     )
-    return df.withColumn("shingles", shingles).filter(F.size("shingles") > 0)
+    return (
+        staged.withColumn("shingles", shingles)
+        .drop("_toks")
+        .filter(F.size("shingles") > 0)
+    )
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:
@@ -263,6 +274,88 @@ def keep_canonical_per_component(
         F.col("node").alias(id_col)
     )
     return docs.join(reps, id_col, "left_anti")
+
+
+def minhash_band_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """The persistable dedup index of a corpus: one (id, band_idx,
+    band_sig) row per LSH band per doc — ``bands`` rows/doc, built in a
+    single map-only pass (shingle → 32 min-hashes → band hashes; no
+    shuffle). At 100 TB this table is written partitioned/bucketed by
+    (band_idx, band_sig) so incremental probes touch only matching
+    buckets; text is never needed again."""
+    r = num_hashes // bands
+    if bands * r != num_hashes:
+        raise ValueError("num_hashes must be divisible by bands")
+    sh = ngram_shingles(docs.select(id_col, text_col), text_col, n).select(
+        id_col,
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
+    )
+    mins = minhash_signatures(sh, id_col, num_hashes=num_hashes, seed=seed)
+    band_cols = [
+        F.xxhash64(F.array(*[F.col(f"h{j * r + k}") for k in range(r)]))
+        for j in range(bands)
+    ]
+    return mins.select(
+        F.col(id_col),
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_sig"),
+    )
+
+
+def incremental_neardup_filter(
+    index: DataFrame,
+    new_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Incremental corpus dedup: keep only new docs that are near-dups of
+    neither the already-indexed corpus nor an earlier (smaller-id) doc in
+    the same batch. Collision = agreeing on any full LSH band (same
+    banding as ``minhash_banded_pairs``; same recall characteristics).
+
+    Scale shape: the new batch is small relative to the corpus, so its
+    band table is **broadcast** and the big index streams through a
+    map-side hash join — the corpus is never re-shingled, re-hashed, or
+    shuffled, and with the index stored bucketed by (band_idx, band_sig)
+    only matching buckets are even read. This is the foreachBatch body of
+    the streaming dedup job (streaming/jobs.py::incremental_dedup_batch).
+    """
+    new_bands = minhash_band_index(
+        new_docs, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands, seed=seed
+    ).persist()
+    probe = new_bands.select(
+        "band_idx", "band_sig", F.col(id_col).alias("_new_id")
+    )
+    hit_corpus = (
+        index.join(F.broadcast(probe), ["band_idx", "band_sig"])
+        .select(F.col("_new_id").alias(id_col))
+        .distinct()
+    )
+    hit_batch = (
+        new_bands.alias("a")
+        .join(
+            new_bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+    )
+    return new_docs.join(
+        hit_corpus.unionByName(hit_batch).distinct(), id_col, "left_anti"
+    )
 
 
 def simhash_buckets(

@@ -132,6 +132,32 @@ def dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup (the ingest-loop flavor of near-dedup):
+    docs with doc_id % 10 != 0 are the already-indexed corpus; the rest
+    arrive as a new batch and are filtered against the corpus band index
+    + within-batch (operators.dedup.incremental_neardup_filter — index
+    probed via broadcast of the batch bands, corpus text untouched).
+    Digest: batch size, kept, dropped."""
+    from ..operators.dedup import incremental_neardup_filter, minhash_band_index
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_new = F.pmod(F.col("doc_id"), F.lit(10)) == 0
+    corpus_index = minhash_band_index(docs.filter(~is_new))
+    batch = docs.filter(is_new)
+    kept = incremental_neardup_filter(corpus_index, batch)
+    return batch.select(F.count(F.lit(1)).alias("n_batch")).join(
+        F.broadcast(
+            kept.select(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.coalesce(
+                    F.sum((F.col("lang") == "en").cast("long")), F.lit(0)
+                ).alias("n_kept_en"),
+            )
+        )
+    )
+
+
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star SimHash fingerprinting: bucket occupancy digest."""
     docs = load_table(spark, sf_dir, "documents")
@@ -348,6 +374,9 @@ QUERIES: dict[str, QueryDef] = {
         dedup_end_to_end, None, "dedup: pairs→components→canonical keep"
     ),
     "dedup_simhash": QueryDef(dedup_simhash, None, "dedup: SimHash"),
+    "dedup_incremental": QueryDef(
+        dedup_incremental, None, "dedup: incremental batch-vs-index"
+    ),
     "similarity_ann_lsh": QueryDef(similarity_ann_lsh, None, "similarity: LSH ANN"),
     "similarity_ann_pq": QueryDef(similarity_ann_pq, None, "similarity: PQ/ADC ANN"),
 }

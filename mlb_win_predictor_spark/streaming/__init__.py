@@ -1,5 +1,6 @@
 from .jobs import (
     click_purchase_stream_join,
+    incremental_dedup_stream,
     dedup_stream,
     running_user_totals_stream,
     read_events_stream,
@@ -11,6 +12,7 @@ from .jobs import (
 
 __all__ = [
     "click_purchase_stream_join",
+    "incremental_dedup_stream",
     "dedup_stream",
     "running_user_totals_stream",
     "read_events_stream",

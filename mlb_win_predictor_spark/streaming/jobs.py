@@ -175,6 +175,42 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def incremental_dedup_stream(
+    new_docs: DataFrame, index_path: str, kept_path: str, checkpoint: str
+):
+    """Streaming incremental corpus dedup: each micro-batch of documents
+    is near-dup-filtered against the persisted MinHash band index
+    (operators.dedup.incremental_neardup_filter — corpus never
+    re-shingled; the batch's bands broadcast against the index), then the
+    survivors are appended to the corpus AND their bands to the index, so
+    later batches dedup against everything kept so far. Exactly the
+    ingest loop of a continuously-growing training corpus.
+
+    State lives in the two parquet tables, not the streaming engine
+    (same pattern as the foreachBatch MERGE): restart-safe via the
+    checkpoint + idempotent band append per epoch directory."""
+    from ..operators.dedup import incremental_neardup_filter, minhash_band_index
+
+    def dedup_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        if os.path.exists(index_path):
+            index = spark.read.parquet(index_path)
+        else:
+            index = spark.createDataFrame(
+                [], "doc_id long, band_idx int, band_sig long"
+            )
+        kept = incremental_neardup_filter(index, batch).persist()
+        kept.write.mode("append").parquet(kept_path)
+        minhash_band_index(kept).write.mode("append").parquet(index_path)
+        kept.unpersist()
+
+    return (
+        new_docs.writeStream.foreachBatch(dedup_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
 def upsert_outcomes_foreach_batch(
     updates: DataFrame, games_path: str, checkpoint: str
 ):

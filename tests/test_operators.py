@@ -250,6 +250,33 @@ def test_approx_percentiles_within_rank_error(spark):
             assert abs(getattr(r, p) - getattr(e, p)) / getattr(e, p) < 0.01
 
 
+def test_incremental_neardup_filter_drops_copies_keeps_novel(spark, docs):
+    from mlb_win_predictor_spark.operators.dedup import (
+        incremental_neardup_filter,
+        minhash_band_index,
+    )
+
+    index = minhash_band_index(docs)
+    # exact copies of corpus docs under fresh ids -> every one dropped
+    copies = docs.limit(20).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    assert incremental_neardup_filter(index, copies).count() == 0
+    # novel docs with an out-of-vocab token stream -> every one kept
+    novel = spark.createDataFrame(
+        [(20_000_000 + i, " ".join(f"zq{i}x{j}" for j in range(30))) for i in range(5)],
+        "doc_id long, text string",
+    )
+    assert incremental_neardup_filter(index, novel).count() == 5
+    # within-batch duplicate pair: the larger id of a planted copy is dropped
+    batch = novel.unionByName(
+        novel.limit(1).select((F.col("doc_id") + 99).alias("doc_id"), "text")
+    )
+    kept = incremental_neardup_filter(index, batch)
+    assert kept.count() == 5
+    assert kept.filter(F.col("doc_id") == 20_000_099).count() == 0
+
+
 def test_dense_global_index_is_dense_and_ordered(spark):
     from mlb_win_predictor_spark.operators.indexing import dense_global_index
 

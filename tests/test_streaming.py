@@ -94,6 +94,44 @@ def test_dedup_stream_drops_duplicates(spark, tmp_path):
     assert out.select("event_id").distinct().count() == out.count() == 200
 
 
+def test_incremental_dedup_stream_across_batches(spark, tmp_path):
+    """Docs arriving over two micro-batches: a doc duplicated across
+    batches is kept once (the index grew between batches); within-batch
+    copies are kept once; novel docs always survive."""
+    import pandas as pd
+
+    from mlb_win_predictor_spark.streaming import incremental_dedup_stream
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    mk = lambda i: " ".join(f"w{i}t{j}" for j in range(40))  # noqa: E731
+    b0 = pd.DataFrame({"doc_id": [1, 2, 3], "text": [mk(1), mk(2), mk(3)]})
+    # batch 1: doc 4 copies doc 1 (cross-batch dup), 5 novel, 6 copies 5 (in-batch dup)
+    b1 = pd.DataFrame({"doc_id": [4, 5, 6], "text": [mk(1), mk(5), mk(5)]})
+    b0.to_parquet(str(src / "b0.parquet"), index=False)
+    b1.to_parquet(str(src / "b1.parquet"), index=False)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = incremental_dedup_stream(
+        stream,
+        str(tmp_path / "index"),
+        str(tmp_path / "kept"),
+        str(tmp_path / "ckpt"),
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    kept = {r.doc_id for r in spark.read.parquet(str(tmp_path / "kept")).collect()}
+    assert 1 in kept and 2 in kept and 3 in kept
+    assert 4 not in kept, "cross-batch duplicate must be dropped"
+    assert 5 in kept
+    assert 6 not in kept, "within-batch duplicate must be dropped"
+
+
 def test_foreach_batch_upsert(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("upsert")
     fix = tmp_path_factory.mktemp("upsert_fix")
