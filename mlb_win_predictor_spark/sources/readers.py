@@ -31,6 +31,38 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
 
 
+def read_orc(spark: SparkSession, path: str, **options) -> DataFrame:
+    """ORC source — same columnar pushdown/pruning contract as parquet
+    (PushedFilters/ReadSchema), the common interchange format of
+    Hive-era warehouses. Schema travels in the footer, so no DDL needed."""
+    return spark.read.options(**options).orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def read_text(spark: SparkSession, path: str, wholetext: bool = False) -> DataFrame:
+    """Raw text source: one row per line (or per file with
+    ``wholetext``) in a single ``value`` column — the landing format of a
+    web-crawl / log-scrape corpus before parsing."""
+    return spark.read.option("wholetext", str(wholetext).lower()).text(path)
+
+
+def read_binary_files(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """binaryFile source: (path, modificationTime, length, content) with
+    the raw bytes in ``content`` — the ingestion path for image/audio
+    media into the multimodal column (operators.multimodal
+    ``to_media_column``). File listing parallelizes across executors;
+    content is read lazily per task, so a 100 TB media lake streams
+    without driver involvement."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

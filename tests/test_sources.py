@@ -13,11 +13,14 @@ from pyspark.sql import functions as F
 
 from mlb_win_predictor_spark.fixtures import write_fixtures
 from mlb_win_predictor_spark.pipeline import asof_pitcher_stats, prepare_games
+from mlb_win_predictor_spark.session import load_table
 from mlb_win_predictor_spark.sources import (
     email_digest,
     json_log_sink,
     register_schedule_source,
 )
+
+SF = "/root/testdata/sf0.001"
 
 
 @pytest.fixture(scope="module")
@@ -110,6 +113,71 @@ def test_write_sized_parquet_controls_file_count(spark, tmp_path):
     ranges.sort()
     for (_, hi_prev), (lo_next, _) in zip(ranges, ranges[1:]):
         assert hi_prev <= lo_next, f"overlapping key ranges: {ranges}"
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from mlb_win_predictor_spark.sources import read_orc, write_orc
+
+    o = load_table(spark, SF, "orders")
+    out = str(tmp_path / "orders_orc")
+    write_orc(o, out)
+    back = read_orc(spark, out)
+    assert back.count() == o.count()
+    assert set(back.columns) == set(o.columns)
+    sel = back.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    plan = sel._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderstatus" in plan  # predicate reaches the ORC scan node
+
+
+def test_text_source_line_per_row(spark, tmp_path):
+    from mlb_win_predictor_spark.sources import read_text
+
+    d = load_table(spark, SF, "documents").select("text")
+    out = str(tmp_path / "docs_txt")
+    d.write.text(out)
+    lines = read_text(spark, out)
+    assert lines.columns == ["value"]
+    assert lines.count() == d.count()
+
+
+def test_binary_file_source_reads_media_bytes(spark):
+    from mlb_win_predictor_spark.sources import read_binary_files
+
+    files = read_binary_files(spark, SF, glob="*.parquet")
+    rows = files.select("path", "length", F.length("content").alias("n")).collect()
+    assert len(rows) == 10  # one per testdata table
+    for r in rows:
+        assert r.n == r.length  # content is the whole file
+        assert os.path.getsize(r.path.replace("file:", "")) == r.length
+
+
+def test_zorder_write_clusters_both_dimensions(spark, tmp_path):
+    """Z-order layout: every output file spans a narrow range of BOTH
+    cluster columns (a linear sort is only narrow in its leading column).
+    16 files ~ 4x4 grid => per-file span ~ 1/4 of the global range per
+    dimension; assert < 1/2 with slack for boundary files."""
+    from mlb_win_predictor_spark.sources import write_zorder_parquet
+
+    o = load_table(spark, "/root/testdata/sf0.01", "orders")
+    out = str(tmp_path / "orders_z")
+    write_zorder_parquet(o, out, "o_custkey", "o_orderkey", num_files=16)
+    back = spark.read.parquet(out)
+    spans = (
+        back.groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("o_custkey") - F.min("o_custkey")).alias("span_x"),
+            (F.max("o_orderkey") - F.min("o_orderkey")).alias("span_y"),
+        )
+        .agg(F.avg("span_x").alias("sx"), F.avg("span_y").alias("sy"))
+        .collect()[0]
+    )
+    rng = o.agg(
+        (F.max("o_custkey") - F.min("o_custkey")).alias("rx"),
+        (F.max("o_orderkey") - F.min("o_orderkey")).alias("ry"),
+    ).collect()[0]
+    assert back.count() == o.count()
+    assert spans.sx < rng.rx * 0.5, (spans.sx, rng.rx)
+    assert spans.sy < rng.ry * 0.5, (spans.sy, rng.ry)
 
 
 def test_hll_rollup_accuracy(spark):
