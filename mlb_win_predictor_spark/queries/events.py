@@ -352,7 +352,46 @@ JOIN events p
 """
 
 
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix (the classic product-analytics query):
+    users grouped by first-seen week; distinct active users per
+    (cohort_week, weeks_since). Two shuffles on user_id (first-seen agg +
+    join back) — at scale both sides hash-partition on the same key so
+    the join reuses the agg's partitioning; the weekly rollup then
+    combines map-side. Week arithmetic in epoch seconds (both engines
+    truncate weeks to Monday in UTC)."""
+    e = load_table(spark, sf_dir, "events")
+    wk = F.date_trunc("week", F.col("ts"))
+    firsts = e.groupBy("user_id").agg(F.min(wk).alias("cohort_week"))
+    j = e.select("user_id", wk.alias("wk")).join(firsts, "user_id")
+    week_n = (
+        (F.unix_timestamp("wk") - F.unix_timestamp("cohort_week")) / 604800
+    ).cast("long")
+    return j.groupBy(
+        F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+        week_n.alias("week_n"),
+    ).agg(F.count_distinct("user_id").alias("n_users"))
+
+
+COHORT_RETENTION_SQL = """
+WITH f AS (
+  SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+  FROM events GROUP BY user_id
+), j AS (
+  SELECT e.user_id, date_trunc('week', e.ts) AS wk, f.cohort_week
+  FROM events e JOIN f USING (user_id)
+)
+SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+       CAST(FLOOR((epoch(wk) - epoch(cohort_week)) / 604800) AS BIGINT) AS week_n,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM j GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "cohort_retention": QueryDef(
+        cohort_retention, COHORT_RETENTION_SQL, "cohort retention matrix"
+    ),
     "funnel_conversion": QueryDef(funnel_conversion, FUNNEL_SQL, "funnel path analysis"),
     "event_pair_join": QueryDef(event_pair_join, EVENT_PAIR_SQL, "click→purchase range join"),
     "tumbling_window_agg": QueryDef(tumbling_window_agg, TUMBLING_SQL, "T5 tumbling window"),

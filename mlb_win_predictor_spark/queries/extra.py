@@ -309,6 +309,55 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def iqr_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier detection per group (the numeric data-cleaning
+    rule): rows outside [q1 - 1.5*IQR, q3 + 1.5*IQR] of their group's
+    l_extendedprice. The per-group quartiles are a tiny aggregate joined
+    back via broadcast, so the fact table streams once; both engines
+    compute quantile_cont with the same (n-1)*p interpolation on the same
+    doubles, so the fences agree bit-for-bit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pcts = F.percentile(
+        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.75))
+    )
+    bounds = (
+        li.groupBy("l_returnflag")
+        .agg(pcts.alias("p"))
+        .select(
+            "l_returnflag",
+            (F.element_at("p", 1) - 1.5 * (F.element_at("p", 2) - F.element_at("p", 1))).alias("lo"),
+            (F.element_at("p", 2) + 1.5 * (F.element_at("p", 2) - F.element_at("p", 1))).alias("hi"),
+        )
+    )
+    j = li.join(F.broadcast(bounds), "l_returnflag")
+    out = j.filter(
+        (F.col("l_extendedprice") < F.col("lo"))
+        | (F.col("l_extendedprice") > F.col("hi"))
+    )
+    return out.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_outliers"),
+        F.min("l_extendedprice").alias("min_outlier"),
+        F.max("l_extendedprice").alias("max_outlier"),
+    )
+
+
+IQR_OUTLIER_SQL = """
+WITH b AS (
+  SELECT l_returnflag,
+         quantile_cont(l_extendedprice, 0.25) AS q1,
+         quantile_cont(l_extendedprice, 0.75) AS q3
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_outliers,
+       MIN(l_extendedprice) AS min_outlier,
+       MAX(l_extendedprice) AS max_outlier
+FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
+WHERE l_extendedprice < q1 - 1.5*(q3-q1)
+   OR l_extendedprice > q3 + 1.5*(q3-q1)
+GROUP BY 1
+"""
+
+
 APPROX_PCT_ACCURACY = 10000
 
 
@@ -506,6 +555,9 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "approx_percentiles": QueryDef(
         approx_percentiles, None, "mergeable GK quantile sketch"
+    ),
+    "iqr_outlier_filter": QueryDef(
+        iqr_outlier_filter, IQR_OUTLIER_SQL, "Tukey-fence outliers per group"
     ),
     "dense_global_index": QueryDef(
         dense_global_index_query, DENSE_INDEX_SQL, "dense surrogate keys, no 1-partition sort"

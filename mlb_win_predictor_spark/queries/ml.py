@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from ..ml.knn import knn_predict_lsh
 from ..ml.nearest_centroid import fit_nearest_centroid
@@ -331,6 +332,39 @@ FROM wt
 """
 
 
+CAP_PER_SOURCE_K = 20
+
+
+def cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the anti-domination rule of a crawl
+    corpus: no source contributes more than K docs): keep the first K per
+    source in md5(doc_id) order — a deterministic pseudo-random choice
+    that is reproducible on any cluster and any partitioning, unlike
+    rand()-based sampling. One shuffle (window by source); at 100 TB the
+    WindowGroupLimit pushes the top-K below the exchange so only K rows
+    per source per mapper shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")).asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= CAP_PER_SOURCE_K)
+        .select("source", "doc_id", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+CAP_PER_SOURCE_SQL = f"""
+SELECT source, doc_id, CAST(rn AS BIGINT) AS rn FROM (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC,
+                                     doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= {CAP_PER_SOURCE_K}
+"""
+
+
 SAMPLE_FRACTIONS = {"en": 0.5, "fr": 0.3, "es": 0.3, "de": 0.3, "zh": 0.3}
 
 
@@ -352,6 +386,9 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "mixture_weights": QueryDef(
         mixture_weights, MIXTURE_WEIGHTS_SQL, "temperature-scaled mixture weights"
+    ),
+    "cap_per_source": QueryDef(
+        cap_per_source, CAP_PER_SOURCE_SQL, "deterministic per-source doc cap"
     ),
     "similarity_ann_ivf": QueryDef(similarity_ann_ivf, None, "similarity: IVF ANN"),
     "data_quality_report": QueryDef(

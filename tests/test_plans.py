@@ -197,6 +197,13 @@ def test_q19_stays_broadcast_hash_join(plans):
     assert "BroadcastNestedLoopJoin" not in p and "CartesianProduct" not in p
 
 
+def test_cap_per_source_partial_topk_below_shuffle(plans):
+    """The per-source cap must apply a map-side WindowGroupLimit BEFORE
+    the shuffle (only K rows per source per mapper move) and again after."""
+    p = plans["cap_per_source"]
+    assert p.count("WindowGroupLimit") >= 2
+
+
 def test_flagship_single_wide_dependency(plans):
     """The flagship's only shuffles: one hash partition for the window +
     the (AQE-coalesced) aggregation exchange."""
