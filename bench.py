@@ -30,6 +30,11 @@ HEADLINE = [
     "q18_large_orders",
     "q4_order_priority",
     "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q14_promo_revenue",
+    "q8_market_share",
+    "q13_customer_distribution",
+    "q21_waiting_supplier",
     "flagship_asof_funnel",
     "broadcast_dim_join",
     "merge_upsert",

@@ -1036,6 +1036,581 @@ WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 
 """
 
 
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q7-shaped: the dual-role dimension join — nation joins TWICE
+    (supplier side and customer side) with a cross-pair filter, revenue
+    per (supp_nation, cust_nation, year). Both nation hops broadcast; the
+    only wide dependency is the final 3-key aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    revenue = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+        .filter(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("o_orderdate").alias("l_year"))
+        .agg(F.sum(revenue.cast("decimal(28,6)")).cast("double").alias("revenue"))
+    )
+
+
+Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount), 6) AS DECIMAL(28,6))) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM o_orderdate) AS INT) AS l_year,
+         l_extendedprice, l_discount
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey  = s_suppkey
+  JOIN customer ON o_custkey  = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+)
+GROUP BY 1, 2, 3
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q9-shaped: profit per (nation, year) for one product family
+    (p_name LIKE pattern; the testdata part has no supplycost, so profit
+    = discounted revenue). Part and supplier/nation broadcast; the LIKE
+    prunes the part build side before broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%a%e%"))
+    amount = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(amount.cast("decimal(28,6)")).cast("double").alias("sum_profit"))
+    )
+
+
+Q9_SQL = """
+SELECT n_name AS nation, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount), 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%a%e%'
+GROUP BY 1, 2
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q14-shaped: conditional-aggregate ratio — share of one
+    month's revenue from promo-class parts, as 100 * sum(CASE)/sum(all)
+    in a single pass over the joined fact (no second scan). Exact DECIMAL
+    partials; the final ratio is one double division."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    revenue = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).cast(
+        "decimal(28,6)"
+    )
+    promo = F.when(F.col("p_type").like("PROMO%"), revenue).otherwise(
+        F.lit(0).cast("decimal(28,6)")
+    )
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return j.agg(
+        (
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(revenue).cast("double")
+        ).alias("promo_revenue_pct")
+    )
+
+
+Q14_SQL = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN CAST(ROUND(l_extendedprice*(1-l_discount), 6) AS DECIMAL(28,6))
+                        ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+            / CAST(SUM(CAST(ROUND(l_extendedprice*(1-l_discount), 6) AS DECIMAL(28,6))) AS DOUBLE)
+       AS promo_revenue_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q15-shaped: the view + scalar-max pattern — per-supplier
+    quarterly revenue, then the supplier(s) achieving the global max
+    (a 1-row broadcast join, not a sort). The revenue 'view' is computed
+    once and reused for both the max and the final filter via a
+    self-agg; exact DECIMAL revenue makes the max well-defined."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(revenue.cast("decimal(28,6)")).alias("total_revenue")
+    )
+    top = rev.agg(F.max("total_revenue").alias("max_rev"))
+    return (
+        rev.join(F.broadcast(top), rev.total_revenue == F.col("max_rev"))
+        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+Q15_SQL = """
+WITH rev AS (
+  SELECT l_suppkey, SUM(CAST(ROUND(l_extendedprice*(1-l_discount), 6) AS DECIMAL(28,6))) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_revenue AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q8-shaped: national market share — one nation's fraction of a
+    region's purchase volume for one product family, per year, as a
+    conditional-aggregate ratio. The full 6-table join chain keeps every
+    dimension hop broadcast; only the final per-year agg is wide."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") <= F.lit("1997-12-31 00:00:00").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_regionkey").alias("c_rk")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    vol = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).cast(
+        "decimal(28,6)"
+    )
+    nat_vol = F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(
+        F.lit(0).cast("decimal(28,6)")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
+        .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            (F.sum(nat_vol).cast("double") / F.sum(vol).cast("double")).alias(
+                "mkt_share"
+            )
+        )
+    )
+
+
+Q8_SQL = """
+SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN vol ELSE CAST(0 AS DECIMAL(28,6)) END) AS DOUBLE)
+         / CAST(SUM(vol) AS DOUBLE) AS mkt_share
+FROM (
+  SELECT o_orderdate, n2.n_name AS supp_nation,
+         CAST(ROUND(l_extendedprice*(1-l_discount), 6) AS DECIMAL(28,6)) AS vol
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE'
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+)
+GROUP BY 1
+"""
+
+
+def q12_late_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q12-shaped (adapted): priority counts for late-shipped lines.
+
+    The testdata lineitem has no l_shipmode/l_commitdate/l_receiptdate
+    (reference schema gap documented in COVERAGE.md), so "late" is
+    l_shipdate > o_orderdate + 60 days and the group key is
+    l_linestatus — the CASE-count-by-priority plan shape is identical."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+GROUP BY 1
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q13-shaped: customer order-count distribution — LEFT OUTER
+    join with a predicate inside the ON clause (so zero-order customers
+    survive with count 0), then a two-level aggregation (count per
+    customer, then histogram of those counts)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey)
+            & (o.o_orderpriority != "4-NOT SPECIFIED"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q17-shaped: correlated per-key average — revenue from lines
+    whose quantity is under 20% of that part's average quantity. The
+    correlated subquery becomes a per-part aggregate joined back
+    (both sides broadcast: only the brand's parts survive). The
+    comparison qty < 0.2*avg is algebraically rewritten 5*qty*cnt <
+    sum_qty so it is exact DECIMAL on both engines (no double-avg ulp
+    flips at the boundary)."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey")
+    )
+    stats = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast(D2)).alias("sum_qty"),
+        F.count("*").alias("cnt"),
+    )
+    return (
+        li.join(F.broadcast(stats), F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_quantity").cast(D2) * 5 * F.col("cnt") < F.col("sum_qty"))
+        .agg(
+            (F.sum(F.col("l_extendedprice").cast(D2)).cast("double") / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+Q17_SQL = """
+WITH l AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#1'
+), s AS (
+  SELECT l_partkey AS pk, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty, COUNT(*) AS cnt
+  FROM l GROUP BY 1
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+FROM l JOIN s ON l_partkey = pk
+WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty
+"""
+
+
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q21-shaped (adapted): suppliers who were the ONLY late
+    shipper in a multi-supplier order — EXISTS (another supplier in the
+    order) + NOT EXISTS (another LATE supplier in the order), as a
+    left-semi then left-anti self-join on lineitem. "Late" is
+    l_shipdate > o_orderdate + 60 days (no l_receiptdate/l_commitdate
+    in the testdata schema). Both self-joins shuffle on l_orderkey —
+    the same key — so AQE reuses one exchange of the probe side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    late = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
+    )
+    only_late = (
+        late.join(
+            l2,
+            (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
+            "left_anti",
+        )
+    )
+    return (
+        only_late.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
+
+
+Q21_SQL = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F' AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM late l3
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey)
+GROUP BY s_name
+"""
+
+
+def q11_important_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q11-shaped (adapted): groups whose value exceeds a fraction
+    of the GLOBAL total — HAVING SUM(...) > scalar-subquery * fraction.
+    No partsupp table in the testdata, so "value" is per-part discounted
+    revenue from lineitem. The global total is a 1-row broadcast; the
+    threshold compare is exact (value * 2000 > total in DECIMAL) so no
+    double-ulp boundary flips. Per-part agg and total share one scan via
+    the same shuffle-free re-aggregation of the grouped result."""
+    li = load_table(spark, sf_dir, "lineitem")
+    val = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).cast(
+        "decimal(28,6)"
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum(val).alias("value"))
+    total = per_part.agg(F.sum("value").alias("total"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value") * 2000 > F.col("total"))
+        .select("l_partkey", F.col("value").cast("double").alias("value"))
+    )
+
+
+Q11_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(ROUND(l_extendedprice*(1-l_discount), 6) AS DECIMAL(28,6))) AS value
+  FROM lineitem GROUP BY 1
+)
+SELECT l_partkey, CAST(value AS DOUBLE) AS value
+FROM per_part
+WHERE value * 2000 > (SELECT SUM(value) FROM per_part)
+"""
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q16-shaped (adapted): distinct-supplier counts per part
+    attribute triple, excluding a NOT-IN supplier set. No partsupp
+    table, so the part↔supplier relation is distinct (l_partkey,
+    l_suppkey) pairs from lineitem; the "complaints" exclusion set is
+    suppliers with negative account balance, applied as a broadcast
+    left-anti join (NULL-safe, unlike a naive NOT IN)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1") & (F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29))
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
+        F.col("s_suppkey").alias("bad_sk")
+    )
+    pairs = li.select("l_partkey", "l_suppkey").distinct()
+    return (
+        pairs.join(F.broadcast(bad), pairs.l_suppkey == F.col("bad_sk"), "left_anti")
+        .join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1,5,9,13,17,21,25,29)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+"""
+
+
+def q20_excess_share_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q20-shaped (adapted): suppliers qualified by a nested
+    aggregate threshold — here, suppliers providing >20% of total shipped
+    quantity for some part in a name-filtered family (no partsupp
+    availqty in the testdata). IN-subquery chain becomes per-(supp,part)
+    agg → join per-part totals → exact 5*qty > total compare →
+    left-semi into supplier. Share compare is exact DECIMAL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    fam = li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+    per_sp = fam.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast(D2)).alias("sp_qty")
+    )
+    per_part = fam.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(F.col("l_quantity").cast(D2)).alias("part_qty")
+    )
+    dominant = (
+        per_sp.join(F.broadcast(per_part), per_sp.l_partkey == F.col("pk"))
+        .filter(F.col("sp_qty") * 5 > F.col("part_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select("s_name", "n_name")
+    )
+
+
+Q20_SQL = """
+WITH fam AS (
+  SELECT l_partkey, l_suppkey, l_quantity
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+), per_sp AS (
+  SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sp_qty
+  FROM fam GROUP BY 1, 2
+), per_part AS (
+  SELECT l_partkey AS pk, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS part_qty
+  FROM fam GROUP BY 1
+)
+SELECT s_name, n_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM per_sp JOIN per_part ON l_partkey = pk
+  WHERE sp_qty * 5 > part_qty
+)
+"""
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H-Q2-shaped (adapted): the correlated-extremum join — for each
+    qualifying part, the region's supplier(s) with the maximum account
+    balance among suppliers that actually shipped it (no partsupp
+    ps_supplycost in the testdata; max s_acctbal stands in for min
+    supplycost). The correlated subquery is a per-part max joined back
+    on equality — exact because max is a selection, not arithmetic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 5) & (F.col("p_type") == "ECONOMY")
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    sn = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    pairs = (
+        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+    )
+    best = pairs.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.max("s_acctbal").alias("max_bal")
+    )
+    return (
+        pairs.join(
+            F.broadcast(best),
+            (pairs.l_partkey == F.col("pk")) & (pairs.s_acctbal == F.col("max_bal")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "l_partkey")
+    )
+
+
+Q2_SQL = """
+WITH sn AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size = 5 AND p_type = 'ECONOMY'
+)
+SELECT s_acctbal, s_name, n_name, l_partkey
+FROM pairs JOIN sn ON l_suppkey = s_suppkey
+WHERE s_acctbal = (
+  SELECT MAX(s2.s_acctbal)
+  FROM pairs p2 JOIN sn s2 ON p2.l_suppkey = s2.s_suppkey
+  WHERE p2.l_partkey = pairs.l_partkey
+)
+"""
+
+
 Q22_SEGMENTS = ("BUILDING", "AUTOMOBILE", "MACHINERY")
 
 
@@ -1084,6 +1659,19 @@ QUERIES: dict[str, QueryDef] = {
     "q1_pricing_summary": QueryDef(q1_pricing_summary, Q1_SQL, "TPC-H Q1-shaped agg (A1)"),
     "q4_order_priority": QueryDef(q4_order_priority, Q4_SQL, "Q4-shaped EXISTS semi-join"),
     "q6_forecast_revenue": QueryDef(q6_forecast_revenue, Q6_SQL, "Q6-shaped pushdown scan-agg"),
+    "q7_volume_shipping": QueryDef(q7_volume_shipping, Q7_SQL, "Q7-shaped dual-nation join"),
+    "q9_product_profit": QueryDef(q9_product_profit, Q9_SQL, "Q9-shaped profit rollup"),
+    "q14_promo_revenue": QueryDef(q14_promo_revenue, Q14_SQL, "Q14-shaped conditional-agg ratio"),
+    "q15_top_supplier": QueryDef(q15_top_supplier, Q15_SQL, "Q15-shaped view + scalar max"),
+    "q2_min_cost_supplier": QueryDef(q2_min_cost_supplier, Q2_SQL, "Q2-shaped correlated extremum"),
+    "q8_market_share": QueryDef(q8_market_share, Q8_SQL, "Q8-shaped market-share ratio"),
+    "q11_important_volume": QueryDef(q11_important_volume, Q11_SQL, "Q11-shaped having-vs-global"),
+    "q12_late_priority": QueryDef(q12_late_priority, Q12_SQL, "Q12-shaped CASE-count by status"),
+    "q13_customer_distribution": QueryDef(q13_customer_distribution, Q13_SQL, "Q13-shaped outer-join histogram"),
+    "q16_supplier_count": QueryDef(q16_supplier_count, Q16_SQL, "Q16-shaped distinct-count + NOT IN"),
+    "q17_small_quantity_revenue": QueryDef(q17_small_quantity_revenue, Q17_SQL, "Q17-shaped correlated avg"),
+    "q20_excess_share_supplier": QueryDef(q20_excess_share_supplier, Q20_SQL, "Q20-shaped nested-agg semi-join"),
+    "q21_waiting_supplier": QueryDef(q21_waiting_supplier, Q21_SQL, "Q21-shaped exists + not-exists"),
     "q19_discounted_revenue": QueryDef(q19_discounted_revenue, Q19_SQL, "Q19-shaped OR-of-ANDs join"),
     "q22_sales_opportunity": QueryDef(q22_sales_opportunity, Q22_SQL, "Q22-shaped scalar-subquery + anti-join"),
     "q10_returned_items": QueryDef(q10_returned_items, Q10_SQL, "Q10-shaped returned items"),

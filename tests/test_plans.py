@@ -212,3 +212,52 @@ def test_flagship_single_wide_dependency(plans):
         l for l in p.splitlines() if "Exchange hashpartitioning" in l
     ]
     assert len(shuffles) <= 2, shuffles
+
+
+def test_q21_semi_and_anti_self_joins(plans):
+    """EXISTS → LeftSemi and NOT EXISTS → LeftAnti on the lineitem
+    self-joins; the inequality conjunct must not force a cartesian."""
+    p = plans["q21_waiting_supplier"]
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q16_not_in_as_anti_join(plans):
+    """The complaint-supplier exclusion runs as a broadcast anti-join
+    (NULL-safe NOT IN), never a nested-loop over the pair set."""
+    p = plans["q16_supplier_count"]
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q17_brand_filter_pushed(plans):
+    """The correlated-avg rewrite keeps the brand filter on the part scan
+    and never degenerates into a cartesian between fact and stats."""
+    p = plans["q17_small_quantity_revenue"]
+    assert "EqualTo(p_brand,Brand#1)" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q8_dimension_filters_pushed(plans):
+    """Region and product-family filters reach their scans so the 6-table
+    chain prunes before any join."""
+    p = plans["q8_market_share"]
+    assert "EqualTo(p_type,ECONOMY)" in p
+    assert "EqualTo(r_name,EUROPE)" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q13_outer_join_preserved(plans):
+    """The ON-clause predicate must stay inside the LEFT OUTER join (a
+    WHERE would silently drop zero-order customers)."""
+    p = plans["q13_customer_distribution"]
+    assert "LeftOuter" in p
+
+
+def test_q11_global_total_single_row_broadcast(plans):
+    """The HAVING-vs-global compare joins a 1-row total via broadcast
+    nested loop — the only acceptable NLJ in the catalog (1×N rows)."""
+    p = plans["q11_important_volume"]
+    # formatted plans list each node in the tree AND the detail section
+    assert p.count("BroadcastNestedLoopJoin") == 2, p.count("BroadcastNestedLoopJoin")
+    assert "CartesianProduct" not in p
