@@ -257,3 +257,45 @@ def ann_topk_lsh(
     )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
     return pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.97,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space with KMeans, then
+    search near-duplicate pairs only WITHIN each cluster — the O(n^2)
+    cosine pair join becomes per-cell, so at 100 TB each cell's join is
+    an independent shuffle partition and the cross-cell quadratic term
+    vanishes. Single-pass keep-lowest-id policy: an item is dropped iff
+    some lower-id item in its cell is within ``threshold`` cosine
+    (deterministic given the seed; chains are NOT re-linked across the
+    dropped item — exact transitive grouping is `dedup_end_to_end`'s
+    connected-components path).
+
+    Returns the surviving rows of ``corpus`` (original schema).
+    """
+    from pyspark.ml.clustering import KMeans
+
+    c = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")).withColumn(
+        "_vec", array_to_vector(F.transform(F.col("vec"), lambda v: v.cast("double")))
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_vec", predictionCol="cell").fit(c)
+    assigned = model.transform(c).select("vid", "vec", "cell")
+    a = assigned.select("cell", F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"))
+    b = assigned.select("cell", F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"))
+    drops = (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(cosine(F.col("vec_a"), F.col("vec_b")) >= threshold)
+        .select(F.col("id_b").alias("_drop_id"))
+        .distinct()
+    )
+    return corpus.join(
+        drops, corpus[id_col] == drops._drop_id, "left_anti"
+    )

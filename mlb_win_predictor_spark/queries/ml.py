@@ -23,7 +23,7 @@ from ..operators.dedup import (
     simhash_buckets,
 )
 from ..functions.scalars import stable_round
-from ..operators.similarity import ann_topk_lsh, ivf_topk, pq_topk
+from ..operators.similarity import ann_topk_lsh, ivf_topk, pq_topk, semantic_dedup
 from ..session import load_table
 from .base import QueryDef
 
@@ -201,6 +201,18 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select("query_id", "rnk", "cand_id")
 
 
+
+
+def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star semantic dedup (SemDeDup): KMeans cells bound the pair
+    search; survivors keep the lowest vec_id per near-dup pair. Rows-only
+    entry (KMeans assignment is seed-dependent, not SQL-expressible);
+    planted-duplicate behavior is pytest-verified (tests/test_operators.py).
+    The synthetic embeddings have no true near-dups (max pairwise cosine
+    ~0.51), so the catalog entry runs at 0.42 to exercise real drops;
+    production SemDeDup thresholds are ~0.95+."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, threshold=0.42, n_cells=8).select("vec_id", "label")
 
 
 def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,6 +403,9 @@ QUERIES: dict[str, QueryDef] = {
         cap_per_source, CAP_PER_SOURCE_SQL, "deterministic per-source doc cap"
     ),
     "similarity_ann_ivf": QueryDef(similarity_ann_ivf, None, "similarity: IVF ANN"),
+    "dedup_semantic_kmeans": QueryDef(
+        dedup_semantic_kmeans, None, "dedup: SemDeDup clustered embedding near-dup"
+    ),
     "data_quality_report": QueryDef(
         data_quality_report, DATA_QUALITY_SQL, "data-quality gate (one-pass rules)"
     ),

@@ -627,6 +627,73 @@ WHERE levenshtein(a.p_name, b.p_name) <= {LEV_MAX_DIST}
 """
 
 
+CROSSDOC_N = 8
+
+
+def crossdoc_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring duplication signal (the
+    RefinedWeb/Pile-style dedup metric, at word-{n}-gram granularity):
+    for each doc, the fraction of its distinct {n}-grams that appear in
+    at least one OTHER document. Per-doc grams are distinct-ed map-side
+    (array_distinct before explode), so the gram doc-frequency table
+    counts documents, and both shuffles hash on the gram key. At 100 TB
+    the DF table is the big intermediate — productionize by bloom-
+    filtering grams with df==1 out of the join probe; semantics here are
+    the exact baseline."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    exploded = (
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", _word_ngrams(F.col("toks"), CROSSDOC_N).alias("grams"))
+        .select("doc_id", F.explode(F.array_distinct("grams")).alias("gram"))
+    )
+    df_tbl = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    n_total = F.col("n_distinct_grams")
+    n_shared = F.col("n_shared_grams")
+    return (
+        exploded.join(df_tbl, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_distinct_grams"),
+            F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+            .cast("long")
+            .alias("n_shared_grams"),
+        )
+        .select(
+            "doc_id",
+            "n_distinct_grams",
+            "n_shared_grams",
+            stable_round(n_shared.cast("double") / n_total.cast("double"), 6).alias(
+                "shared_frac"
+            ),
+        )
+    )
+
+
+CROSSDOC_DUP_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS w FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(w) - {CROSSDOC_N} + 2),
+            i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+                 w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])) AS grams
+  FROM t
+), e AS (
+  SELECT doc_id, unnest(grams) AS gram FROM g
+), df AS (
+  SELECT gram, COUNT(*) AS df FROM e GROUP BY 1
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+       CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_grams,
+       (ROUND((CAST(SUM(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE)) * 1e6) / 1e6) AS shared_frac
+FROM e JOIN df USING (gram)
+GROUP BY doc_id
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "token_count": QueryDef(token_count, TOKEN_COUNT_SQL, "text: token counting"),
     "token_count_bpe": QueryDef(token_count_bpe, TOKEN_BPE_SQL, "text: BPE-ish tokenizer"),
@@ -652,5 +719,8 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "decontamination_overlap": QueryDef(
         decontamination_overlap, DECONTAMINATION_SQL, "text: benchmark decontamination"
+    ),
+    "crossdoc_dup_fraction": QueryDef(
+        crossdoc_dup_fraction, CROSSDOC_DUP_SQL, "dedup: cross-doc dup-ngram fraction"
     ),
 }

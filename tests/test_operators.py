@@ -429,3 +429,23 @@ def test_winnowing_fingerprints_detect_shared_substring(spark):
     # deterministic
     again = {r.doc_id: set(r.fingerprints) for r in winnowing_fingerprints(df, "doc_id", "text").collect()}
     assert again == out
+
+
+def test_semantic_dedup_drops_planted_near_dups(spark, emb):
+    from mlb_win_predictor_spark.operators.similarity import semantic_dedup
+
+    base = emb.filter(F.col("vec_id") < 50).select("vec_id", "embedding")
+    # plant exact copies of vectors 0..4 under ids 1000..1004: identical
+    # vectors land in the same KMeans cell, so every copy must be dropped
+    copies = base.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(copies)
+    kept = semantic_dedup(corpus, threshold=0.97, n_cells=4, id_col="vec_id")
+    kept_ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    assert not any(i >= 1000 for i in kept_ids), "planted copies must be dropped"
+    assert {0, 1, 2, 3, 4} <= kept_ids, "lowest-id originals must survive"
+    # deterministic given the seed
+    again = {r.vec_id for r in
+             semantic_dedup(corpus, threshold=0.97, n_cells=4).select("vec_id").collect()}
+    assert again == kept_ids
