@@ -119,3 +119,42 @@ def test_partitioned_write_prunes(spark, tmp_path):
     # pruned scan reads only the 1996 directory
     scan_line = next(l for l in p.splitlines() if "PartitionFilters" in l)
     assert "1996" in scan_line
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """Runtime row-level filtering (the 100 TB selective-join technique):
+    a selective build-side filter makes Catalyst inject a bloom-filter
+    aggregate of the build keys and a might_contain() semi-filter into
+    the probe-side scan, so most fact rows die before the shuffle. Spark
+    only injects when the join shuffles (a broadcast join already
+    prunes) and the probe scan clears a size threshold — lowered here
+    since sf0.001 is far below the 10 GB production default."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF, "lineitem")
+        o = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        p = plan_of(j)
+        assert "might_contain" in p, "probe side must be bloom-pruned"
+        assert "bloom_filter_agg" in p, "build side must aggregate a bloom filter"
+        # correctness unchanged by the injected filter
+        n_bloom = {r.o_orderpriority: r.n for r in j.collect()}
+        for k, v in old.items():
+            spark.conf.set(k, v)
+        n_plain = {r.o_orderpriority: r.n for r in j.collect()}
+        assert n_bloom == n_plain
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
