@@ -145,6 +145,35 @@ FROM events GROUP BY event_type
 """
 
 
+def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured payloads via Spark 4's VariantType — the engine's
+    native path for schema-on-read JSON (vs get_json_object string
+    re-parsing in json_props_extract): parse once with try_parse_json
+    (binary variant encoding, shredded access), then typed
+    try_variant_get extractions. At 100 TB the parse happens once per
+    row, not once per extracted field, and malformed payloads yield NULL
+    instead of failing the job (ANSI-safe)."""
+    e = load_table(spark, sf_dir, "events")
+    staged = e.select(
+        "event_type", F.try_parse_json("props").alias("v")
+    ).select("event_type", F.try_variant_get("v", "$.k", "long").alias("k"))
+    return staged.groupBy(
+        "event_type", F.pmod("k", F.lit(10)).alias("k_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("k").alias("sum_k"),
+    )
+
+
+VARIANT_PROPS_SQL = """
+SELECT event_type,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+FROM events GROUP BY 1, 2
+"""
+
+
 def dedup_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 — rescheduled-game dedup (src/function.py:624-636): keep one row
     per (user_id, event_type), the earliest by event time — the batch dual
@@ -389,6 +418,9 @@ FROM j GROUP BY 1, 2
 
 
 QUERIES: dict[str, QueryDef] = {
+    "variant_props_extract": QueryDef(
+        variant_props_extract, VARIANT_PROPS_SQL, "VariantType semi-structured extract"
+    ),
     "cohort_retention": QueryDef(
         cohort_retention, COHORT_RETENTION_SQL, "cohort retention matrix"
     ),
