@@ -1,5 +1,6 @@
 from .nearest_centroid import NearestCentroidModel, fit_nearest_centroid
 from .knn import knn_predict_lsh
+from .rff import fit_rbf_svc, rff_transform
 from .train import (
     FEATURE_FAMILIES,
     evaluate_predictions,
@@ -9,6 +10,8 @@ from .train import (
 )
 
 __all__ = [
+    "fit_rbf_svc",
+    "rff_transform",
     "FEATURE_FAMILIES",
     "NearestCentroidModel",
     "evaluate_predictions",

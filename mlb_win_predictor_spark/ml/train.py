@@ -8,9 +8,11 @@ max-by model selection (cells 123-125), and PipelineModel.save + metadata
 (cells 129-141, export_models.py).
 
 Documented semantics gaps (SURVEY §7): sklearn SVC is RBF — LinearSVC is
-a different hypothesis class; randomSplit is probabilistic so 80/20 holds
-by proportion not exact count; MLlib StandardScaler uses sample std
-(ddof=1) vs sklearn's population std.
+a different hypothesis class (closed by ml.rff: Random Fourier Features
+lift + LinearSVC approximates the RBF machine, XOR-separability tested);
+randomSplit is probabilistic so 80/20 holds by proportion not exact
+count; MLlib StandardScaler uses sample std (ddof=1) vs sklearn's
+population std.
 """
 
 from __future__ import annotations

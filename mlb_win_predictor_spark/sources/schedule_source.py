@@ -14,7 +14,12 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 from pyspark.sql.types import (
     LongType,
     StringType,
@@ -97,6 +102,51 @@ class ScheduleDataSource(DataSource):
     def reader(self, schema):
         return ScheduleReader(self.options)
 
+    def streamReader(self, schema):
+        return ScheduleStreamReader(self.options)
+
 
 def register_schedule_source(spark) -> None:
     spark.dataSource.register(ScheduleDataSource)
+
+
+class ScheduleStreamReader(DataSourceStreamReader):
+    """Streaming flavor of the schedule scan — the production shape of
+    the reference's daily 5:00 AM poll (src/function.py:15-21,652-687):
+    each offset ordinal is one calendar day after ``startDate``; a
+    micro-batch covers the (dates × shards) grid of its offset range, so
+    the planner reads every day's shards in parallel and exactly-once
+    tracking comes free from the offset log. ``maxDates`` bounds the
+    synthetic feed so availableNow terminates in tests; in deployment
+    ``latestOffset`` returns today's ordinal and the query just keeps
+    tailing."""
+
+    def __init__(self, options):
+        self.start_date = options.get("startDate", "2023-08-25")
+        self.n_shards = int(options.get("numPartitions", "4"))
+        self.max_dates = int(options.get("maxDates", "3"))
+
+    def _date_for(self, ordinal: int) -> str:
+        from datetime import date, timedelta
+
+        y, m, d = (int(x) for x in self.start_date.split("-"))
+        return (date(y, m, d) + timedelta(days=ordinal)).isoformat()
+
+    def initialOffset(self):
+        return {"ordinal": 0}
+
+    def latestOffset(self):
+        return {"ordinal": self.max_dates}
+
+    def partitions(self, start, end):
+        return [
+            SchedulePartition(shard, self.n_shards, self._date_for(o))
+            for o in range(start["ordinal"], end["ordinal"])
+            for shard in range(self.n_shards)
+        ]
+
+    def read(self, partition: SchedulePartition):
+        yield from _fetch_games(partition.date, partition.shard, partition.n_shards)
+
+    def commit(self, end):
+        pass

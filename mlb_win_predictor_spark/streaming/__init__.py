@@ -3,6 +3,7 @@ from .jobs import (
     incremental_dedup_stream,
     dedup_stream,
     running_user_totals_stream,
+    running_user_totals_tws,
     read_events_stream,
     session_stream,
     sliding_stream,
@@ -15,6 +16,7 @@ __all__ = [
     "incremental_dedup_stream",
     "dedup_stream",
     "running_user_totals_stream",
+    "running_user_totals_tws",
     "read_events_stream",
     "session_stream",
     "sliding_stream",

@@ -175,6 +175,51 @@ def running_user_totals_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """The same per-user running totals on Spark 4's
+    ``transformWithStateInPandas`` (the successor API to
+    applyInPandasWithState): explicit named state handles
+    (``getValueState``) with per-state TTL support, timers, and
+    multiple typed state variables per processor — the engine's
+    forward path for arbitrary stateful operators. State layout and
+    emissions are identical to ``running_user_totals_stream``, which the
+    equivalence test exploits.
+
+    Closure is self-contained (local imports only) so Python workers
+    need nothing on sys.path.
+    """
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, total double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as _pd
+
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].fillna(0.0).sum())
+            self._totals.update((n, float(total)))
+            yield _pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningTotals(),
+        outputStructType="user_id long, n_events long, total_value double",
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def incremental_dedup_stream(
     new_docs: DataFrame, index_path: str, kept_path: str, checkpoint: str
 ):

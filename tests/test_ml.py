@@ -105,3 +105,46 @@ def test_grid_search_cv(spark, fixture_dir):
     assert len(roc) == 11
     by_thr = sorted(roc, key=lambda r: r.thr)
     assert by_thr[0].tpr == 1.0 and by_thr[-1].tpr <= 0.05
+
+
+def test_rff_svc_separates_xor_where_linear_cannot(spark):
+    """The M4 gap-closer (SURVEY §7): sklearn's SVC() is an RBF-kernel
+    machine, LinearSVC is linear. The RFF lift (Rahimi & Recht 2007)
+    restores the RBF hypothesis class on top of LinearSVC. XOR data is
+    the crisp witness: no linear separator beats ~50%, the kernel
+    machine gets ~100%."""
+    import numpy as np
+    from pyspark.ml.classification import LinearSVC
+    from pyspark.ml.functions import array_to_vector
+
+    from mlb_win_predictor_spark.ml.rff import fit_rbf_svc, rff_transform
+
+    rng = np.random.default_rng(7)
+    x = rng.uniform(-1.0, 1.0, size=(600, 2))
+    y = ((x[:, 0] > 0) ^ (x[:, 1] > 0)).astype(int)
+    pdf = [(row.tolist(), int(lbl)) for row, lbl in zip(x, y)]
+    df = spark.createDataFrame(pdf, "arr array<double>, label int").select(
+        array_to_vector("arr").alias("features"), "label"
+    )
+    train, test = df.randomSplit([0.7, 0.3], seed=42)
+
+    linear = LinearSVC(featuresCol="features", labelCol="label").fit(train)
+    acc_linear = (
+        linear.transform(test)
+        .agg(F.avg((F.col("prediction") == F.col("label")).cast("double")))
+        .first()[0]
+    )
+
+    _, transform = fit_rbf_svc(train, n_components=128, gamma=4.0, seed=42)
+    acc_rbf = (
+        transform(test)
+        .agg(F.avg((F.col("prediction") == F.col("label")).cast("double")))
+        .first()[0]
+    )
+    assert acc_linear < 0.65, f"XOR must defeat the linear model, got {acc_linear}"
+    assert acc_rbf > 0.9, f"RFF+LinearSVC must solve XOR, got {acc_rbf}"
+
+    # the lift is deterministic given the seed
+    a = rff_transform(df, n_components=8, seed=1).select("rff_features").first()[0]
+    b = rff_transform(df, n_components=8, seed=1).select("rff_features").first()[0]
+    assert list(a) == list(b)

@@ -311,3 +311,36 @@ def test_save_best_models(spark, fixture_dir, tmp_path):
     assert meta["family"] == "all_stats"
     reloaded = PipelineModel.load(path)
     assert reloaded.transform(test).count() == test.count()
+
+
+def test_schedule_streaming_source_matches_batch(spark, tmp_path):
+    """The streaming flavor of the Python Data Source (S1's production
+    daily-poll shape): an availableNow run over N offset days yields
+    exactly the union of the N batch reads, with (dates x shards)
+    partition parallelism and offsets tracked in the checkpoint log."""
+    register_schedule_source(spark)
+    stream = (
+        spark.readStream.format("mlb_schedule")
+        .option("startDate", "2023-08-25")
+        .option("maxDates", "2")
+        .option("numPartitions", "4")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sched_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {tuple(r) for r in spark.sql("SELECT * FROM sched_stream").collect()}
+    want = set()
+    for d in ("2023-08-25", "2023-08-26"):
+        want |= {
+            tuple(r)
+            for r in spark.read.format("mlb_schedule").option("date", d).load().collect()
+        }
+    assert got == want and len(got) == 30

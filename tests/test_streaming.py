@@ -203,3 +203,46 @@ def test_sliding_stream_matches_batch(spark, events_dir):
     got = {tuple(r) for r in out.collect()}
     want = {tuple(r) for r in sliding_window_agg(spark, SF).collect()}
     assert got == want
+
+
+def test_transform_with_state_matches_apply_in_pandas_with_state(spark, events_dir):
+    """transformWithStateInPandas (Spark 4 successor API): final per-user
+    state equals both the batch aggregation and the
+    applyInPandasWithState operator's final state.
+
+    The TWS state-API client speaks protobuf; environments without the
+    protobuf wheel (like this container) can't run the operator, so the
+    test is import-gated — applyInPandasWithState is the tested
+    equivalent path (test_stateful_running_totals)."""
+    pytest.importorskip("google.protobuf")
+    from mlb_win_predictor_spark.streaming import running_user_totals_tws
+
+    provider_conf = "spark.sql.streaming.stateStore.providerClass"
+    old = spark.conf.get(provider_conf, None)
+    spark.conf.set(
+        provider_conf,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = read_events_stream(spark, events_dir)
+        out = _run_to_memory(spark, running_user_totals_tws(stream), "t_tws", "update")
+    finally:
+        if old is None:
+            spark.conf.unset(provider_conf)
+        else:
+            spark.conf.set(provider_conf, old)
+    final = (
+        out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value"))
+    )
+    batch = (
+        load_table(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("total_value"),
+        )
+    )
+    g = {(r.user_id, r.n_events, round(r.total_value, 4)) for r in final.collect()}
+    w = {(r.user_id, r.n_events, round(r.total_value, 4)) for r in batch.collect()}
+    assert g == w
