@@ -461,6 +461,61 @@ def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch set algebra (Datasketches, native in Spark 4) — the
+    scale path for cross-segment audience overlap: per-event-type theta
+    sketches of user ids, then |A∩B| / |A∪B| / |A\\B| estimated from the
+    two SKETCHES, never a self-join of the fact. At 100 TB each segment
+    sketch is one partial-agg tree; every pairwise overlap after that is
+    O(sketch size). Rows-only (estimates are implementation-defined);
+    accuracy vs exact distinct intersections is pytest-asserted."""
+    e = load_table(spark, sf_dir, "events")
+    sk = e.groupBy("event_type").agg(
+        F.expr("theta_sketch_agg(user_id)").alias("sk")
+    )
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"))
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.expr("CAST(theta_sketch_estimate(theta_intersection(sk_a, sk_b)) AS LONG)").alias(
+            "users_both"
+        ),
+        F.expr("CAST(theta_sketch_estimate(theta_union(sk_a, sk_b)) AS LONG)").alias(
+            "users_either"
+        ),
+        F.expr("CAST(theta_sketch_estimate(theta_difference(sk_a, sk_b)) AS LONG)").alias(
+            "users_only_a"
+        ),
+    )
+
+
+def kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KLL quantile sketches (Datasketches, native in Spark 4) — the
+    MERGEABLE percentile path: per-event-type KLL sketches of value,
+    rolled up to a global sketch via kll_merge_agg_double without
+    rescanning the fact (same shape as the HLL rollup but for
+    quantiles/ranks). Rows-only; rank error vs exact percentiles is
+    pytest-asserted."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    per_type = e.groupBy("event_type").agg(
+        F.expr("kll_sketch_agg_double(value, 200)").alias("sk"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    merged = per_type.agg(
+        F.expr("kll_merge_agg_double(sk)").alias("g"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+    return merged.select(
+        F.lit("all").alias("scope"),
+        "n_rows",
+        F.expr("kll_sketch_get_quantile_double(g, 0.5)").alias("p50"),
+        F.expr("kll_sketch_get_quantile_double(g, 0.95)").alias("p95"),
+        F.expr("kll_sketch_get_quantile_double(g, 0.99)").alias("p99"),
+    )
+
+
 def first_last_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """first_value / last_value over a full-partition frame: each
     customer's first and latest order total beside every order."""
@@ -564,6 +619,12 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "target_encode_loo": QueryDef(
         target_encode_loo, TARGET_ENCODE_SQL, "leave-one-out target encoding"
+    ),
+    "theta_audience_overlap": QueryDef(
+        theta_audience_overlap, None, "theta-sketch set algebra (overlap, no self-join)"
+    ),
+    "kll_quantile_rollup": QueryDef(
+        kll_quantile_rollup, None, "KLL mergeable quantile rollup"
     ),
     "hll_mergeable_rollup": QueryDef(
         hll_mergeable_rollup, None, "HLL sketch rollup (merge, no rescan)"

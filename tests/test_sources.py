@@ -344,3 +344,55 @@ def test_schedule_streaming_source_matches_batch(spark, tmp_path):
             for r in spark.read.format("mlb_schedule").option("date", d).load().collect()
         }
     assert got == want and len(got) == 30
+
+
+def test_theta_overlap_accuracy(spark):
+    """Theta set algebra estimates within 5% of exact distinct
+    intersections/unions/differences between event-type audiences."""
+    from mlb_win_predictor_spark.queries.extra import theta_audience_overlap
+    from mlb_win_predictor_spark.session import load_table
+
+    sf = "/root/testdata/sf0.01"
+    got = {
+        (r.type_a, r.type_b): (r.users_both, r.users_either, r.users_only_a)
+        for r in theta_audience_overlap(spark, sf).collect()
+    }
+    e = load_table(spark, sf, "events").select("event_type", "user_id").collect()
+    by_type = {}
+    for r in e:
+        by_type.setdefault(r.event_type, set()).add(r.user_id)
+    for (a, b), (both, either, only_a) in got.items():
+        ea, eb = by_type[a], by_type[b]
+        for est, exact in (
+            (both, len(ea & eb)),
+            (either, len(ea | eb)),
+            (only_a, len(ea - eb)),
+        ):
+            if exact:
+                assert abs(est - exact) / exact < 0.05, (a, b, est, exact)
+            else:
+                assert est == 0
+
+
+def test_kll_quantile_rollup_rank_error(spark):
+    """The merged KLL sketch's quantiles land within 1.5% RANK error of
+    the exact percentiles (k=200 guarantees ~0.7% one-sided)."""
+    from mlb_win_predictor_spark.queries.extra import kll_quantile_rollup
+    from mlb_win_predictor_spark.session import load_table
+
+    sf = "/root/testdata/sf0.01"
+    row = kll_quantile_rollup(spark, sf).collect()[0]
+    vals = sorted(
+        r.value
+        for r in load_table(spark, sf, "events")
+        .filter(F.col("value").isNotNull())
+        .select("value")
+        .collect()
+    )
+    n = len(vals)
+    assert row.n_rows == n
+    import bisect
+
+    for q, est in ((0.5, row.p50), (0.95, row.p95), (0.99, row.p99)):
+        rank = bisect.bisect_left(vals, est) / n
+        assert abs(rank - q) < 0.015, (q, est, rank)
