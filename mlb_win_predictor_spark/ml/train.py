@@ -97,6 +97,35 @@ def evaluate_predictions(pred: DataFrame, label_col: str = "label") -> dict[str,
     }
 
 
+def strip_training_summary(model) -> None:
+    """Serialization guard for fitted models (Spark 4 footgun): a fitted
+    classifier keeps its training summary, and the summary holds the
+    SparkSession. The session's ObservationManager field is instantiated
+    lazily by the FIRST ``Dataset.observe()`` call in the session — from
+    that point on, any task closure that captures a summary-bearing
+    model (every ``model.transform`` prediction UDF) fails to serialize
+    with ``NotSerializableException: ObservationManager``. Dropping the
+    summary (this engine derives its metrics from predictions, never
+    from the summary) makes inference closures session-free.
+
+    Accepts a PipelineModel or a bare classifier model; silently skips
+    stages without a summary."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    if sc is None:
+        return
+    empty = sc._jvm.scala.Option.apply(None)
+    stages = getattr(model, "stages", None) or [model]
+    for st in stages:
+        jo = getattr(st, "_java_obj", None)
+        if jo is not None and st.__class__.__name__.endswith("Model"):
+            try:
+                jo.setSummary(empty)
+            except Exception:
+                pass
+
+
 def train_leaderboard(
     spark: SparkSession,
     features: DataFrame,
@@ -118,6 +147,7 @@ def train_leaderboard(
         for model_name, factory in MODELS.items():
             pipe = make_pipeline(cols, factory())
             fitted = pipe.fit(train)
+            strip_training_summary(fitted)
             metrics = evaluate_predictions(fitted.transform(test), "label")
             rows.append(
                 {

@@ -284,6 +284,7 @@ def test_save_best_models(spark, fixture_dir, tmp_path):
         make_pipeline,
         evaluate_predictions,
         save_best_models,
+        strip_training_summary,
     )
     from mlb_win_predictor_spark.pipeline import build_features
     from pyspark.ml import PipelineModel
@@ -298,6 +299,7 @@ def test_save_best_models(spark, fixture_dir, tmp_path):
     for fam, cols in fams.items():
         for mname in ("logistic_regression",):
             m = make_pipeline(cols, MODELS[mname]()).fit(train)
+            strip_training_summary(m)
             fitted[(fam, mname)] = m
             met = evaluate_predictions(m.transform(test), "label")
             rows.append({"family": fam, "model": mname, **met,
