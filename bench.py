@@ -35,6 +35,10 @@ HEADLINE = [
     "q8_market_share",
     "q13_customer_distribution",
     "q21_waiting_supplier",
+    "variant_props_extract",
+    "theta_audience_overlap",
+    "kll_quantile_rollup",
+    "crossdoc_dup_fraction",
     "flagship_asof_funnel",
     "broadcast_dim_join",
     "merge_upsert",
