@@ -148,3 +148,24 @@ def test_rff_svc_separates_xor_where_linear_cannot(spark):
     a = rff_transform(df, n_components=8, seed=1).select("rff_features").first()[0]
     b = rff_transform(df, n_components=8, seed=1).select("rff_features").first()[0]
     assert list(a) == list(b)
+
+
+def test_rff_approximates_rbf_kernel():
+    """The Rahimi-Recht guarantee itself, numpy-only: with D components,
+    z(x)^T z(y) -> exp(-gamma ||x-y||^2) as D grows. Checks the exact
+    (W, b) construction rff_transform ships (same draw, same scaling)."""
+    import numpy as np
+
+    rng = np.random.default_rng(3)
+    d, D, gamma = 8, 4096, 0.7
+    x = rng.normal(size=(50, d))
+    # rff_transform draws w then b from ONE seeded generator; replicate that
+    g = np.random.default_rng(42)
+    w = g.normal(0.0, np.sqrt(2.0 * gamma), size=(d, D))
+    b = g.uniform(0.0, 2.0 * np.pi, size=D)
+    z = np.sqrt(2.0 / D) * np.cos(x @ w + b)
+    approx = z @ z.T
+    sq = ((x[:, None, :] - x[None, :, :]) ** 2).sum(-1)
+    exact = np.exp(-gamma * sq)
+    err = np.abs(approx - exact).mean()
+    assert err < 0.02, err
