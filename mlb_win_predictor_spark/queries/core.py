@@ -1655,6 +1655,84 @@ GROUP BY c_mktsegment
 """
 
 
+def bag_set_operations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL / EXCEPT ALL — bag (multiset) semantics, preserving
+    multiplicities (SURVEY §2.6 engine surface; plain set ops live in
+    set_operations): part keys shipped under returnflag R vs linestatus F,
+    with duplicates kept, bounded to a small key range."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_partkey") < 200)
+    r = li.filter(F.col("l_returnflag") == "R").select("l_partkey")
+    f = li.filter(F.col("l_linestatus") == "F").select("l_partkey")
+    return (
+        r.intersectAll(f).withColumn("bucket", F.lit("both_bag"))
+        .unionByName(r.exceptAll(f).withColumn("bucket", F.lit("r_minus_f_bag")))
+    )
+
+
+BAG_SET_OPS_SQL = """
+WITH r AS (SELECT l_partkey FROM lineitem WHERE l_partkey < 200 AND l_returnflag = 'R'),
+     f AS (SELECT l_partkey FROM lineitem WHERE l_partkey < 200 AND l_linestatus = 'F')
+SELECT l_partkey, 'both_bag' AS bucket FROM (SELECT * FROM r INTERSECT ALL SELECT * FROM f)
+UNION ALL
+SELECT l_partkey, 'r_minus_f_bag' AS bucket FROM (SELECT * FROM r EXCEPT ALL SELECT * FROM f)
+"""
+
+
+def window_distribution_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cume_dist + nth_value (SURVEY §2.6 engine surface; the rank family
+    lives in ranking_functions): per-nation account-balance distribution
+    position and the nation's 2nd-lowest balance beside each supplier.
+    Ordering carries a unique tie-break so both functions are
+    deterministic."""
+    s = load_table(spark, sf_dir, "supplier")
+    w = W.partitionBy("s_nationkey").orderBy(
+        F.col("s_acctbal").asc(), F.col("s_suppkey").asc()
+    )
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return s.select(
+        "s_suppkey",
+        "s_nationkey",
+        F.round(F.cume_dist().over(w), 6).alias("bal_cume_dist"),
+        F.nth_value("s_acctbal", 2).over(w_full).alias("second_lowest_bal"),
+    )
+
+
+WINDOW_DIST_SQL = """
+SELECT s_suppkey, s_nationkey,
+       ROUND(cume_dist() OVER (PARTITION BY s_nationkey
+                               ORDER BY s_acctbal ASC, s_suppkey ASC), 6) AS bal_cume_dist,
+       nth_value(s_acctbal, 2) OVER (PARTITION BY s_nationkey
+                                     ORDER BY s_acctbal ASC, s_suppkey ASC
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+         AS second_lowest_bal
+FROM supplier
+"""
+
+
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """unpivot/melt — the inverse of pivot (SURVEY §2.6 engine surface):
+    part attributes to long (attr, val) form, one row per (part,
+    attribute), numeric attrs cast to a common double."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") < 100)
+    wide = p.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    )
+    return wide.unpivot("p_partkey", ["retailprice", "size"], "attr", "val")
+
+
+UNPIVOT_SQL = """
+SELECT p_partkey, attr, val
+FROM (
+  SELECT p_partkey,
+         CAST(p_retailprice AS DOUBLE) AS retailprice,
+         CAST(p_size AS DOUBLE) AS size
+  FROM part WHERE p_partkey < 100
+) UNPIVOT (val FOR attr IN (retailprice, size))
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "q1_pricing_summary": QueryDef(q1_pricing_summary, Q1_SQL, "TPC-H Q1-shaped agg (A1)"),
     "q4_order_priority": QueryDef(q4_order_priority, Q4_SQL, "Q4-shaped EXISTS semi-join"),
@@ -1702,6 +1780,11 @@ QUERIES: dict[str, QueryDef] = {
     "topk_per_group": QueryDef(topk_per_group, TOPK_PER_GROUP_SQL, "top-k window"),
     "lag_lead_sequence": QueryDef(lag_lead_sequence, LAG_LEAD_SQL, "lag/lead"),
     "set_operations": QueryDef(set_operations, SET_OPS_SQL, "set ops"),
+    "bag_set_operations": QueryDef(bag_set_operations, BAG_SET_OPS_SQL, "bag set ops (ALL)"),
+    "window_distribution_functions": QueryDef(
+        window_distribution_functions, WINDOW_DIST_SQL, "cume_dist + nth_value"
+    ),
+    "unpivot_melt": QueryDef(unpivot_melt, UNPIVOT_SQL, "unpivot/melt (inverse pivot)"),
     "rollup_aggregation": QueryDef(rollup_aggregation, ROLLUP_SQL, "rollup"),
     "distinct_count": QueryDef(distinct_count, DISTINCT_COUNT_SQL, "count distinct"),
     "pivot_wide": QueryDef(pivot_wide, PIVOT_SQL, "pivot"),
