@@ -31,6 +31,34 @@ def grouped_median(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     return df.groupBy(group_col).agg(_median(F.col(value_col)).alias("median_value"))
 
 
+def grouped_median_arrow(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Median per group via ``applyInArrow`` (Spark 4): the Python worker
+    receives each group as a raw ``pyarrow.Table`` — no Arrow→pandas
+    materialization at all, the cheapest possible Python boundary for
+    grouped custom logic. Equivalence with the pandas GROUPED_AGG path is
+    pytest-pinned; at 100 TB prefer this shape for wide groups (zero
+    per-group pandas object overhead).
+
+    Closure is self-contained (local imports only)."""
+
+    def _median(table):
+        import numpy as _np
+        import pyarrow as _pa
+
+        vals = table.column(value_col).to_numpy(zero_copy_only=False)
+        key = table.column(group_col)[0].as_py()
+        return _pa.table(
+            {
+                group_col: [key],
+                "median_value": [float(_np.median(vals[~_np.isnan(vals)]))],
+            }
+        )
+
+    return df.select(group_col, value_col).groupBy(group_col).applyInArrow(
+        _median, schema=f"{group_col} string, median_value double"
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame, id_col: str, text_col: str, k: int = 8, window: int = 4
 ) -> DataFrame:

@@ -215,6 +215,20 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(e, threshold=0.42, n_cells=8).select("vec_id", "label")
 
 
+def grouped_median_arrow_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-native grouped custom aggregation (§2.9 UDF surface,
+    Spark 4 applyInArrow): per-language median document length computed
+    from raw pyarrow Tables — no pandas materialization on the worker.
+    Rows-only (the same statistic is oracle-checked via exact_percentiles);
+    pandas-path equivalence is pytest-pinned."""
+    from ..functions.pandas_fns import grouped_median_arrow
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "lang", F.col("n_chars").cast("double").alias("n_chars")
+    )
+    return grouped_median_arrow(d, "lang", "n_chars")
+
+
 def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-quality gate as a catalog query (one-pass declarative rules
     over lineitem): violation count + rate per rule."""
@@ -405,6 +419,9 @@ QUERIES: dict[str, QueryDef] = {
     "similarity_ann_ivf": QueryDef(similarity_ann_ivf, None, "similarity: IVF ANN"),
     "dedup_semantic_kmeans": QueryDef(
         dedup_semantic_kmeans, None, "dedup: SemDeDup clustered embedding near-dup"
+    ),
+    "grouped_median_arrow": QueryDef(
+        grouped_median_arrow_entry, None, "applyInArrow grouped median (no pandas)"
     ),
     "data_quality_report": QueryDef(
         data_quality_report, DATA_QUALITY_SQL, "data-quality gate (one-pass rules)"

@@ -449,3 +449,24 @@ def test_semantic_dedup_drops_planted_near_dups(spark, emb):
     again = {r.vec_id for r in
              semantic_dedup(corpus, threshold=0.97, n_cells=4).select("vec_id").collect()}
     assert again == kept_ids
+
+
+def test_grouped_median_arrow_matches_pandas_udaf(spark):
+    """applyInArrow (raw pyarrow.Table per group, no pandas) must produce
+    the same medians as the pandas GROUPED_AGG path and the native
+    percentile."""
+    from mlb_win_predictor_spark.functions.pandas_fns import (
+        grouped_median,
+        grouped_median_arrow,
+    )
+
+    c = load_table(spark, SF, "customer")
+    arrow = {
+        r.c_mktsegment: r.median_value
+        for r in grouped_median_arrow(c, "c_mktsegment", "c_acctbal").collect()
+    }
+    pandas_ = {
+        r.c_mktsegment: r.median_value
+        for r in grouped_median(c, "c_mktsegment", "c_acctbal").collect()
+    }
+    assert arrow == pandas_
