@@ -694,6 +694,108 @@ GROUP BY doc_id
 """
 
 
+PREFIX_N = 3
+PREFIX_T = 0.5
+
+
+def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered exact Jaccard join (PPJoin-style, Xiao et al. 2008)
+    over the FULL corpus — the scale path for exact-threshold near-dup
+    detection, vs ``ngram_jaccard_pairs`` which caps its candidate set.
+
+    Shingles are globally ordered by (document frequency, shingle) — rarest
+    first — and each document only indexes its first
+    ``p = n - ceil(t*n) + 1`` shingles. Completeness: if a pair shares NO
+    prefix shingle, its overlap is at most ``ceil(t*n)-1 < t*n``, so
+    ``J <= overlap/max(|A|,|B|) < t``. Candidates therefore form a superset
+    of all qualifying pairs at a fraction of the all-shingles self-join
+    volume (high-df shingles never enter the index), and the exact
+    ``array_intersect`` re-check makes the result identical to the
+    brute-force oracle. At 100 TB: df ranking is one hash agg; the
+    candidate join's key distribution is *anti*-skewed by construction
+    (rare shingles first).
+    """
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    shingled = d.select(
+        "doc_id",
+        F.array_sort(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.greatest(F.size("toks") - (PREFIX_N - 1), F.lit(0))),
+                    lambda i: F.concat_ws(" ", F.slice("toks", i, PREFIX_N)),
+                )
+            )
+        ).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    # Persist: reused by the df agg, the prefix index, and the re-check join.
+    shingled = shingled.persist()
+    exploded = shingled.select("doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh"))
+    df_tbl = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(PREFIX_T) * F.col("n_sh")) + 1
+    prefix = (
+        exploded.join(df_tbl, "sh")
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("doc_id").orderBy("df", "sh")),
+        )
+        .filter(F.col("rn") <= prefix_len)
+        .select("doc_id", "sh")
+    ).persist()
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            stable_round(
+                inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= PREFIX_T)
+    )
+
+
+DEDUP_JACCARD_PREFIX_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, GREATEST(len(toks) - {PREFIX_N - 1}, 0) + 1),
+           i -> array_to_string(list_slice(toks, i, i + {PREFIX_N - 1}), ' ')
+         )) AS shingles
+  FROM toks
+), sized AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM sh WHERE len(shingles) > 0
+), ex AS (
+  SELECT doc_id, UNNEST(shingles) AS s FROM sh WHERE len(shingles) > 0
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       (ROUND(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) * 1e6) / 1e6) AS jaccard
+FROM shared
+JOIN sized sa ON doc_a = sa.doc_id
+JOIN sized sb ON doc_b = sb.doc_id
+WHERE (ROUND(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) * 1e6) / 1e6) >= {PREFIX_T}
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "token_count": QueryDef(token_count, TOKEN_COUNT_SQL, "text: token counting"),
     "token_count_bpe": QueryDef(token_count_bpe, TOKEN_BPE_SQL, "text: BPE-ish tokenizer"),
@@ -722,5 +824,10 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "crossdoc_dup_fraction": QueryDef(
         crossdoc_dup_fraction, CROSSDOC_DUP_SQL, "dedup: cross-doc dup-ngram fraction"
+    ),
+    "dedup_jaccard_prefix": QueryDef(
+        dedup_jaccard_prefix,
+        DEDUP_JACCARD_PREFIX_SQL,
+        "dedup: prefix-filtered exact Jaccard join (PPJoin-style, full corpus)",
     ),
 }

@@ -158,3 +158,43 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_jaccard_prefix_index_prunes_candidates(spark):
+    """The PPJoin-style prefix index must be strictly smaller than the full
+    shingle postings it replaces: each doc indexes only its n-ceil(t*n)+1
+    rarest shingles, so the self-join input (and with it the candidate-pair
+    volume) shrinks while the exact re-check keeps the result identical to
+    brute force (oracle parity covers value equality)."""
+    from pyspark.sql.window import Window as W
+
+    from mlb_win_predictor_spark.queries.text import PREFIX_N, PREFIX_T
+
+    d = load_table(spark, SF, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    shingled = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("toks") - (PREFIX_N - 1), F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, PREFIX_N)),
+            )
+        ).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    exploded = shingled.select(
+        "doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh")
+    )
+    full_postings = exploded.count()
+    df_tbl = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    prefix_len = F.col("n_sh") - F.ceil(F.lit(PREFIX_T) * F.col("n_sh")) + 1
+    prefix = (
+        exploded.join(df_tbl, "sh")
+        .withColumn("rn", F.row_number().over(W.partitionBy("doc_id").orderBy("df", "sh")))
+        .filter(F.col("rn") <= prefix_len)
+    )
+    index_postings = prefix.count()
+    # t=0.5 keeps ~n/2+1 of n shingles; allow slack but pin a real reduction.
+    assert index_postings < 0.65 * full_postings, (index_postings, full_postings)
+    # Every doc keeps at least one indexed shingle (completeness floor).
+    assert prefix.select("doc_id").distinct().count() == shingled.count()
