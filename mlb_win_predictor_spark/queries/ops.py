@@ -1,0 +1,328 @@
+"""Operational / pipeline-analytics catalog entries.
+
+The ops a production data platform runs *around* its queries: time-series
+gap-fill + forward-fill (resampling), snapshot reconciliation (table diff),
+key-skew profiling (the input to salting decisions in ``operators.skew``),
+join-cardinality estimation (join sizing WITHOUT executing the join — the
+statistic a cost-based planner needs), equal-frequency discretization, and
+windowed z-score anomaly flagging.
+
+All pure DataFrame compositions (no UDFs, no collect); every entry is
+DuckDB-oracle-checked. Scale notes per entry docstring — the common theme
+is that each op is one or two hash aggregations over keys, never a scan
+the optimizer can't prune.
+
+Reference tie-in: the reference's ETL reconciles yesterday's rows by
+re-fetching and UPDATE-ing them (src/function.py:462-539) and handles
+reschedule duplicates by PK failure (src/function.py:624-636);
+``table_diff_reconcile`` is that capability as a set operation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from ..functions.scalars import stable_round
+from ..session import load_table
+from .base import QueryDef
+
+D2 = "decimal(18,2)"
+
+RESAMPLE_USER_CAP = 50
+
+
+def time_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill a per-user daily series to a dense calendar and
+    forward-fill missing days (time-series resampling: the `asfreq` +
+    `ffill` of pandas, distributed). ``sequence(min_day, max_day)`` builds
+    each user's calendar (array, exploded map-side — no join against a
+    generated dimension), then one window per user carries the last
+    observed value forward. At scale the state per user is one row; the
+    explode output is bounded by (span_days x users) and partitions by
+    user naturally."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < RESAMPLE_USER_CAP)
+    daily = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast(D2)).alias("day_value")
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day"),
+    )
+    w = W.partitionBy("user_id").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        grid.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.last("day_value", ignorenulls=True).over(w).cast("double").alias("value"),
+            F.col("day_value").isNull().alias("is_filled"),
+        )
+    )
+
+
+TIME_RESAMPLE_SQL = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         SUM(CAST(value AS DECIMAL(18,2))) AS day_value
+  FROM events WHERE user_id < {RESAMPLE_USER_CAP}
+  GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM daily GROUP BY 1
+), grid AS (
+  SELECT user_id, CAST(UNNEST(generate_series(CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans
+)
+SELECT g.user_id, g.day,
+       CAST(LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+         PARTITION BY g.user_id ORDER BY g.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS value,
+       d.day_value IS NULL AS is_filled
+FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+"""
+
+
+def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff two versions of ``orders`` into
+    added / removed / changed rows (the engine-level form of the
+    reference's per-row UPDATE + PK-violation reschedule handling,
+    src/function.py:462-539,624-636). One full-outer hash join on the key;
+    unchanged rows are dropped so the output is the changeset, which is
+    what an incremental consumer replays. At 100 TB both snapshots
+    shuffle-partition on the same key (co-partitioned diff); comparing a
+    row-hash instead of each column keeps the shuffle narrow."""
+    o = load_table(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 10 != 0).select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("old_price"),
+        F.col("o_orderstatus").alias("old_status"),
+    )
+    new = o.filter(F.col("o_orderkey") % 7 != 0).select(
+        "o_orderkey",
+        (
+            F.col("o_totalprice").cast(D2)
+            + F.when(F.col("o_orderkey") % 5 == 0, F.lit(1)).otherwise(F.lit(0)).cast(D2)
+        ).cast("double").alias("new_price"),
+        F.col("o_orderstatus").alias("new_status"),
+    )
+    j = old.join(new, "o_orderkey", "full_outer")
+    change = (
+        F.when(F.col("old_price").isNull(), F.lit("added"))
+        .when(F.col("new_price").isNull(), F.lit("removed"))
+        .when(
+            (F.col("old_price") != F.col("new_price"))
+            | (F.col("old_status") != F.col("new_status")),
+            F.lit("changed"),
+        )
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select("o_orderkey", change.alias("change_type"), "old_price", "new_price")
+        .filter(F.col("change_type") != "unchanged")
+    )
+
+
+TABLE_DIFF_SQL = """
+WITH old AS (
+  SELECT o_orderkey, o_totalprice AS old_price, o_orderstatus AS old_status
+  FROM orders WHERE o_orderkey % 10 != 0
+), new AS (
+  SELECT o_orderkey,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2))
+              + CAST(CASE WHEN o_orderkey % 5 = 0 THEN 1 ELSE 0 END AS DECIMAL(18,2)) AS DOUBLE) AS new_price,
+         o_orderstatus AS new_status
+  FROM orders WHERE o_orderkey % 7 != 0
+), j AS (
+  SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+         old_price, old_status, new_price, new_status
+  FROM old FULL OUTER JOIN new USING (o_orderkey)
+)
+SELECT o_orderkey,
+       CASE WHEN old_price IS NULL THEN 'added'
+            WHEN new_price IS NULL THEN 'removed'
+            WHEN old_price != new_price OR old_status != new_status THEN 'changed'
+            ELSE 'unchanged' END AS change_type,
+       old_price, new_price
+FROM j
+WHERE CASE WHEN old_price IS NULL THEN 'added'
+           WHEN new_price IS NULL THEN 'removed'
+           WHEN old_price != new_price OR old_status != new_status THEN 'changed'
+           ELSE 'unchanged' END != 'unchanged'
+"""
+
+
+SKEW_TOPK = 10
+
+
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-distribution profile for join/agg planning: the top-K heaviest
+    keys with their share of all rows — exactly the statistic that decides
+    whether ``operators.skew.salted_join`` (or AQE skew split) is needed,
+    computed as one hash agg over the key + a broadcast of the scalar
+    total (no single-partition window)."""
+    e = load_table(spark, sf_dir, "events")
+    counts = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "n_rows",
+            stable_round(F.col("n_rows") / F.col("total"), 6).alias("share"),
+        )
+        .orderBy(F.desc("n_rows"), "user_id")
+        .limit(SKEW_TOPK)
+    )
+
+
+KEY_SKEW_SQL = f"""
+WITH counts AS (
+  SELECT user_id, COUNT(*) AS n_rows FROM events GROUP BY 1
+), total AS (
+  SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM counts
+)
+SELECT user_id, n_rows,
+       (ROUND(CAST(n_rows AS DOUBLE) / total * 1e6) / 1e6) AS share
+FROM counts, total
+ORDER BY n_rows DESC, user_id
+LIMIT {SKEW_TOPK}
+"""
+
+
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join sizing WITHOUT executing the join: |A ⋈ B| on an equi-key is
+    exactly ``SUM_k cnt_A(k) * cnt_B(k)`` over the two per-key count
+    tables — two hash aggs and a join between the (far smaller) key-count
+    tables. This is the statistic a cost-based planner (or a human sizing
+    shuffle partitions for a 100 TB join) needs before committing to a
+    plan; the per-key tables are the same aggregates a skew profile uses."""
+    o = load_table(spark, sf_dir, "orders").groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_o")
+    )
+    li = load_table(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_l")
+    )
+    j = o.join(li, o["o_orderkey"] == li["l_orderkey"])
+    return j.agg(
+        F.sum(F.col("n_o") * F.col("n_l")).alias("est_join_rows"),
+        F.count(F.lit(1)).alias("n_matching_keys"),
+        F.max(F.col("n_o") * F.col("n_l")).alias("max_key_fanout"),
+    )
+
+
+JOIN_CARD_SQL = """
+WITH o AS (
+  SELECT o_orderkey, COUNT(*) AS n_o FROM orders GROUP BY 1
+), l AS (
+  SELECT l_orderkey, COUNT(*) AS n_l FROM lineitem GROUP BY 1
+)
+SELECT CAST(SUM(n_o * n_l) AS BIGINT) AS est_join_rows,
+       COUNT(*) AS n_matching_keys,
+       CAST(MAX(n_o * n_l) AS BIGINT) AS max_key_fanout
+FROM o JOIN l ON o_orderkey = l_orderkey
+"""
+
+
+N_BINS = 10
+
+
+def quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency discretization of ``o_totalprice`` into deciles:
+    per-bin row count and [min, max] boundary. Exact ``ntile`` requires a
+    total order (deterministic tie-break on the key); at 100 TB the scale
+    path is boundary assignment from the mergeable quantile sketch
+    (``approx_percentiles`` / ``kll_quantile_rollup``) — this entry is the
+    exact oracle those sketches are tested against."""
+    o = load_table(spark, sf_dir, "orders")
+    wn = W.orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select(
+            "o_totalprice",
+            F.ntile(N_BINS).over(wn).cast("bigint").alias("bin"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
+QUANTILE_BIN_SQL = f"""
+WITH binned AS (
+  SELECT o_totalprice,
+         NTILE({N_BINS}) OVER (ORDER BY o_totalprice, o_orderkey) AS bin
+  FROM orders
+)
+SELECT bin, COUNT(*) AS n, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+FROM binned GROUP BY 1
+"""
+
+
+Z_THRESHOLD = 2.0
+
+
+def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed anomaly flagging: per event_type daily totals scored
+    against that type's own mean/stddev; days with |z| above the threshold
+    are the anomalies. Daily totals aggregate as DECIMAL (deterministic),
+    the z-score is rounded (stddev merge order contributes ~1e-12 fuzz),
+    and the threshold compares the ROUNDED score so both engines flag the
+    identical day set. Two hash aggs; the per-type stats table is tiny and
+    broadcast back onto the daily rows."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast(D2)).cast("double").alias("total")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.avg("total").alias("mu"), F.stddev_samp("total").alias("sigma")
+    )
+    z = stable_round((F.col("total") - F.col("mu")) / F.col("sigma"), 4)
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .select("event_type", "day", "total", z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) > Z_THRESHOLD)
+    )
+
+
+ZSCORE_SQL = f"""
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type, AVG(total) AS mu, STDDEV_SAMP(total) AS sigma
+  FROM daily GROUP BY 1
+)
+SELECT d.event_type, d.day, d.total,
+       (ROUND((d.total - s.mu) / s.sigma * 1e4) / 1e4) AS zscore
+FROM daily d JOIN stats s ON d.event_type = s.event_type
+WHERE ABS(ROUND((d.total - s.mu) / s.sigma * 1e4) / 1e4) > {Z_THRESHOLD}
+"""
+
+
+QUERIES: dict[str, QueryDef] = {
+    "time_resample_ffill": QueryDef(
+        time_resample_ffill, TIME_RESAMPLE_SQL, "ops: calendar gap-fill + forward-fill"
+    ),
+    "table_diff_reconcile": QueryDef(
+        table_diff_reconcile, TABLE_DIFF_SQL, "ops: snapshot diff (added/removed/changed)"
+    ),
+    "key_skew_profile": QueryDef(
+        key_skew_profile, KEY_SKEW_SQL, "ops: heavy-key skew profile"
+    ),
+    "join_cardinality_estimate": QueryDef(
+        join_cardinality_estimate, JOIN_CARD_SQL, "ops: join sizing without the join"
+    ),
+    "quantile_binning": QueryDef(
+        quantile_binning, QUANTILE_BIN_SQL, "ops: equal-frequency decile binning"
+    ),
+    "zscore_anomalies": QueryDef(
+        zscore_anomalies, ZSCORE_SQL, "ops: windowed z-score anomaly flags"
+    ),
+}

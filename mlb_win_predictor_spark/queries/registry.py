@@ -13,10 +13,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from .base import QueryDef
-from . import core, embeddings, events, extra, ml, mlb, multimodal, text
+from . import core, embeddings, events, extra, ml, mlb, multimodal, ops, text
 
 QUERIES: dict[str, QueryDef] = {}
-for _mod in (core, embeddings, events, extra, ml, mlb, multimodal, text):
+for _mod in (core, embeddings, events, extra, ml, mlb, multimodal, ops, text):
     for _name, _qd in _mod.QUERIES.items():
         assert _name not in QUERIES, f"duplicate query name: {_name}"
         QUERIES[_name] = _qd
