@@ -306,7 +306,93 @@ WHERE ABS(ROUND((d.total - s.mu) / s.sigma * 1e4) / 1e4) > {Z_THRESHOLD}
 """
 
 
+def kl_divergence_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between corpus slices: KL(nation's order-priority
+    mix ‖ global mix) per customer nation — the statistic a training-data
+    pipeline monitors to catch a source whose composition shifted. Counts
+    are exact integers, the ratios are single exact divisions, and the
+    5-term Σ p·ln(p/q) is summed via a groupBy whose merge-order fuzz
+    (~1e-16) is absorbed by rounding. Everything is two hash aggs and
+    broadcast joins of tiny stat tables."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    enriched = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .select("n_name", "o_orderpriority")
+    )
+    by_cell = enriched.groupBy("n_name", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_cell")
+    )
+    by_nation = by_cell.groupBy("n_name").agg(F.sum("n_cell").alias("n_nation"))
+    by_prio = by_cell.groupBy("o_orderpriority").agg(F.sum("n_cell").alias("n_prio"))
+    total = by_cell.agg(F.sum("n_cell").alias("n_total"))
+    p = F.col("n_cell") / F.col("n_nation")
+    q = F.col("n_prio") / F.col("n_total")
+    return (
+        by_cell.join(F.broadcast(by_nation), "n_name")
+        .join(F.broadcast(by_prio), "o_orderpriority")
+        .crossJoin(F.broadcast(total))
+        .groupBy("n_name")
+        .agg(
+            stable_round(F.sum(p * F.log(p / q)), 6).alias("kl_divergence"),
+            F.max("n_nation").alias("n_orders"),
+        )
+    )
+
+
+KL_DIVERGENCE_SQL = """
+WITH cells AS (
+  SELECT n_name, o_orderpriority, COUNT(*) AS n_cell
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY 1, 2
+), nat AS (
+  SELECT n_name, CAST(SUM(n_cell) AS BIGINT) AS n_nation FROM cells GROUP BY 1
+), prio AS (
+  SELECT o_orderpriority, CAST(SUM(n_cell) AS BIGINT) AS n_prio FROM cells GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(n_cell) AS BIGINT) AS n_total FROM cells
+)
+SELECT n_name,
+       (ROUND(SUM((CAST(n_cell AS DOUBLE) / n_nation)
+                  * LN((CAST(n_cell AS DOUBLE) / n_nation)
+                       / (CAST(n_prio AS DOUBLE) / n_total))) * 1e6) / 1e6) AS kl_divergence,
+       MAX(n_nation) AS n_orders
+FROM cells
+JOIN nat USING (n_name)
+JOIN prio USING (o_orderpriority)
+CROSS JOIN tot
+GROUP BY 1
+"""
+
+
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch frequency estimates for every observed key
+    (operators.sketches): the sketch is a ≤ depth×width-row DataFrame
+    built in one map-side-combinable pass and broadcast to serve lookups —
+    the mergeable scale path for heavy-hitter detection where the exact
+    per-key aggregation (`key_skew_profile`) would itself be the skew
+    problem. Rows-only entry (xxhash64 seeding is not SQL-portable);
+    the CMS guarantee (never undercounts, overshoot ≤ 2N/width w.h.p.)
+    is property-tested in tests/test_operators.py."""
+    from ..operators.sketches import cms_build, cms_estimate
+
+    e = load_table(spark, sf_dir, "events")
+    sketch = cms_build(e, "user_id")
+    probes = e.select("user_id").distinct()
+    return cms_estimate(sketch, probes, "user_id").orderBy("user_id")
+
+
 QUERIES: dict[str, QueryDef] = {
+    "kl_divergence_slices": QueryDef(
+        kl_divergence_slices, KL_DIVERGENCE_SQL, "ops: KL distribution drift per slice"
+    ),
+    "cms_heavy_hitters": QueryDef(
+        cms_heavy_hitters, None, "ops: count-min sketch frequency estimates"
+    ),
     "time_resample_ffill": QueryDef(
         time_resample_ffill, TIME_RESAMPLE_SQL, "ops: calendar gap-fill + forward-fill"
     ),

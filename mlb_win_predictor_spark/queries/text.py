@@ -796,6 +796,77 @@ WHERE (ROUND(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) * 1e6) / 
 """
 
 
+BM25_TERMS = ("join", "vector", "stream")
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def bm25_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance scoring of the corpus against a fixed term set —
+    the ranking half of a retrieval pipeline (TF-IDF's big sibling;
+    ``tfidf_top_terms`` covers term extraction). Corpus statistics
+    (N, avgdl, per-term df) come from ONE hash aggregation and broadcast
+    back onto the per-document scan; per-term tf is a native
+    higher-order-function count over the staged token array (no explode,
+    no shuffle on the doc side). The per-term contributions are summed in
+    fixed textual order, so no float fold-order fuzz; the final score is
+    rounded (ln() is libm on both engines)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    toked = d.select("doc_id", "toks", F.size("toks").alias("dl"))
+    stats = toked.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.sum(F.array_contains("toks", t).cast("long")).alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    scored = toked.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    cols = []
+    for t in BM25_TERMS:
+        tf = F.size(F.filter("toks", lambda x: x == F.lit(t))).cast("double")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{t}") + F.lit(0.5)) / (F.col(f"df_{t}") + F.lit(0.5))
+        )
+        denom = tf + F.lit(BM25_K1) * (
+            F.lit(1.0 - BM25_B) + F.lit(BM25_B) * F.col("dl") / F.col("avgdl")
+        )
+        score = score + idf * (tf * F.lit(BM25_K1 + 1.0)) / denom
+        cols.append(tf.cast("bigint").alias(f"tf_{t}"))
+    return scored.select("doc_id", *cols, stable_round(score, 6).alias("bm25"))
+
+
+_BM25_TF_SQL = {t: f"CAST(len(list_filter(toks, x -> x = '{t}')) AS DOUBLE)" for t in BM25_TERMS}
+_BM25_IDF_SQL = {
+    t: f"LN(1.0 + (n_docs - df_{t} + 0.5) / (df_{t} + 0.5))" for t in BM25_TERMS
+}
+_BM25_TERM_SQL = " + ".join(
+    f"({_BM25_IDF_SQL[t]}) * ({_BM25_TF_SQL[t]} * {BM25_K1 + 1.0}) / "
+    f"({_BM25_TF_SQL[t]} + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * dl / avgdl))"
+    for t in BM25_TERMS
+)
+BM25_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\\s+') AS toks,
+         len(regexp_split_to_array(TRIM(text), '\\s+')) AS dl
+  FROM documents
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+         {", ".join(f"CAST(SUM(CASE WHEN list_contains(toks, '{t}') THEN 1 ELSE 0 END) AS BIGINT) AS df_{t}" for t in BM25_TERMS)}
+  FROM toked
+)
+SELECT doc_id,
+       {", ".join(f"CAST(len(list_filter(toks, x -> x = '{t}')) AS BIGINT) AS tf_{t}" for t in BM25_TERMS)},
+       (ROUND((0.0 + {_BM25_TERM_SQL}) * 1e6) / 1e6) AS bm25
+FROM toked, stats
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "token_count": QueryDef(token_count, TOKEN_COUNT_SQL, "text: token counting"),
     "token_count_bpe": QueryDef(token_count_bpe, TOKEN_BPE_SQL, "text: BPE-ish tokenizer"),
@@ -830,4 +901,5 @@ QUERIES: dict[str, QueryDef] = {
         DEDUP_JACCARD_PREFIX_SQL,
         "dedup: prefix-filtered exact Jaccard join (PPJoin-style, full corpus)",
     ),
+    "bm25_score": QueryDef(bm25_score, BM25_SQL, "text: BM25 relevance scoring"),
 }

@@ -470,3 +470,32 @@ def test_grouped_median_arrow_matches_pandas_udaf(spark):
         for r in grouped_median(c, "c_mktsegment", "c_acctbal").collect()
     }
     assert arrow == pandas_
+
+
+def test_cms_never_undercounts_and_bounds_overshoot(spark):
+    """Count-min guarantee: est >= true for every key; overshoot bounded
+    by a loose multiple of N/width (2N/width holds w.h.p. per key with
+    depth=4). Also: merging two half-sketches == one full-corpus sketch."""
+    from mlb_win_predictor_spark.operators.sketches import (
+        WIDTH,
+        cms_build,
+        cms_estimate,
+        cms_merge,
+    )
+
+    e = load_table(spark, SF, "events")
+    true = {r.user_id: r.n for r in e.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    n_total = sum(true.values())
+    probes = e.select("user_id").distinct()
+    sketch = cms_build(e, "user_id")
+    est = {r.user_id: r.est_count for r in cms_estimate(sketch, probes, "user_id").collect()}
+    assert set(est) == set(true)
+    for k, t in true.items():
+        assert est[k] >= t, (k, est[k], t)
+        assert est[k] - t <= 4 * n_total / WIDTH, (k, est[k], t, n_total)
+    # mergeability: two disjoint halves re-aggregate to the full sketch
+    h1 = cms_build(e.filter(F.col("event_id") % 2 == 0), "user_id")
+    h2 = cms_build(e.filter(F.col("event_id") % 2 == 1), "user_id")
+    merged = {(r.seed, r.bucket): r.n for r in cms_merge(h1, h2).collect()}
+    full = {(r.seed, r.bucket): r.n for r in sketch.collect()}
+    assert merged == full
