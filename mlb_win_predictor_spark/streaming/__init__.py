@@ -1,5 +1,7 @@
 from .jobs import (
     click_purchase_stream_join,
+    cms_sketch_stream,
+    enrich_stream_static,
     incremental_dedup_stream,
     dedup_stream,
     running_user_totals_stream,
@@ -13,6 +15,8 @@ from .jobs import (
 
 __all__ = [
     "click_purchase_stream_join",
+    "cms_sketch_stream",
+    "enrich_stream_static",
     "incremental_dedup_stream",
     "dedup_stream",
     "running_user_totals_stream",

@@ -256,6 +256,45 @@ def incremental_dedup_stream(
     )
 
 
+def enrich_stream_static(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
+    """Stream-static broadcast enrichment: the streaming analog of the
+    reference's per-row dim lookups (J1/J2, src/function.py:58-69,486) —
+    each micro-batch hash-joins against the static dimension with NO
+    streaming state (the static side is re-planned per batch, so a dim
+    refresh is picked up between batches). Broadcast keeps the stream
+    side shuffle-free; at 100 TB the dim is the small side by
+    construction (players ≈ 1.5k rows in the reference)."""
+    return events.join(F.broadcast(dim), on, "left")
+
+
+def cms_sketch_stream(events: DataFrame, sketch_path: str, checkpoint: str, key: str = "user_id"):
+    """Incremental count-min maintenance: each micro-batch is sketched
+    (one map-side-combinable agg over the batch) and cell-wise merged
+    into the persisted sketch table — the fact stream is never replayed,
+    and the sketch stays ≤ depth×width rows forever. The streaming dual
+    of ``queries.ops.cms_heavy_hitters``; merged-result equivalence to a
+    single full-corpus sketch is the mergeability guarantee tested in
+    tests/test_operators.py and tests/test_streaming.py."""
+    from ..operators.sketches import cms_build, cms_merge
+
+    def sketch_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        delta = cms_build(batch, key)
+        if os.path.exists(sketch_path):
+            merged = cms_merge(spark.read.parquet(sketch_path), delta)
+        else:
+            merged = delta
+        tmp = sketch_path + f".tmp_epoch_{epoch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        batch.sparkSession.read.parquet(tmp).write.mode("overwrite").parquet(sketch_path)
+
+    return (
+        events.writeStream.foreachBatch(sketch_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
 def upsert_outcomes_foreach_batch(
     updates: DataFrame, games_path: str, checkpoint: str
 ):

@@ -246,3 +246,66 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(spark, events_d
     g = {(r.user_id, r.n_events, round(r.total_value, 4)) for r in final.collect()}
     w = {(r.user_id, r.n_events, round(r.total_value, 4)) for r in batch.collect()}
     assert g == w
+
+
+def test_enrich_stream_static_matches_batch(spark, events_dir):
+    """Stream-static broadcast enrichment: per-batch join against a
+    static dim must equal the batch join (and carry dim attrs through)."""
+    from mlb_win_predictor_spark.streaming import enrich_stream_static
+
+    e_batch = load_table(spark, SF, "events")
+    dim = (
+        e_batch.select("user_id")
+        .distinct()
+        .withColumn("tier", F.when(F.col("user_id") % 2 == 0, "even").otherwise("odd"))
+    )
+    stream = read_events_stream(spark, events_dir)
+    out = _run_to_memory(
+        spark,
+        enrich_stream_static(stream, dim).select("event_id", "user_id", "tier"),
+        "t_enrich",
+    )
+    got = {tuple(r) for r in out.collect()}
+    want = {
+        tuple(r)
+        for r in e_batch.join(F.broadcast(dim), "user_id", "left")
+        .select("event_id", "user_id", "tier")
+        .collect()
+    }
+    assert got == want
+
+
+def test_cms_sketch_stream_matches_full_sketch(spark, tmp_path):
+    """Incremental CMS over 2 micro-batches == one full-corpus sketch:
+    the persisted sketch never replays the stream yet is cell-identical."""
+    import pandas as pd
+
+    from mlb_win_predictor_spark.operators.sketches import cms_build
+    from mlb_win_predictor_spark.streaming import cms_sketch_stream
+
+    src = tmp_path / "ev_in"
+    src.mkdir()
+    full = pd.read_parquet(f"{SF}/events.parquet")[["event_id", "user_id"]]
+    full.iloc[: len(full) // 2].to_parquet(str(src / "h0.parquet"), index=False)
+    full.iloc[len(full) // 2 :].to_parquet(str(src / "h1.parquet"), index=False)
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = cms_sketch_stream(
+        stream, str(tmp_path / "sketch"), str(tmp_path / "ckpt")
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r.seed, r.bucket): r.n
+        for r in spark.read.parquet(str(tmp_path / "sketch")).collect()
+    }
+    want = {
+        (r.seed, r.bucket): r.n
+        for r in cms_build(spark.createDataFrame(full), "user_id").collect()
+    }
+    assert got == want
