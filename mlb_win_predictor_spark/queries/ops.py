@@ -386,12 +386,43 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(sketch, probes, "user_id").orderBy("user_id")
 
 
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link analysis over the part co-purchase graph: parts appearing in
+    the same order are bidirectionally linked; 5 PageRank iterations
+    (operators.graph — one edge join + one agg per step,
+    localCheckpoint-truncated lineage) rank the graph's hub parts.
+    Rows-only: iterative float fixed-point, not SQL-expressible at equal
+    precision. Top-20 by (rounded rank, part) for a bounded, deterministic
+    result."""
+    from ..operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    )
+    ranks = pagerank(edges, iterations=5)
+    return (
+        ranks.select("node", stable_round(F.col("rank") * 1000, 6).alias("rank_permille"))
+        .orderBy(F.desc("rank_permille"), "node")
+        .limit(20)
+    )
+
+
 QUERIES: dict[str, QueryDef] = {
     "kl_divergence_slices": QueryDef(
         kl_divergence_slices, KL_DIVERGENCE_SQL, "ops: KL distribution drift per slice"
     ),
     "cms_heavy_hitters": QueryDef(
         cms_heavy_hitters, None, "ops: count-min sketch frequency estimates"
+    ),
+    "pagerank_copurchase": QueryDef(
+        pagerank_copurchase, None, "ops: PageRank over part co-purchase graph"
     ),
     "time_resample_ffill": QueryDef(
         time_resample_ffill, TIME_RESAMPLE_SQL, "ops: calendar gap-fill + forward-fill"

@@ -499,3 +499,36 @@ def test_cms_never_undercounts_and_bounds_overshoot(spark):
     merged = {(r.seed, r.bucket): r.n for r in cms_merge(h1, h2).collect()}
     full = {(r.seed, r.bucket): r.n for r in sketch.collect()}
     assert merged == full
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """DataFrame PageRank vs dense numpy power iteration with the same
+    damping + uniform dangling redistribution: ranks agree to 1e-9 and
+    conserve total mass (sum == 1). Graph includes a dangling node (3)
+    and a cycle, so both code paths are exercised."""
+    import numpy as np
+
+    from mlb_win_predictor_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (4, 3), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(df, iterations=20).collect()}
+
+    n, d = 5, 0.85
+    A = np.zeros((n, n))
+    for s, t in edges:
+        A[s, t] = 1.0
+    deg = A.sum(axis=1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(20):
+        contrib = np.zeros(n)
+        for s in range(n):
+            if deg[s]:
+                contrib += r[s] / deg[s] * A[s]
+        dangling = r[deg == 0].sum()
+        r = (1 - d) / n + d * dangling / n + d * contrib
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+    # dangling sink (3) must out-rank its sources' base rank; hub 2 highest
+    assert got[2] == max(got.values())
