@@ -414,6 +414,69 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINSOR_LO = 0.05
+WINSOR_HI = 0.95
+
+
+def winsorize_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile capping (winsorization) per market segment: clip
+    ``c_acctbal`` to that segment's exact [p05, p95] — the outlier
+    treatment a feature pipeline applies before scaling (complement of
+    the row-dropping `iqr_outlier_filter`). One percentile agg per group
+    (tiny, broadcast back), then a pointwise clamp — no second shuffle.
+    At 100 TB the bounds come from the mergeable sketch
+    (`approx_percentiles`) instead of the exact percentile."""
+    c = load_table(spark, sf_dir, "customer")
+    bounds = c.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", WINSOR_LO).alias("lo"),
+        F.percentile("c_acctbal", WINSOR_HI).alias("hi"),
+    )
+    return (
+        c.join(F.broadcast(bounds), "c_mktsegment")
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            F.least(F.greatest(F.col("c_acctbal"), F.col("lo")), F.col("hi")).alias(
+                "acctbal_winsorized"
+            ),
+            (F.col("c_acctbal") != F.least(F.greatest(F.col("c_acctbal"), F.col("lo")), F.col("hi"))).alias("was_clipped"),
+        )
+    )
+
+
+WINSORIZE_SQL = f"""
+WITH bounds AS (
+  SELECT c_mktsegment,
+         quantile_cont(c_acctbal, {WINSOR_LO}) AS lo,
+         quantile_cont(c_acctbal, {WINSOR_HI}) AS hi
+  FROM customer GROUP BY 1
+)
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       LEAST(GREATEST(c_acctbal, lo), hi) AS acctbal_winsorized,
+       c_acctbal != LEAST(GREATEST(c_acctbal, lo), hi) AS was_clipped
+FROM customer JOIN bounds USING (c_mktsegment)
+"""
+
+
+SAMPLE_K = 100
+
+
+def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic importance sampling of the corpus, weight = document
+    length (operators.sampling A-Res: key = u^(1/w), u from xxhash64 —
+    re-runs and task retries produce the identical sample, which
+    ``rand()``-based sampling cannot guarantee). Executes as
+    TakeOrderedAndProject (per-partition heaps), never a full sort.
+    Rows-only: the hash-derived keys are not SQL-portable."""
+    from ..operators.sampling import weighted_sample
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.length("text").cast("double").alias("w")
+    )
+    return weighted_sample(d, "doc_id", "w", SAMPLE_K)
+
+
 QUERIES: dict[str, QueryDef] = {
     "kl_divergence_slices": QueryDef(
         kl_divergence_slices, KL_DIVERGENCE_SQL, "ops: KL distribution drift per slice"
@@ -423,6 +486,12 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "pagerank_copurchase": QueryDef(
         pagerank_copurchase, None, "ops: PageRank over part co-purchase graph"
+    ),
+    "winsorize_per_group": QueryDef(
+        winsorize_per_group, WINSORIZE_SQL, "ops: percentile capping per group"
+    ),
+    "weighted_sample_docs": QueryDef(
+        weighted_sample_docs, None, "ops: deterministic weighted sample (A-Res)"
     ),
     "time_resample_ffill": QueryDef(
         time_resample_ffill, TIME_RESAMPLE_SQL, "ops: calendar gap-fill + forward-fill"

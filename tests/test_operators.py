@@ -532,3 +532,32 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
     # dangling sink (3) must out-rank its sources' base rank; hub 2 highest
     assert got[2] == max(got.values())
+
+
+def test_weighted_sample_deterministic_and_weight_biased(spark):
+    """A-Res weighted sampling: (a) deterministic across runs, (b) a row
+    with overwhelming weight is always selected, (c) the sample's mean
+    weight exceeds the population's (bias toward heavy rows), (d) exactly
+    k rows, no non-positive-weight rows."""
+    from mlb_win_predictor_spark.operators.sampling import weighted_sample
+
+    o = load_table(spark, SF, "orders").select(
+        "o_orderkey", F.col("o_totalprice").alias("w")
+    )
+    # plant one overwhelming row and one invalid (zero-weight) row
+    o = o.withColumn(
+        "w",
+        F.when(F.col("o_orderkey") == 7, F.lit(1e12)).when(
+            F.col("o_orderkey") == 8, F.lit(0.0)
+        ).otherwise(F.col("w")),
+    )
+    s1 = weighted_sample(o, "o_orderkey", "w", 50).collect()
+    s2 = weighted_sample(o, "o_orderkey", "w", 50).collect()
+    assert [r.o_orderkey for r in s1] == [r.o_orderkey for r in s2]
+    keys = {r.o_orderkey for r in s1}
+    assert len(s1) == 50
+    assert 7 in keys, "overwhelming-weight row must always be sampled"
+    assert 8 not in keys, "zero-weight row must never be sampled"
+    pop_mean = o.filter(F.col("o_orderkey") != 7).agg(F.avg("w")).collect()[0][0]
+    samp_mean = sum(r.w for r in s1 if r.o_orderkey != 7) / (len(s1) - 1)
+    assert samp_mean > pop_mean
