@@ -59,6 +59,12 @@ HEADLINE = [
     "ngram_repetition",
     "decontamination_overlap",
     "mixture_weights",
+    "dedup_jaccard_prefix",
+    "bm25_score",
+    "kl_divergence_slices",
+    "table_diff_reconcile",
+    "time_resample_ffill",
+    "winsorize_per_group",
 ]
 
 
