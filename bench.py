@@ -10,6 +10,7 @@ the plans, not the JIT.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -65,11 +66,23 @@ HEADLINE = [
     "table_diff_reconcile",
     "time_resample_ffill",
     "winsorize_per_group",
+    "word_entropy_quality",
+    "ewma_user_activity",
 ]
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:
     fn = QUERIES[name].fn
+    # queries that cache() intermediates would otherwise accumulate across
+    # the run — late queries would be timed under someone else's memory
+    # pressure. Each timing includes its own cache population, nothing else.
+    spark.catalog.clearCache()
+    # shuffle files / broadcast blocks are only reclaimed when the JVM GCs
+    # the referencing objects (ContextCleaner); across ~90 queries the
+    # backlog degrades late queries ~3x. Collect both runtimes so every
+    # query starts from the same clean state.
+    gc.collect()
+    spark.sparkContext._jvm.System.gc()
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
     n = df.count()

@@ -117,6 +117,69 @@ GROUP BY band
 """
 
 
+OVERLAP_DAYS = 7
+OVERLAP_EPOCH = "1992-01-01"
+
+
+def interval_overlap_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large×large interval-overlap self-join via
+    ``operators.rangejoin.bucketed_interval_join``: each order is active
+    for [orderdate, orderdate+7]; count the other orders whose activity
+    window overlaps. A naive overlap join is a BroadcastNestedLoopJoin /
+    cartesian plan — impossible when BOTH sides are fact-sized — so the
+    value domain is bucketized (width = interval span + 1) and the join
+    becomes an ordinary bucket-key hash shuffle with each pair emitted in
+    its canonical bucket exactly once; the oracle runs the plain
+    inequality join (DuckDB IEJoin) as the semantic ground truth."""
+    from ..operators.rangejoin import bucketed_interval_join
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lit(OVERLAP_EPOCH).cast("date")).alias("s"),
+    ).withColumn("e", F.col("s") + OVERLAP_DAYS)
+    a = o.select(
+        F.col("o_orderkey").alias("a_key"),
+        F.col("s").alias("a_s"),
+        F.col("e").alias("a_e"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("b_key"),
+        F.col("s").alias("b_s"),
+        F.col("e").alias("b_e"),
+    )
+    pairs = bucketed_interval_join(
+        a, b, "a_s", "a_e", "b_s", "b_e",
+        bucket_width=OVERLAP_DAYS + 1,
+        extra_cond=F.col("a_key") != F.col("b_key"),
+    )
+    counts = pairs.groupBy("a_key").agg(F.count(F.lit(1)).alias("n_overlaps"))
+    return (
+        o.select(F.col("o_orderkey"))
+        .join(counts, o.o_orderkey == counts.a_key, "left")
+        .select(
+            "o_orderkey",
+            F.coalesce(F.col("n_overlaps"), F.lit(0)).alias("n_overlaps"),
+        )
+    )
+
+
+INTERVAL_OVERLAP_SQL = f"""
+WITH iv AS (
+  SELECT o_orderkey,
+         date_diff('day', DATE '{OVERLAP_EPOCH}', o_orderdate) AS s,
+         date_diff('day', DATE '{OVERLAP_EPOCH}', o_orderdate) + {OVERLAP_DAYS} AS e
+  FROM orders
+), pairs AS (
+  SELECT a.o_orderkey AS a_key, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+  FROM iv a JOIN iv b
+    ON a.s <= b.e AND b.s <= a.e AND a.o_orderkey != b.o_orderkey
+  GROUP BY 1
+)
+SELECT iv.o_orderkey, COALESCE(p.n_overlaps, 0) AS n_overlaps
+FROM iv LEFT JOIN pairs p ON iv.o_orderkey = p.a_key
+"""
+
+
 def range_between_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE frame (SURVEY §2.6): per order, count+sum of the customer's
     orders in the previous 90 days (value-based frame, not row-based) —
@@ -637,6 +700,11 @@ QUERIES: dict[str, QueryDef] = {
     "cube_aggregation": QueryDef(cube_aggregation, CUBE_SQL, "cube lattice"),
     "cross_join_dims": QueryDef(cross_join_dims, CROSS_JOIN_SQL, "cross join"),
     "range_join_bands": QueryDef(range_join_bands, RANGE_JOIN_SQL, "non-equi range join"),
+    "interval_overlap_counts": QueryDef(
+        interval_overlap_counts,
+        INTERVAL_OVERLAP_SQL,
+        "large×large interval-overlap join via bucketization",
+    ),
     "range_between_window": QueryDef(
         range_between_window, RANGE_BETWEEN_SQL, "RANGE window frame"
     ),

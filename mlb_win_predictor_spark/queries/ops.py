@@ -459,6 +459,149 @@ FROM customer JOIN bounds USING (c_mktsegment)
 """
 
 
+def robust_scale_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/IQR robust scaling per market segment — the outlier-immune
+    alternative to z-score standardization (`standardize_per_group`),
+    and the scaling step that usually follows `winsorize_per_group`.
+    Same shape as winsorize: one exact-percentile agg per group (tiny,
+    broadcast back), then a pointwise map — one shuffle total, and the
+    (x−median)/IQR arithmetic is single exact double ops, so no rounding
+    is needed for parity. At 100 TB the bounds come from the mergeable
+    GK sketch (`approx_percentiles`) instead of the exact percentile."""
+    c = load_table(spark, sf_dir, "customer")
+    bounds = c.groupBy("c_mktsegment").agg(
+        F.percentile("c_acctbal", 0.5).alias("med"),
+        F.percentile("c_acctbal", 0.25).alias("q1"),
+        F.percentile("c_acctbal", 0.75).alias("q3"),
+    )
+    return c.join(F.broadcast(bounds), "c_mktsegment").select(
+        "c_custkey",
+        "c_mktsegment",
+        "c_acctbal",
+        (
+            (F.col("c_acctbal") - F.col("med")) / (F.col("q3") - F.col("q1"))
+        ).alias("acctbal_scaled"),
+    )
+
+
+ROBUST_SCALE_SQL = """
+WITH bounds AS (
+  SELECT c_mktsegment,
+         quantile_cont(c_acctbal, 0.5)  AS med,
+         quantile_cont(c_acctbal, 0.25) AS q1,
+         quantile_cont(c_acctbal, 0.75) AS q3
+  FROM customer GROUP BY 1
+)
+SELECT c_custkey, c_mktsegment, c_acctbal,
+       (c_acctbal - med) / (q3 - q1) AS acctbal_scaled
+FROM customer JOIN bounds USING (c_mktsegment)
+"""
+
+
+EWMA_TAPS = 16
+EWMA_USER_CAP = 40
+
+
+def ewma_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of per-user daily event
+    counts — the trend-following smoother behind rate alerting and
+    engagement scores. α=1/2 with a 16-tap truncated kernel, written as
+    16 ``lag`` terms over ONE window: every weight is a power of two and
+    every daily count a small integer, so each term — and the whole sum —
+    is exactly representable in a double. The result is bit-identical on
+    any engine and any evaluation order, which no float-weighted EWMA can
+    claim; that is what makes this entry hash-checkable against the
+    oracle with no rounding. One shuffle (window by user); the 16 lags
+    share a single sort, and the kernel tail (2^-16) is far below any
+    alerting threshold, so truncation is semantically free."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < EWMA_USER_CAP)
+    daily = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = W.partitionBy("user_id").orderBy("day")
+    ewma = F.col("cnt").cast("double") * F.lit(0.5)
+    for k in range(1, EWMA_TAPS):
+        ewma = ewma + F.coalesce(F.lag("cnt", k).over(w), F.lit(0)).cast(
+            "double"
+        ) * F.lit(2.0 ** -(k + 1))
+    return daily.select("user_id", "day", "cnt", ewma.alias("ewma_cnt"))
+
+
+EWMA_SQL = (
+    """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+  FROM events WHERE user_id < """
+    + str(EWMA_USER_CAP)
+    + """
+  GROUP BY 1, 2
+)
+SELECT user_id, day, cnt,
+       cnt * CAST(0.5 AS DOUBLE)
+"""
+    + "".join(
+        f"       + COALESCE(LAG(cnt, {k}) OVER w, 0) * CAST({2.0 ** -(k + 1)!r} AS DOUBLE)\n"
+        for k in range(1, EWMA_TAPS)
+    )
+    + """       AS ewma_cnt
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY day)
+"""
+)
+
+
+WAU_WINDOW = 7
+
+
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day (the WAU curve).
+    COUNT(DISTINCT) over a sliding window is not incrementally computable
+    — a window-function form would keep every user id in frame state per
+    row. The scale idiom instead REPLICATES each (user, day) observation
+    to the ≤7 report days it can influence (map-side explode, ×7 fixed
+    fan-out) and runs ONE distinct aggregation keyed (report_day, user):
+    two ordinary hash shuffles, partial-aggregated, no per-row set state.
+    Report days are clipped to the observed range so the curve has no
+    lead-in ramp beyond the data's own span."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    obs = e.distinct()  # (user, day) grain is enough; drops event fan-in early
+    span = obs.agg(F.max("day").alias("mx")).select("mx")
+    reported = (
+        obs.select(
+            "user_id",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add("day", WAU_WINDOW - 1))
+            ).alias("report_day"),
+        )
+        .crossJoin(F.broadcast(span))
+        .filter(F.col("report_day") <= F.col("mx"))
+    )
+    return reported.groupBy("report_day").agg(
+        F.count_distinct("user_id").alias("active_users")
+    )
+
+
+ROLLING_WAU_SQL = f"""
+WITH obs AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), span AS (
+  SELECT MAX(day) AS mx FROM obs
+), reported AS (
+  SELECT user_id,
+         CAST(UNNEST(generate_series(CAST(day AS TIMESTAMP),
+                                     CAST(day + INTERVAL {WAU_WINDOW - 1} DAY AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS report_day
+  FROM obs
+)
+SELECT report_day, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users
+FROM reported, span
+WHERE report_day <= mx
+GROUP BY 1
+"""
+
+
 SAMPLE_K = 100
 
 
@@ -510,5 +653,14 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "zscore_anomalies": QueryDef(
         zscore_anomalies, ZSCORE_SQL, "ops: windowed z-score anomaly flags"
+    ),
+    "robust_scale_per_group": QueryDef(
+        robust_scale_per_group, ROBUST_SCALE_SQL, "ops: median/IQR robust scaling"
+    ),
+    "ewma_user_activity": QueryDef(
+        ewma_user_activity, EWMA_SQL, "ops: exact dyadic-weight EWMA smoothing"
+    ),
+    "rolling_active_users": QueryDef(
+        rolling_active_users, ROLLING_WAU_SQL, "ops: rolling 7-day distinct users (WAU)"
     ),
 }

@@ -717,19 +717,17 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
-    )
+    ).filter(F.size(F.col("toks")) >= PREFIX_N)
+    # staged projection (see _word_ngrams): tokens materialized once per
+    # row, never re-split per shingle inside the interpreted HOF lambda
     shingled = d.select(
         "doc_id",
         F.array_sort(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.greatest(F.size("toks") - (PREFIX_N - 1), F.lit(0))),
-                    lambda i: F.concat_ws(" ", F.slice("toks", i, PREFIX_N)),
-                )
-            )
+            F.array_distinct(_word_ngrams(F.col("toks"), PREFIX_N))
         ).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
-    # Persist: reused by the df agg, the prefix index, and the re-check join.
+    )
+    # Persist: reused by the df agg, the prefix index, and both sides of
+    # the candidate self-join.
     shingled = shingled.persist()
     exploded = shingled.select("doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh"))
     df_tbl = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
@@ -741,29 +739,49 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(W.partitionBy("doc_id").orderBy("df", "sh")),
         )
         .filter(F.col("rn") <= prefix_len)
-        .select("doc_id", "sh")
+        .select("doc_id", "sh", "n_sh")
     ).persist()
+    # candidate join with the PPJoin LENGTH filter folded in: J >= t forces
+    # t*|A| <= |B| <= |A|/t, an integer predicate that prunes candidates
+    # BEFORE the distinct and before any array_intersect is attempted
     cand = (
         prefix.alias("a")
-        .join(prefix.alias("b"), (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .join(
+            prefix.alias("b"),
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n_sh") <= 2 * F.col("b.n_sh"))
+            & (F.col("b.n_sh") <= 2 * F.col("a.n_sh")),
+        )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
     sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    return (
+    # integer-threshold recheck: J >= 1/2  <=>  3*|A∩B| >= |A|+|B|, so the
+    # pushed-down filter never duplicates the float jaccard expression and
+    # array_intersect runs once per candidate (plus once per survivor)
+    scored = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("i"),
+            F.size("sh_a").alias("na"),
+            F.size("sh_b").alias("nb"),
+        )
+    )
+    return (
+        scored.filter(F.lit(3) * F.col("i") >= F.col("na") + F.col("nb"))
+        .select(
+            "doc_a",
+            "doc_b",
             stable_round(
-                inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter),
+                F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i")),
                 6,
             ).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= PREFIX_T)
     )
 
 
@@ -792,7 +810,7 @@ SELECT doc_a, doc_b,
 FROM shared
 JOIN sized sa ON doc_a = sa.doc_id
 JOIN sized sb ON doc_b = sb.doc_id
-WHERE (ROUND(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) * 1e6) / 1e6) >= {PREFIX_T}
+WHERE 3 * n_shared >= sa.n_sh + sb.n_sh
 """
 
 
@@ -867,6 +885,62 @@ FROM toked, stats
 """
 
 
+def word_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's word distribution — the
+    information-theoretic quality signal that catches both boilerplate
+    (low entropy: few words dominate) and keyword-stuffed spam, which
+    simple type-token / stopword ratios miss. H = ln(n) − Σ c·ln(c) / n
+    over per-doc word counts c (exact integers on both engines; the only
+    float work is the final ln/divide, rounded 6dp like the KL entry).
+
+    Plan shape: explode + one hash agg keyed (doc_id, word) + one keyed
+    doc_id — both partial-aggregated map-side, and the second reuses the
+    first's hash partitioning on the doc_id prefix. At 100 TB the same
+    statistic comes from a map-only pass (sort each doc's token array and
+    length-count runs in one projection) if the token-level shuffle ever
+    dominates; the explode form is kept here because it is the one whose
+    intermediate (word counts) is reused by TF-IDF/BM25 upstream."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    wc = (
+        d.select("doc_id", F.explode(toks).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("c") * F.log("c")).alias("sum_clnc"),
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        stable_round(
+            F.log("n_tokens") - F.col("sum_clnc") / F.col("n_tokens"), 6
+        ).alias("word_entropy"),
+    )
+
+
+WORD_ENTROPY_SQL = r"""
+WITH w AS (
+  SELECT doc_id, unnest(regexp_split_to_array(TRIM(text), '\s+')) AS word
+  FROM documents
+), wc AS (
+  SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY 1, 2
+), per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         SUM(c * LN(c)) AS sum_clnc
+  FROM wc GROUP BY 1
+)
+SELECT doc_id, n_tokens, n_distinct,
+       (ROUND((LN(n_tokens) - sum_clnc / n_tokens) * 1e6) / 1e6) AS word_entropy
+FROM per_doc
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "token_count": QueryDef(token_count, TOKEN_COUNT_SQL, "text: token counting"),
     "token_count_bpe": QueryDef(token_count_bpe, TOKEN_BPE_SQL, "text: BPE-ish tokenizer"),
@@ -902,4 +976,7 @@ QUERIES: dict[str, QueryDef] = {
         "dedup: prefix-filtered exact Jaccard join (PPJoin-style, full corpus)",
     ),
     "bm25_score": QueryDef(bm25_score, BM25_SQL, "text: BM25 relevance scoring"),
+    "word_entropy_quality": QueryDef(
+        word_entropy_quality, WORD_ENTROPY_SQL, "text: Shannon word-entropy quality signal"
+    ),
 }

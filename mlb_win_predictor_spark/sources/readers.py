@@ -42,6 +42,32 @@ def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).orc(path)
 
 
+def read_xml(
+    spark: SparkSession, path: str, row_tag: str = "row", **options
+) -> DataFrame:
+    """XML source (native in Spark 4 — the merged spark-xml module): one
+    row per ``row_tag`` element, schema inferred or supplied. The landing
+    format of feed/sitemap/API-dump ingestion. Files split per-element,
+    so a directory of XML dumps parallelizes like any other file source;
+    prefer converting to parquet at the ingest boundary — XML has no
+    column pruning or predicate pushdown."""
+    return (
+        spark.read.format("xml").option("rowTag", row_tag).options(**options).load(path)
+    )
+
+
+def write_xml(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    mode: str = "overwrite",
+) -> None:
+    df.write.format("xml").option("rowTag", row_tag).option(
+        "rootTag", root_tag
+    ).mode(mode).save(path)
+
+
 def read_text(spark: SparkSession, path: str, wholetext: bool = False) -> DataFrame:
     """Raw text source: one row per line (or per file with
     ``wholetext``) in a single ``value`` column — the landing format of a

@@ -62,6 +62,50 @@ def write_sized_parquet(
     return files
 
 
+def write_partition_overwrite(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Idempotent partition-level backfill: with
+    ``spark.sql.sources.partitionOverwriteMode=dynamic``, an INSERT
+    OVERWRITE replaces ONLY the partitions present in ``df`` and leaves
+    every other partition untouched — the reference's
+    yesterday's-rows-re-fetch UPDATE pass (src/function.py:462-539)
+    becomes "recompute the affected day-partitions and overwrite them",
+    the restartable/idempotent form a 100 TB pipeline needs (a re-run of
+    the same backfill converges instead of appending duplicates). Static
+    mode (the default) would truncate the whole table first — that
+    footgun is why the conf is set HERE, scoped to this writer."""
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
+def compact_small_files(
+    spark, path: str, target_rows_per_file: int, order_cols: list[str] | None = None
+) -> int:
+    """Table-maintenance compaction (the OPTIMIZE of lakehouse engines):
+    read a parquet directory that has accumulated small files (streaming
+    micro-batches, per-executor shuffle outputs, incremental appends) and
+    rewrite it at the target file size via ``write_sized_parquet``.
+    Returns the new file count. Writes to a temp sibling then swaps, so a
+    failed compaction never destroys the input."""
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    files = write_sized_parquet(df, tmp, target_rows_per_file, order_cols)
+    old = path.rstrip("/") + "._compact_old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return files
+
+
 Z_BITS = 21
 
 

@@ -295,6 +295,56 @@ def cms_sketch_stream(events: DataFrame, sketch_path: str, checkpoint: str, key:
     )
 
 
+def incremental_rollup_stream(events: DataFrame, rollup_path: str, checkpoint: str):
+    """Incremental materialized-view maintenance — the nightly-rescan
+    replacement: each micro-batch partially aggregates to
+    (day, event_type) → (n, total) and is key-wise ADDED into the stored
+    rollup. Counts and DECIMAL sums are commutative monoids, so
+    batch-boundary placement cannot change the result, the fact stream
+    is never replayed, and the rollup stays O(days × types) rows forever
+    while the facts grow to 100 TB.
+
+    Additive merges are NOT replay-safe by construction (a re-delivered
+    foreachBatch epoch would double-count — unlike the last-writer-wins
+    join+overwrite of ``upsert_outcomes_foreach_batch``), so each applied
+    epoch leaves a marker and a replayed epoch is skipped: at-least-once
+    delivery + idempotent apply = exactly-once rollup contents."""
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        marker = rollup_path + f"._epochs/{epoch_id}"
+        if os.path.exists(marker):
+            return
+        delta = (
+            batch.groupBy(F.to_date("ts").alias("day"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
+            )
+            .withColumn("total", F.col("total").cast("decimal(28,2)"))
+        )
+        if os.path.exists(rollup_path):
+            cur = spark.read.parquet(rollup_path)
+            merged = (
+                cur.unionByName(delta)
+                .groupBy("day", "event_type")
+                .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+                .withColumn("total", F.col("total").cast("decimal(28,2)"))
+            )
+        else:
+            merged = delta
+        tmp = rollup_path + f".tmp_epoch_{epoch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(rollup_path)
+        os.makedirs(marker, exist_ok=True)
+
+    return (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
 def upsert_outcomes_foreach_batch(
     updates: DataFrame, games_path: str, checkpoint: str
 ):

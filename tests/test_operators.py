@@ -561,3 +561,43 @@ def test_weighted_sample_deterministic_and_weight_biased(spark):
     pop_mean = o.filter(F.col("o_orderkey") != 7).agg(F.avg("w")).collect()[0][0]
     samp_mean = sum(r.w for r in s1 if r.o_orderkey != 7) / (len(s1) - 1)
     assert samp_mean > pop_mean
+
+
+def test_bucketed_interval_join_matches_naive_and_avoids_nested_loop(spark):
+    """operators.rangejoin: bucketized overlap join returns EXACTLY the
+    naive non-equi join's pairs (each once), while planning as an
+    equi-join shuffle (SortMergeJoin/ShuffledHashJoin on _bucket) rather
+    than BroadcastNestedLoopJoin/CartesianProduct — the only shape that
+    survives two fact-sized sides."""
+    from mlb_win_predictor_spark.operators.rangejoin import bucketed_interval_join
+
+    o = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey",
+        F.datediff("o_orderdate", F.lit("1992-01-01").cast("date")).alias("s"),
+    ).withColumn("e", F.col("s") + 7)
+    a = o.select(
+        F.col("o_orderkey").alias("a_key"), F.col("s").alias("a_s"), F.col("e").alias("a_e")
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("b_key"), F.col("s").alias("b_s"), F.col("e").alias("b_e")
+    )
+    fast = bucketed_interval_join(
+        a, b, "a_s", "a_e", "b_s", "b_e", bucket_width=8,
+        extra_cond=F.col("a_key") != F.col("b_key"),
+    )
+    got = [(r.a_key, r.b_key) for r in fast.collect()]
+    assert len(got) == len(set(got)), "pair emitted more than once"
+    naive = a.join(
+        b,
+        (F.col("a_s") <= F.col("b_e"))
+        & (F.col("b_s") <= F.col("a_e"))
+        & (F.col("a_key") != F.col("b_key")),
+    )
+    want = {(r.a_key, r.b_key) for r in naive.collect()}
+    assert set(got) == want and len(want) > 0
+
+    plan = fast._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan  # tiny test input may still broadcast
+    )

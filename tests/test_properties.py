@@ -75,3 +75,25 @@ def test_stable_round_is_idempotent_and_bounded(spark, vals, k):
         # the step — only assert boundedness in the exactly-representable range
         if abs(r.x) < 2**52 / 10.0**k:
             assert abs(r.r1 - r.x) <= step * 0.5 + abs(r.x) * 1e-15
+
+
+def test_ewma_dyadic_weights_are_bit_exact(spark):
+    """ewma_user_activity's claim: with power-of-two weights and integer
+    counts, the 16-tap EWMA is EXACTLY representable — Spark must equal a
+    sequential pure-Python evaluation bit-for-bit (== on floats, no
+    tolerance), for every user/day in the sf0.001 events table."""
+    from mlb_win_predictor_spark.queries.ops import EWMA_TAPS, ewma_user_activity
+
+    rows = ewma_user_activity(spark, "/root/testdata/sf0.001").collect()
+    series: dict = {}
+    for r in sorted(rows, key=lambda r: (r.user_id, r.day)):
+        series.setdefault(r.user_id, []).append((r.day, r.cnt, r.ewma_cnt))
+    assert series, "no users under cap"
+    for user, pts in series.items():
+        counts = [c for _, c, _ in pts]
+        for i, (_, _, got) in enumerate(pts):
+            want = 0.0
+            for k in range(EWMA_TAPS):
+                x = counts[i - k] if i - k >= 0 else 0
+                want += x * 2.0 ** -(k + 1)
+            assert got == want, (user, i, got, want)

@@ -129,6 +129,19 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert "o_orderstatus" in plan  # predicate reaches the ORC scan node
 
 
+def test_xml_roundtrip(spark, tmp_path):
+    from mlb_win_predictor_spark.sources import read_xml, write_xml
+
+    n = load_table(spark, SF, "nation")
+    out = str(tmp_path / "nation_xml")
+    write_xml(n, out, row_tag="nation")
+    back = read_xml(spark, out, row_tag="nation")
+    assert set(back.columns) == set(n.columns)
+    orig = {r.n_nationkey: r.n_name for r in n.collect()}
+    got = {r.n_nationkey: r.n_name for r in back.collect()}
+    assert got == orig
+
+
 def test_text_source_line_per_row(spark, tmp_path):
     from mlb_win_predictor_spark.sources import read_text
 
@@ -398,3 +411,50 @@ def test_kll_quantile_rollup_rank_error(spark):
     for q, est in ((0.5, row.p50), (0.95, row.p95), (0.99, row.p99)):
         rank = bisect.bisect_left(vals, est) / n
         assert abs(rank - q) < 0.015, (q, est, rank)
+
+
+def test_partition_overwrite_replaces_only_touched_partitions(spark, tmp_path):
+    """Dynamic partition overwrite: backfilling one o_orderstatus
+    partition must leave the others byte-identical AND be idempotent
+    (re-running the same backfill changes nothing)."""
+    from mlb_win_predictor_spark.sources import write_partition_overwrite
+
+    o = load_table(spark, SF, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    out = str(tmp_path / "po")
+    write_partition_overwrite(o, out, ["o_orderstatus"])
+    before = {
+        r.o_orderkey: r.o_totalprice for r in spark.read.parquet(out).collect()
+    }
+
+    # backfill: recompute ONLY the 'F' partition with doubled prices
+    patch = o.filter(F.col("o_orderstatus") == "F").withColumn(
+        "o_totalprice", F.col("o_totalprice") * 2
+    )
+    for _ in range(2):  # idempotence: second run must be a no-op
+        write_partition_overwrite(patch, out, ["o_orderstatus"])
+        after = spark.read.parquet(out)
+        got = {r.o_orderkey: r.o_totalprice for r in after.collect()}
+        stat = {r.o_orderkey: r.o_orderstatus for r in after.collect()}
+        assert len(got) == len(before)  # no rows appended or lost
+        for k, v in got.items():
+            if stat[k] == "F":
+                assert v == before[k] * 2
+            else:
+                assert v == before[k]  # untouched partitions intact
+
+
+def test_compact_small_files_reduces_file_count(spark, tmp_path):
+    from mlb_win_predictor_spark.sources import compact_small_files
+
+    o = load_table(spark, SF, "orders")
+    out = str(tmp_path / "frag")
+    o.repartition(24).write.parquet(out)  # simulate micro-batch fragmentation
+    n = o.count()
+    assert len(glob.glob(os.path.join(out, "part-*.parquet"))) == 24
+    files = compact_small_files(spark, out, target_rows_per_file=max(1, n // 2))
+    parts = glob.glob(os.path.join(out, "part-*.parquet"))
+    # round-robin imbalance can split one straggler via maxRecordsPerFile
+    assert files <= len(parts) <= files + 1 <= 4
+    assert spark.read.parquet(out).count() == n

@@ -309,3 +309,59 @@ def test_cms_sketch_stream_matches_full_sketch(spark, tmp_path):
         for r in cms_build(spark.createDataFrame(full), "user_id").collect()
     }
     assert got == want
+
+
+def test_incremental_rollup_stream_matches_batch_and_skips_replays(spark, tmp_path):
+    """Materialized-view maintenance: the rollup after 2 micro-batches
+    equals one batch agg over everything; re-delivering the same epochs
+    (fresh checkpoint, same markers) must NOT double-count."""
+    import pandas as pd
+
+    from mlb_win_predictor_spark.streaming import incremental_rollup_stream
+
+    src = tmp_path / "ev_roll"
+    src.mkdir()
+    full = pd.read_parquet(f"{SF}/events.parquet")[["event_id", "ts", "event_type", "value"]]
+    full["ts"] = full["ts"].astype("datetime64[us]")
+    full.iloc[: len(full) // 2].to_parquet(str(src / "h0.parquet"), index=False)
+    full.iloc[len(full) // 2 :].to_parquet(str(src / "h1.parquet"), index=False)
+
+    def start(ckpt):
+        stream = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, event_type string, value double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = incremental_rollup_stream(
+            stream, str(tmp_path / "rollup"), str(tmp_path / ckpt)
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+
+    start("ckpt1")
+
+    def snapshot():
+        return {
+            (str(r.day), r.event_type): (r.n, str(r.total))
+            for r in spark.read.parquet(str(tmp_path / "rollup")).collect()
+        }
+
+    got = snapshot()
+    want = {
+        (str(r.day), r.event_type): (r.n, str(r.total))
+        for r in spark.createDataFrame(full)
+        .groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("decimal(28,2)").alias("total"),
+        )
+        .collect()
+    }
+    assert got == want
+
+    # replay: fresh checkpoint re-delivers epochs 0/1 with the same ids —
+    # the epoch markers must make the additive merge a no-op
+    start("ckpt2")
+    assert snapshot() == got
