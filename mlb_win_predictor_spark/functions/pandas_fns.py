@@ -39,7 +39,10 @@ def grouped_median_arrow(df: DataFrame, group_col: str, value_col: str) -> DataF
     pytest-pinned; at 100 TB prefer this shape for wide groups (zero
     per-group pandas object overhead).
 
-    Closure is self-contained (local imports only)."""
+    Closure is self-contained (local imports only). The group column's
+    output type is derived from the input schema (NOT hardcoded), so
+    non-string keys — e.g. a long user_id — round-trip unchanged."""
+    group_type = df.schema[group_col].dataType.simpleString()
 
     def _median(table):
         import numpy as _np
@@ -55,7 +58,7 @@ def grouped_median_arrow(df: DataFrame, group_col: str, value_col: str) -> DataF
         )
 
     return df.select(group_col, value_col).groupBy(group_col).applyInArrow(
-        _median, schema=f"{group_col} string, median_value double"
+        _median, schema=f"{group_col} {group_type}, median_value double"
     )
 
 
@@ -113,9 +116,10 @@ def standardize_per_group(
     """Per-group z-score standardization via applyInPandas: each group's
     pandas frame is scaled with its own mean/std (ddof=0, sklearn
     semantics — the scaler the reference fits per feature family,
-    modeling/modeling.ipynb:144)."""
+    modeling/modeling.ipynb:144). The group column's output type comes
+    from the input schema, so non-string keys pass through unchanged."""
     out_schema = ", ".join(
-        [f"{group_col} string"]
+        [f"{group_col} {df.schema[group_col].dataType.simpleString()}"]
         + [f"{c} double" for c in value_cols]
     )
     cols = list(value_cols)

@@ -334,28 +334,35 @@ def incremental_neardup_filter(
     new_bands = minhash_band_index(
         new_docs, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands, seed=seed
     ).persist()
-    probe = new_bands.select(
-        "band_idx", "band_sig", F.col(id_col).alias("_new_id")
-    )
-    hit_corpus = (
-        index.join(F.broadcast(probe), ["band_idx", "band_sig"])
-        .select(F.col("_new_id").alias(id_col))
-        .distinct()
-    )
-    hit_batch = (
-        new_bands.alias("a")
-        .join(
-            new_bands.alias("b"),
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    try:
+        probe = new_bands.select(
+            "band_idx", "band_sig", F.col(id_col).alias("_new_id")
         )
-        .select(F.col(f"b.{id_col}").alias(id_col))
-        .distinct()
-    )
-    return new_docs.join(
-        hit_corpus.unionByName(hit_batch).distinct(), id_col, "left_anti"
-    )
+        hit_corpus = (
+            index.join(F.broadcast(probe), ["band_idx", "band_sig"])
+            .select(F.col("_new_id").alias(id_col))
+            .distinct()
+        )
+        hit_batch = (
+            new_bands.alias("a")
+            .join(
+                new_bands.alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_sig") == F.col("b.band_sig"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+            )
+            .select(F.col(f"b.{id_col}").alias(id_col))
+            .distinct()
+        )
+        # Eagerly materialize the (tiny, <= batch-size) hit-id set so the
+        # cached band table is consumed exactly once and can be released
+        # HERE instead of leaking in executor storage for the life of the
+        # long-running ingest loop (localCheckpoint truncates lineage, so
+        # the returned plan no longer references new_bands).
+        hits = hit_corpus.unionByName(hit_batch).distinct().localCheckpoint(eager=True)
+    finally:
+        new_bands.unpersist()
+    return new_docs.join(hits, id_col, "left_anti")
 
 
 def simhash_buckets(

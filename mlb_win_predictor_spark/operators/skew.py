@@ -81,7 +81,18 @@ def salted_join(
     n_salts — only viable when small really is small, which is also when
     you'd rather broadcast; this exists for the mid-size case where the
     build side exceeds the broadcast threshold but a hot probe key still
-    dominates a reducer)."""
+    dominates a reducer).
+
+    Only ``inner`` and ``left`` (big-side-preserving) joins are
+    supported: the small side is replicated once per salt, so a
+    ``right``/``full`` join would emit each UNMATCHED small-side row
+    ``n_salts`` times — silently wrong, hence rejected."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in ('inner','left'), got {how!r}: "
+            "the replicated small side would duplicate unmatched rows "
+            "under right/full joins"
+        )
     other_cols = [c for c in big.columns if c != key][:1] or [key]
     b = big.withColumn("_salt", _salt(n_salts, *other_cols))
     salts = big.sparkSession.range(n_salts).select(F.col("id").cast("int").alias("_salt"))

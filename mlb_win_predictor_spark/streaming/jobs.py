@@ -18,6 +18,7 @@ fallback, SURVEY §7).
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -233,11 +234,21 @@ def incremental_dedup_stream(
 
     State lives in the two parquet tables, not the streaming engine
     (same pattern as the foreachBatch MERGE): restart-safe via the
-    checkpoint + idempotent band append per epoch directory."""
+    checkpoint + an epoch marker. foreachBatch is at-least-once, and the
+    appends are NOT naturally idempotent, so each applied epoch leaves a
+    marker and a replayed epoch is skipped. The index append runs BEFORE
+    the corpus append: a crash between them replays into a duplicate
+    index band (harmless — candidate hits are ``distinct``-ed) rather
+    than a duplicate corpus row; only a crash in the write-kept→mkdir
+    window can duplicate corpus rows (Delta's transactional MERGE is the
+    production close of that residual window)."""
     from ..operators.dedup import incremental_neardup_filter, minhash_band_index
 
     def dedup_batch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
+        marker = kept_path + f"._epochs/{epoch_id}"
+        if os.path.exists(marker):
+            return
         if os.path.exists(index_path):
             index = spark.read.parquet(index_path)
         else:
@@ -245,9 +256,12 @@ def incremental_dedup_stream(
                 [], "doc_id long, band_idx int, band_sig long"
             )
         kept = incremental_neardup_filter(index, batch).persist()
-        kept.write.mode("append").parquet(kept_path)
-        minhash_band_index(kept).write.mode("append").parquet(index_path)
-        kept.unpersist()
+        try:
+            minhash_band_index(kept).write.mode("append").parquet(index_path)
+            kept.write.mode("append").parquet(kept_path)
+        finally:
+            kept.unpersist()
+        os.makedirs(marker, exist_ok=True)
 
     return (
         new_docs.writeStream.foreachBatch(dedup_batch)
@@ -274,11 +288,19 @@ def cms_sketch_stream(events: DataFrame, sketch_path: str, checkpoint: str, key:
     and the sketch stays ≤ depth×width rows forever. The streaming dual
     of ``queries.ops.cms_heavy_hitters``; merged-result equivalence to a
     single full-corpus sketch is the mergeability guarantee tested in
-    tests/test_operators.py and tests/test_streaming.py."""
+    tests/test_operators.py and tests/test_streaming.py.
+
+    Additive cell-wise merges are not replay-safe (at-least-once
+    foreachBatch would double-count a re-delivered epoch), so the same
+    epoch-marker guard as ``incremental_rollup_stream`` applies: skip
+    already-applied epochs, create the marker after the swap."""
     from ..operators.sketches import cms_build, cms_merge
 
     def sketch_batch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
+        marker = sketch_path + f"._epochs/{epoch_id}"
+        if os.path.exists(marker):
+            return
         delta = cms_build(batch, key)
         if os.path.exists(sketch_path):
             merged = cms_merge(spark.read.parquet(sketch_path), delta)
@@ -286,7 +308,9 @@ def cms_sketch_stream(events: DataFrame, sketch_path: str, checkpoint: str, key:
             merged = delta
         tmp = sketch_path + f".tmp_epoch_{epoch_id}"
         merged.write.mode("overwrite").parquet(tmp)
-        batch.sparkSession.read.parquet(tmp).write.mode("overwrite").parquet(sketch_path)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(sketch_path)
+        os.makedirs(marker, exist_ok=True)
+        shutil.rmtree(tmp, ignore_errors=True)
 
     return (
         events.writeStream.foreachBatch(sketch_batch)
@@ -337,6 +361,7 @@ def incremental_rollup_stream(events: DataFrame, rollup_path: str, checkpoint: s
         merged.write.mode("overwrite").parquet(tmp)
         spark.read.parquet(tmp).write.mode("overwrite").parquet(rollup_path)
         os.makedirs(marker, exist_ok=True)
+        shutil.rmtree(tmp, ignore_errors=True)
 
     return (
         events.writeStream.foreachBatch(merge_batch)
@@ -372,8 +397,8 @@ def upsert_outcomes_foreach_batch(
         )
         tmp = games_path + f".tmp_epoch_{epoch_id}"
         merged.write.mode("overwrite").parquet(tmp)
-        final = spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(games_path)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(games_path)
+        shutil.rmtree(tmp, ignore_errors=True)
 
     return (
         updates.writeStream.foreachBatch(merge_batch)

@@ -472,6 +472,30 @@ def test_grouped_median_arrow_matches_pandas_udaf(spark):
     assert arrow == pandas_
 
 
+def test_grouped_pandas_fns_accept_non_string_group_keys(spark):
+    """The output schema's group-column type is derived from the input
+    schema: a LONG key (c_nationkey) must round-trip as long, not be
+    coerced to / fail on a hardcoded string type."""
+    from mlb_win_predictor_spark.functions.pandas_fns import (
+        grouped_median,
+        grouped_median_arrow,
+        standardize_per_group,
+    )
+
+    c = load_table(spark, SF, "customer")
+    arrow_df = grouped_median_arrow(c, "c_nationkey", "c_acctbal")
+    assert dict(arrow_df.dtypes)["c_nationkey"] == "bigint"
+    arrow = {r.c_nationkey: r.median_value for r in arrow_df.collect()}
+    pandas_ = {
+        r.c_nationkey: r.median_value
+        for r in grouped_median(c, "c_nationkey", "c_acctbal").collect()
+    }
+    assert arrow == pandas_
+    std = standardize_per_group(c, "c_nationkey", ["c_acctbal"])
+    assert dict(std.dtypes)["c_nationkey"] == "bigint"
+    assert std.count() == c.count()
+
+
 def test_cms_never_undercounts_and_bounds_overshoot(spark):
     """Count-min guarantee: est >= true for every key; overshoot bounded
     by a loose multiple of N/width (2N/width holds w.h.p. per key with

@@ -67,6 +67,21 @@ def test_salted_join_matches_plain(spark):
     assert g == w
 
 
+def test_salted_join_rejects_small_side_preserving_joins(spark):
+    """right/full would emit unmatched small-side rows n_salts times
+    (the small side is replicated per salt) — must be rejected, not
+    silently wrong."""
+    import pytest
+
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, SF, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    for how in ("right", "full", "outer", "left_anti"):
+        with pytest.raises(ValueError, match="salted_join"):
+            salted_join(o, c, "o_custkey", n_salts=4, how=how)
+
+
 def test_bucketed_join_has_no_shuffle(spark):
     """Bucketing both sides on the join key co-locates matching rows:
     the sort-merge join runs with ZERO Exchange nodes — at 100 TB this is

@@ -131,6 +131,26 @@ def test_incremental_dedup_stream_across_batches(spark, tmp_path):
     assert 5 in kept
     assert 6 not in kept, "within-batch duplicate must be dropped"
 
+    # Replay safety: foreachBatch is at-least-once, and the appends are
+    # guarded by epoch markers. Wipe the checkpoint so the SAME epochs
+    # (0,1) are re-delivered — a guarded job must skip them, leaving the
+    # corpus and index byte-identical instead of re-appending duplicates.
+    import shutil as _sh
+
+    kept_rows = spark.read.parquet(str(tmp_path / "kept")).count()
+    index_rows = spark.read.parquet(str(tmp_path / "index")).count()
+    _sh.rmtree(str(tmp_path / "ckpt"))
+    q2 = incremental_dedup_stream(
+        stream,
+        str(tmp_path / "index"),
+        str(tmp_path / "kept"),
+        str(tmp_path / "ckpt"),
+    ).start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.read.parquet(str(tmp_path / "kept")).count() == kept_rows
+    assert spark.read.parquet(str(tmp_path / "index")).count() == index_rows
+
 
 def test_foreach_batch_upsert(spark, tmp_path_factory):
     d = tmp_path_factory.mktemp("upsert")
