@@ -49,11 +49,13 @@ def grouped_median_arrow(df: DataFrame, group_col: str, value_col: str) -> DataF
         import pyarrow as _pa
 
         vals = table.column(value_col).to_numpy(zero_copy_only=False)
-        key = table.column(group_col)[0].as_py()
+        key_arr = table.column(group_col).slice(0, 1).combine_chunks()
         return _pa.table(
             {
-                group_col: [key],
-                "median_value": [float(_np.median(vals[~_np.isnan(vals)]))],
+                group_col: key_arr,
+                "median_value": _pa.array(
+                    [float(_np.median(vals[~_np.isnan(vals)]))], type=_pa.float64()
+                ),
             }
         )
 

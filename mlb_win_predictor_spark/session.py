@@ -81,10 +81,20 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan; Catalyst prunes columns / pushes predicates."""
     _runtime_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+    if name == "events":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            # TIMESTAMP(NANOS) under nanosAsLong: truncate ns -> µs
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+            )
+        elif ts_type == "timestamp_ntz":
+            # TIMESTAMP(MICROS, isAdjustedToUTC=false) reads as NTZ; the
+            # session TZ is pinned UTC, so the LTZ cast is value-preserving
+            # and downstream epoch arithmetic (cast to double) stays legal.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

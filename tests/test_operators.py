@@ -483,8 +483,10 @@ def test_grouped_pandas_fns_accept_non_string_group_keys(spark):
     )
 
     c = load_table(spark, SF, "customer")
+    key_type = dict(c.dtypes)["c_nationkey"]
+    assert key_type != "string"  # the test is vacuous if the key is a string
     arrow_df = grouped_median_arrow(c, "c_nationkey", "c_acctbal")
-    assert dict(arrow_df.dtypes)["c_nationkey"] == "bigint"
+    assert dict(arrow_df.dtypes)["c_nationkey"] == key_type
     arrow = {r.c_nationkey: r.median_value for r in arrow_df.collect()}
     pandas_ = {
         r.c_nationkey: r.median_value
@@ -492,7 +494,7 @@ def test_grouped_pandas_fns_accept_non_string_group_keys(spark):
     }
     assert arrow == pandas_
     std = standardize_per_group(c, "c_nationkey", ["c_acctbal"])
-    assert dict(std.dtypes)["c_nationkey"] == "bigint"
+    assert dict(std.dtypes)["c_nationkey"] == key_type
     assert std.count() == c.count()
 
 
