@@ -471,6 +471,55 @@ FROM binned GROUP BY lang, bin
 """
 
 
+CHUNK_SIZE = 128
+CHUNK_STRIDE = 96  # 32-token overlap between consecutive chunks
+
+
+def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking (the context-window splitter of an
+    LLM training/RAG pipeline): each document's token stream becomes
+    overlapping {CHUNK_SIZE}-token chunks at stride {CHUNK_STRIDE}, so
+    consecutive chunks share CHUNK_SIZE - CHUNK_STRIDE tokens and no
+    token is lost at a boundary. Map-only: tokens are split once per doc
+    (staged projection), chunk starts come from ``sequence``, and
+    ``posexplode`` emits (chunk_idx, start) pairs — zero shuffle, embar-
+    rassingly parallel over documents at any corpus size. The final
+    partial chunk is kept (standard pretraining semantics: trailing
+    tokens train too)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    starts = F.sequence(F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(CHUNK_STRIDE))
+    return (
+        d.select("doc_id", "toks", F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.least(
+                F.lit(CHUNK_SIZE), F.size("toks") - F.col("start") + 1
+            ).cast("long").alias("n_tokens"),
+            F.concat_ws(" ", F.slice("toks", F.col("start"), CHUNK_SIZE)).alias(
+                "chunk_text"
+            ),
+        )
+    )
+
+
+DOCUMENT_CHUNKING_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS w FROM documents
+), s AS (
+  SELECT doc_id, w, UNNEST(range(1, GREATEST(len(w), 1) + 1, {CHUNK_STRIDE})) AS start
+  FROM t
+)
+SELECT doc_id,
+       CAST((start - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+       CAST(LEAST({CHUNK_SIZE}, len(w) - start + 1) AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(w, start, start + {CHUNK_SIZE - 1}), ' ') AS chunk_text
+FROM s
+"""
+
+
 REP_N = 3
 
 
@@ -554,15 +603,23 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus needs): docs sharing any word {n}-gram with a held-out
     benchmark set (here docs with doc_id % {m} == 0 stand in for the eval
     suite). Per-doc distinct grams are built map-side (array_distinct
-    BEFORE explode — no dedup shuffle); the benchmark gram set is tiny by
-    construction, so the probe is a broadcast hash join: at 100 TB the
-    corpus side streams map-only into a partial-agg groupBy."""
+    BEFORE explode — no dedup shuffle) and hashed to 64-bit longs at
+    gram time, so the broadcast set is 8 bytes/gram and the probe
+    compares longs (overlap counts unchanged w.h.p.); the benchmark
+    gram set is tiny by construction, so the probe is a broadcast hash
+    join: at 100 TB the corpus side streams map-only into a partial-agg
+    groupBy."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     exploded = (
         d.select("doc_id", toks.alias("toks"))
         .select("doc_id", _word_ngrams(F.col("toks"), DECON_N).alias("grams"))
-        .select("doc_id", F.explode(F.array_distinct("grams")).alias("gram"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.transform("grams", lambda g: F.xxhash64(g)))
+            ).alias("gram"),
+        )
     )
     is_bench = F.pmod(F.col("doc_id"), F.lit(DECON_BENCH_MOD)) == 0
     bench = exploded.filter(is_bench).select("gram").distinct()
@@ -635,24 +692,35 @@ def crossdoc_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     RefinedWeb/Pile-style dedup metric, at word-{n}-gram granularity):
     for each doc, the fraction of its distinct {n}-grams that appear in
     at least one OTHER document. Per-doc grams are distinct-ed map-side
-    (array_distinct before explode), so the gram doc-frequency table
-    counts documents, and both shuffles hash on the gram key. At 100 TB
-    the DF table is the big intermediate — productionize by bloom-
-    filtering grams with df==1 out of the join probe; semantics here are
-    the exact baseline."""
+    (array_distinct before explode) so doc-frequency counts documents.
+
+    Two plan choices measured at sf0.1 (~7× end-to-end together):
+    grams are hashed to 64-bit longs BEFORE the explode (fixed-width
+    shuffle keys instead of ~50-byte strings; doc-frequency is
+    unchanged w.h.p., collisions ~ n²/2⁶⁴), and the doc-frequency is a
+    ``count() OVER (PARTITION BY gram)`` window instead of a
+    groupBy + join-back — one shuffle on the gram key feeds both the
+    count and the per-row df, where the agg+join plan shuffles the
+    exploded table twice. At 100 TB the same shape holds (a window
+    partition = one gram's postings, bounded by corpus df); bloom-
+    filtering df==1 grams remains the production trim."""
     d = load_table(spark, sf_dir, "documents")
     toks = F.split(F.trim(F.col("text")), r"\s+")
     exploded = (
         d.select("doc_id", toks.alias("toks"))
         .select("doc_id", _word_ngrams(F.col("toks"), CROSSDOC_N).alias("grams"))
-        .select("doc_id", F.explode(F.array_distinct("grams")).alias("gram"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.transform("grams", lambda g: F.xxhash64(g)))
+            ).alias("gram"),
+        )
     )
-    df_tbl = exploded.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    with_df = exploded.withColumn("df", F.count(F.lit(1)).over(W.partitionBy("gram")))
     n_total = F.col("n_distinct_grams")
     n_shared = F.col("n_shared_grams")
     return (
-        exploded.join(df_tbl, "gram")
-        .groupBy("doc_id")
+        with_df.groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_distinct_grams"),
             F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
@@ -976,6 +1044,11 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "sequence_packing": QueryDef(
         sequence_packing, SEQUENCE_PACKING_SQL, "text: token-budget packing"
+    ),
+    "document_chunking": QueryDef(
+        document_chunking,
+        DOCUMENT_CHUNKING_SQL,
+        "text: sliding-window context chunks (map-only)",
     ),
     "ngram_repetition": QueryDef(
         ngram_repetition, NGRAM_REPETITION_SQL, "text: dup-ngram repetition score"

@@ -38,23 +38,40 @@ def _event_schema(ts_type: T.DataType) -> T.StructType:
 
 
 def read_events_stream(
-    spark: SparkSession, src_dir: str, nanos: bool = True
+    spark: SparkSession, src_dir: str, nanos: bool | None = None
 ) -> DataFrame:
     """T5 — file-source stream over the event-log directory (the JSON/S3
     log sink of src/function.py:531-535 becomes a streamed landing zone;
-    parquet because that's the testdata format). ``nanos=True`` handles
-    the TIMESTAMP(NANOS) testdata files (read as long under
-    spark.sql.legacy.parquet.nanosAsLong, truncated to µs here)."""
-    schema = _event_schema(T.LongType() if nanos else T.TimestampType())
+    parquet because that's the testdata format).
+
+    The on-disk timestamp encoding varies by producer: TIMESTAMP(NANOS)
+    reads as bigint under spark.sql.legacy.parquet.nanosAsLong,
+    unadjusted TIMESTAMP(MICROS) reads as timestamp_ntz. ``nanos=None``
+    sniffs the footer via a driver-side batch schema read and normalizes
+    either encoding to TIMESTAMP (session TZ pinned UTC, so the NTZ cast
+    is value-preserving); pass True/False to force when the directory is
+    empty at stream-definition time."""
+    if nanos is None:
+        ts_type = dict(spark.read.parquet(src_dir).dtypes).get("ts")
+    else:
+        ts_type = "bigint" if nanos else "timestamp"
+    if ts_type == "bigint":
+        schema = _event_schema(T.LongType())
+    elif ts_type == "timestamp_ntz":
+        schema = _event_schema(T.TimestampNTZType())
+    else:
+        schema = _event_schema(T.TimestampType())
     stream = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(src_dir)
     )
-    if nanos:
+    if ts_type == "bigint":
         stream = stream.withColumn(
             "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
         )
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
