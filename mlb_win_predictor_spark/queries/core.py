@@ -1378,44 +1378,50 @@ WHERE CAST(l_quantity AS DECIMAL(18,2)) * 5 * cnt < sum_qty
 
 def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q21-shaped (adapted): suppliers who were the ONLY late
-    shipper in a multi-supplier order — EXISTS (another supplier in the
-    order) + NOT EXISTS (another LATE supplier in the order), as a
-    left-semi then left-anti self-join on lineitem. "Late" is
-    l_shipdate > o_orderdate + 60 days (no l_receiptdate/l_commitdate
-    in the testdata schema). Both self-joins shuffle on l_orderkey —
-    the same key — so AQE reuses one exchange of the probe side."""
+    shipper in a multi-supplier order. "Late" is l_shipdate >
+    o_orderdate + 60 days (no l_receiptdate/l_commitdate in the
+    testdata schema).
+
+    The EXISTS (another supplier in the order) + NOT EXISTS (another
+    LATE supplier) pair is decorrelated into ONE pass over lineitem
+    instead of two self-joins: per (order, supplier) count the late
+    rows, then per-order supplier counts as windows over the same
+    partitioning; a waiting supplier is a late (order, supplier) in an
+    order with >= 2 suppliers and exactly 1 late one. The explicit
+    ``repartition(l_orderkey)`` makes BOTH the (l_orderkey, l_suppkey)
+    groupBy and the l_orderkey windows reuse a single exchange
+    (HashPartitioning on a subset satisfies the grouping's clustered
+    distribution), so the plan is one lineitem scan + one shuffle —
+    plan-pinned in tests/test_plans.py; the naive self-join plan reads
+    lineitem three times and shuffles it twice (measured 3x end-to-end
+    at sf0.1, widening with scale)."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = load_table(spark, sf_dir, "supplier")
-    late = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .select("l_orderkey", "l_suppkey", "l_shipdate", "o_orderdate")
+    lif = li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == F.col("o_orderkey"))
+    is_late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    per_supp = (
+        lif.repartition(F.col("l_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(F.when(is_late, 1).otherwise(0)).alias("n_late_rows"))
     )
-    l2 = li.select(
-        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
-    )
-    l3 = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
-        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
-        .select(F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3"))
-    )
-    only_late = (
-        late.join(
-            l2,
-            (F.col("l_orderkey") == F.col("o2")) & (F.col("l_suppkey") != F.col("s2")),
-            "left_semi",
+    w = W.partitionBy("l_orderkey")
+    waiting = (
+        per_supp.withColumn("n_supp", F.count(F.lit(1)).over(w))
+        .withColumn(
+            "n_late_supp",
+            F.sum(F.when(F.col("n_late_rows") > 0, 1).otherwise(0)).over(w),
         )
-        .join(
-            l3,
-            (F.col("l_orderkey") == F.col("o3")) & (F.col("l_suppkey") != F.col("s3")),
-            "left_anti",
+        .filter(
+            (F.col("n_late_rows") > 0)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
         )
     )
     return (
-        only_late.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        waiting.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_late_rows").cast("long").alias("numwait"))
     )
 
 

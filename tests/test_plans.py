@@ -214,11 +214,12 @@ def test_flagship_single_wide_dependency(plans):
     assert len(shuffles) <= 2, shuffles
 
 
-def test_q21_semi_and_anti_self_joins(plans):
-    """EXISTS → LeftSemi and NOT EXISTS → LeftAnti on the lineitem
-    self-joins; the inequality conjunct must not force a cartesian."""
+def test_q21_single_lineitem_scan(plans):
+    """The EXISTS/NOT-EXISTS pair is decorrelated into one aggregation
+    pass: exactly one lineitem scan (no self-joins), and the inequality
+    conjuncts never force a cartesian."""
     p = plans["q21_waiting_supplier"]
-    assert "LeftSemi" in p and "LeftAnti" in p
+    assert p.count("lineitem.parquet") == 1
     assert "CartesianProduct" not in p
 
 
