@@ -816,14 +816,14 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(W.partitionBy("doc_id").orderBy("df", "sh")),
         )
         .filter(F.col("rn") <= prefix_len)
-        .select("doc_id", "sh", "n_sh")
+        .select("doc_id", "sh", "n_sh", "rn")
     )
     # candidate join with the PPJoin LENGTH filter folded in: J >= t forces
     # t*|A| <= |B| <= |A|/t, an integer predicate that prunes candidates
     # BEFORE the distinct and before any array_intersect is attempted.
     # (No persist on `prefix`: the window pipeline recomputing once per
     # join side is cheaper than materializing it — measured at sf0.1.)
-    cand = (
+    joinrows = (
         prefix.alias("a")
         .join(
             prefix.alias("b"),
@@ -832,8 +832,37 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.n_sh") <= 2 * F.col("b.n_sh"))
             & (F.col("b.n_sh") <= 2 * F.col("a.n_sh")),
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.rn").alias("rn_a"),
+            F.col("b.rn").alias("rn_b"),
+            F.col("a.n_sh").alias("na"),
+            F.col("b.n_sh").alias("nb"),
+        )
+    )
+    # POSITIONAL filter (the second PPJoin prune): the pair's first common
+    # shingle in the global (df, sh) order sits at the pair-wise minimum
+    # prefix positions (positions are monotone in that shared order, and
+    # no common shingle can precede the first prefix-prefix match — an
+    # earlier one would itself be inside both prefixes), so
+    # overlap <= 1 + min(|A| - pa, |B| - pb). Pairs whose bound cannot
+    # reach the threshold never touch their shingle sets; the distinct
+    # becomes the same groupBy shuffle that computes the bound.
+    cand = (
+        joinrows.groupBy("doc_a", "doc_b")
+        .agg(
+            F.min("rn_a").alias("pa"),
+            F.min("rn_b").alias("pb"),
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+        )
+        .filter(
+            F.lit(3)
+            * (F.lit(1) + F.least(F.col("na") - F.col("pa"), F.col("nb") - F.col("pb")))
+            >= F.col("na") + F.col("nb")
+        )
+        .select("doc_a", "doc_b")
     )
     sa = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
