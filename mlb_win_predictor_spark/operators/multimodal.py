@@ -94,6 +94,97 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
     return media.mapInPandas(frames, schema=FRAME_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "doc_id long, mime string, n_bytes long, digest string, payload binary"
+)
+
+
+def resize_media(media: DataFrame, width: int = 64, height: int = 64) -> DataFrame:
+    """Resize — the 1:1 payload-TRANSFORM multimodal op (decode is 1:1
+    payload→metadata, frame-sample is 1:N): each image payload is
+    rewritten to a fixed target size, metadata (n_bytes, digest)
+    recomputed to stay consistent with the new bytes. The pixel
+    resample is STUBBED (no codecs in this container: bytes are tiled /
+    truncated to exactly ``width*height*3``); a production deployment
+    swaps the body for PIL ``Image.resize`` — the mapInPandas batch
+    iterator, the recomputed-metadata contract, and the passthrough of
+    non-image rows are what this exercises. Map-only, no shuffle; batch
+    memory bounded by spark.sql.execution.arrow.maxRecordsPerBatch."""
+    target = width * height * 3
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        def stub(payload: bytes) -> bytes:
+            # STUB resample — swap for a real decoder+resize in prod
+            if len(payload) >= target:
+                return bytes(payload[:target])
+            reps = target // max(len(payload), 1) + 1
+            return bytes((payload * reps)[:target])
+
+        for pdf in batches:
+            out_payload = [
+                stub(p) if m.startswith("image/") else bytes(p)
+                for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": [len(p) for p in out_payload],
+                    "digest": [hashlib.md5(p).hexdigest() for p in out_payload],
+                    "payload": out_payload,
+                }
+            )
+
+    return media.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
+FEATURES_SCHEMA = "doc_id long, mime string, embedding array<float>"
+
+
+def extract_features(media: DataFrame, dim: int = 64) -> DataFrame:
+    """Feature extraction — payload → fixed-``dim`` float embedding, the
+    step that bridges opaque media into the engine's similarity /
+    clustering / dedup operators (``operators.similarity``,
+    ``dedup_semantic_kmeans`` consume exactly this ``array<float>``
+    shape). The encoder is a STUBBED deterministic projection (chunked
+    byte sums, L2-normalized — numpy over the Arrow batch, no per-row
+    Python loops beyond the byte view); production swaps in a CLIP /
+    wav2vec ONNX session per batch iterator (load once per partition,
+    NOT per row — the reason this is mapInPandas and not a scalar UDF).
+    Map-only; output is ~dim*4 bytes/row regardless of payload size, so
+    the downstream shuffle (if any) never carries media bytes."""
+
+    def embed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def stub(payload: bytes) -> _np.ndarray:
+            # STUB encoder — swap for a real model session in prod
+            arr = _np.frombuffer(payload, dtype=_np.uint8)
+            if arr.size == 0:
+                return _np.zeros(dim, dtype=_np.float32)
+            pad = (-arr.size) % dim
+            arr = _np.pad(arr, (0, pad)).reshape(-1, dim).astype(_np.float64)
+            v = arr.sum(axis=0)
+            norm = _np.linalg.norm(v)
+            return (v / norm if norm > 0 else v).astype(_np.float32)
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": pdf["mime"],
+                    "embedding": [stub(p) for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(embed_batches, schema=FEATURES_SCHEMA)
+
+
 def decode_media(media: DataFrame) -> DataFrame:
     """Arrow-batched decode over ``mapInPandas``: the batch iterator shape
     a real decoder uses (bounded memory, vectorized transfer, pure

@@ -161,6 +161,52 @@ def test_multimodal_roundtrip(spark, docs):
     assert back.filter(F.col("text2") != F.col("text")).count() == 0
 
 
+def test_resize_media_hits_target_and_recomputes_metadata(spark, docs):
+    from mlb_win_predictor_spark.operators.multimodal import (
+        resize_media,
+        to_media_column,
+    )
+
+    media = to_media_column(docs)
+    resized = resize_media(media, width=8, height=8)  # target 8*8*3 = 192 bytes
+    rows = resized.collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        if r.mime.startswith("image/"):
+            assert len(r.payload) == 192 and r.n_bytes == 192
+        # metadata always matches the (possibly rewritten) bytes
+        import hashlib
+
+        assert r.digest == hashlib.md5(bytes(r.payload)).hexdigest()
+        assert r.n_bytes == len(r.payload)
+    # non-image payloads pass through byte-identical
+    orig = {r.doc_id: bytes(r.payload) for r in media.collect()}
+    for r in rows:
+        if not r.mime.startswith("image/"):
+            assert bytes(r.payload) == orig[r.doc_id]
+
+
+def test_extract_features_unit_vectors_deterministic(spark, docs):
+    from mlb_win_predictor_spark.operators.multimodal import (
+        extract_features,
+        to_media_column,
+    )
+    import math
+
+    media = to_media_column(docs)
+    emb = extract_features(media, dim=16)
+    rows = emb.collect()
+    assert len(rows) == docs.count()
+    for r in rows:
+        assert len(r.embedding) == 16
+        l2 = math.sqrt(sum(x * x for x in r.embedding))
+        assert abs(l2 - 1.0) < 1e-3  # stub encoder L2-normalizes
+    # deterministic: a second run produces identical vectors
+    again = {r.doc_id: list(r.embedding) for r in extract_features(media, dim=16).collect()}
+    for r in rows:
+        assert again[r.doc_id] == list(r.embedding)
+
+
 def test_ivf_topk_recall_vs_exact(spark, emb):
     from mlb_win_predictor_spark.operators.similarity import ivf_topk
 
