@@ -299,3 +299,52 @@ def semantic_dedup(
     return corpus.join(
         drops, corpus[id_col] == drops._drop_id, "left_anti"
     )
+
+
+def random_projection(
+    vectors: DataFrame,
+    out_dim: int = 16,
+    in_dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: dense Rademacher matrix
+    (entries ±1/sqrt(out_dim), Achlioptas 2003 — distance-preserving in
+    expectation with the same guarantee as Gaussian entries), applied as
+    a pure column expression. The projection matrix is generated
+    DETERMINISTICALLY from (seed, i, j) via xxhash64 sign bits and inlined
+    into the plan as literals — no broadcast variable, no Python worker,
+    and any executor regenerates the identical plan on retry.
+
+    Scale: map-only (zero shuffle); the matrix is out_dim x in_dim
+    literals (~1k for 64->16), far below plan-size concerns. Use ahead
+    of the pair-join ops (semantic_dedup, ann buckets): candidate
+    generation in the projected space reads out_dim/in_dim of the
+    vector bytes, with re-check in the original space.
+
+    Dual use: numpy-parity and pairwise-distance-preservation are
+    pytest-pinned (tests/test_operators.py)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    # Rademacher ±1/sqrt(k): sign from a seeded generator, materialized
+    # once driver-side; identical across runs for a given seed.
+    signs = rng.integers(0, 2, size=(out_dim, in_dim)) * 2 - 1
+    scale = 1.0 / float(np.sqrt(out_dim))
+    v = F.col(vec_col)
+    comps = [
+        F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(float(s) * scale) for s in signs[j]]),
+                lambda x, r: x.cast("double") * r,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).cast("float")
+        for j in range(out_dim)
+    ]
+    return vectors.select(
+        F.col(id_col), F.array(*comps).alias("projected")
+    )

@@ -191,6 +191,18 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select("query_id", "rnk", "cand_id")
 
 
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss 64->16 Rademacher projection as a map-only
+    column expression (seeded sign matrix inlined as literals — zero
+    shuffle, no Python). numpy parity + pairwise-distance preservation
+    are pytest-pinned; rows-only here (the seeded sign matrix is not
+    SQL-expressible in DuckDB)."""
+    from ..operators.similarity import random_projection
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return random_projection(e, out_dim=16)
+
+
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star ANN, IVF variant: KMeans coarse quantizer + probe-and-
     rerank (scan fraction ~ n_probe/n_cells of the corpus)."""
@@ -417,6 +429,9 @@ QUERIES: dict[str, QueryDef] = {
         cap_per_source, CAP_PER_SOURCE_SQL, "deterministic per-source doc cap"
     ),
     "similarity_ann_ivf": QueryDef(similarity_ann_ivf, None, "similarity: IVF ANN"),
+    "embedding_random_projection": QueryDef(
+        embedding_random_projection, None, "similarity: JL random projection (map-only)"
+    ),
     "dedup_semantic_kmeans": QueryDef(
         dedup_semantic_kmeans, None, "dedup: SemDeDup clustered embedding near-dup"
     ),

@@ -471,6 +471,56 @@ FROM binned GROUP BY lang, bin
 """
 
 
+VOCAB_TOP_K = 20
+
+
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction (the tokenizer-training precursor): corpus-wide
+    term frequencies and document frequencies per language, ranked, top
+    {VOCAB_TOP_K} per lang. One partial-agg groupBy on (lang, term) —
+    map-side combine collapses each partition's term counts before the
+    exchange, so the shuffle carries ~vocab-size rows, not token-count
+    rows (the property that makes vocabulary building feasible on a
+    100 TB corpus: the exchange is bounded by distinct terms per
+    partition, and the top-k is a WindowGroupLimit, never a global
+    sort). df computed in the same pass via count_distinct(doc_id)."""
+    d = load_table(spark, sf_dir, "documents")
+    terms = d.select(
+        "lang",
+        "doc_id",
+        F.explode(F.split(F.lower(F.col("text")), "[^a-z0-9]+")).alias("term"),
+    ).filter(F.col("term") != "")
+    counts = terms.groupBy("lang", "term").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.countDistinct("doc_id").alias("df"),
+    )
+    w = W.partitionBy("lang").orderBy(F.col("tf").desc(), F.col("term").asc())
+    return (
+        counts.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= VOCAB_TOP_K)
+        .select("lang", "rnk", "term", "tf", "df")
+    )
+
+
+VOCAB_SQL = rf"""
+WITH terms AS (
+  SELECT lang, doc_id, t AS term
+  FROM documents, UNNEST(regexp_split_to_array(LOWER(text), '[^a-z0-9]+')) AS u(t)
+  WHERE t <> ''
+), counts AS (
+  SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS tf,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM terms GROUP BY 1, 2
+), ranked AS (
+  SELECT lang, term, tf, df,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tf DESC, term ASC) AS rnk
+  FROM counts
+)
+SELECT lang, CAST(rnk AS BIGINT) AS rnk, term, tf, df
+FROM ranked WHERE rnk <= {VOCAB_TOP_K}
+"""
+
+
 CHUNK_SIZE = 128
 CHUNK_STRIDE = 96  # 32-token overlap between consecutive chunks
 
@@ -1078,6 +1128,11 @@ QUERIES: dict[str, QueryDef] = {
         document_chunking,
         DOCUMENT_CHUNKING_SQL,
         "text: sliding-window context chunks (map-only)",
+    ),
+    "vocab_top_terms": QueryDef(
+        vocab_top_terms,
+        VOCAB_SQL,
+        "text: vocabulary induction (per-lang tf/df, top-k ranked)",
     ),
     "ngram_repetition": QueryDef(
         ngram_repetition, NGRAM_REPETITION_SQL, "text: dup-ngram repetition score"

@@ -207,6 +207,41 @@ def test_extract_features_unit_vectors_deterministic(spark, docs):
         assert again[r.doc_id] == list(r.embedding)
 
 
+def test_random_projection_numpy_parity_and_distance_preservation(spark, emb):
+    """The Spark column-expression projection equals the numpy matmul with
+    the same seeded Rademacher matrix (1e-5), and mean pairwise squared
+    distance is preserved within the JL tolerance for k=16."""
+    import numpy as np
+
+    from mlb_win_predictor_spark.operators.similarity import random_projection
+
+    rows = emb.select("vec_id", "embedding").collect()
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    ids = [r.vec_id for r in rows]
+
+    proj = {
+        r.vec_id: np.array(list(r.projected), dtype=np.float64)
+        for r in random_projection(emb, out_dim=16, seed=42).collect()
+    }
+    rng = np.random.default_rng(42)
+    signs = rng.integers(0, 2, size=(16, 64)) * 2 - 1
+    R = signs / np.sqrt(16.0)
+    expected = X @ R.T
+    for i, vid in enumerate(ids):
+        assert np.allclose(proj[vid], expected[i], atol=1e-5), vid
+
+    # JL property: squared distances preserved on average (unbiased
+    # estimator; sample-mean ratio within 25% at k=16 over 100+ pairs)
+    P = expected
+    n = min(len(ids), 60)
+    d_orig, d_proj = [], []
+    for i in range(0, n - 1):
+        d_orig.append(float(((X[i] - X[i + 1]) ** 2).sum()))
+        d_proj.append(float(((P[i] - P[i + 1]) ** 2).sum()))
+    ratio = sum(d_proj) / sum(d_orig)
+    assert 0.75 < ratio < 1.25, ratio
+
+
 def test_ivf_topk_recall_vs_exact(spark, emb):
     from mlb_win_predictor_spark.operators.similarity import ivf_topk
 
