@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions.scalars import stable_round
-from ..session import load_table
+from ..session import fan_out, load_table
 from .base import QueryDef
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -659,7 +659,7 @@ def decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     gram set is tiny by construction, so the probe is a broadcast hash
     join: at 100 TB the corpus side streams map-only into a partial-agg
     groupBy."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.trim(F.col("text")), r"\s+")
     exploded = (
         d.select("doc_id", toks.alias("toks"))
@@ -754,7 +754,7 @@ def crossdoc_dup_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     exploded table twice. At 100 TB the same shape holds (a window
     partition = one gram's postings, bounded by corpus df); bloom-
     filtering df==1 grams remains the production trim."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.trim(F.col("text")), r"\s+")
     exploded = (
         d.select("doc_id", toks.alias("toks"))
@@ -840,7 +840,7 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     set sizes and intersections w.h.p., 64-bit collisions ~ n²/2⁶⁴, so
     the jaccard values still hash-match the string-based DuckDB oracle).
     """
-    d = load_table(spark, sf_dir, "documents").select(
+    d = fan_out(load_table(spark, sf_dir, "documents")).select(
         "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
     ).filter(F.size(F.col("toks")) >= PREFIX_N)
     # staged projection (see _word_ngrams): tokens materialized once per
