@@ -471,6 +471,113 @@ FROM binned GROUP BY lang, bin
 """
 
 
+CHUNK_SIZE = 128
+CHUNK_STRIDE = 96  # 32-token overlap between consecutive chunks
+
+
+def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus preparation — the composed training-data flow
+    (quality filter → exact dedup → sliding-window chunking → per-lang
+    yield stats), every stage the same operator the standalone catalog
+    entries pin, chained as ONE lazy plan:
+
+    1. quality gate: keep docs with >= 20 tokens, stopword ratio < 0.5,
+       type-token ratio > 0.2 (text_quality_score's keep_flag);
+    2. exact dedup: lowest doc_id per identical text (dedup_exact);
+    3. chunking: 128-token windows at stride 96 (document_chunking);
+    4. yield report per lang: surviving docs, emitted chunks, total
+       chunk tokens, mean chunks/doc.
+
+    Catalyst fuses 1-2 into the scan side of the dedup window and 3-4
+    into a map-only explode + partial agg: the whole pipeline is two
+    exchanges (text-hash dedup window, lang rollup) regardless of
+    corpus size — there is no materialization between stages at 100 TB,
+    which is the point of declaring the pipeline as one plan instead of
+    staging tables."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tok = F.size(toks)
+    sw_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    kept = d.filter(
+        (n_tok >= 20) & (n_stop.cast("double") / n_tok < 0.5) & (ttr > 0.2)
+    )
+    w = W.partitionBy("text").orderBy(F.col("doc_id").asc())
+    deduped = (
+        kept.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang", "doc_id", toks.alias("toks"))
+    )
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(CHUNK_STRIDE)
+    )
+    chunks = deduped.select(
+        "lang",
+        "doc_id",
+        F.explode(starts).alias("start"),
+        F.size("toks").alias("n_toks"),
+    ).select(
+        "lang",
+        "doc_id",
+        F.least(F.lit(CHUNK_SIZE), F.col("n_toks") - F.col("start") + 1).alias(
+            "chunk_tokens"
+        ),
+    )
+    per_doc = chunks.groupBy("lang", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_tokens").alias("doc_chunk_tokens"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+        F.sum("n_chunks").cast("long").alias("n_chunks"),
+        F.sum("doc_chunk_tokens").cast("long").alias("total_chunk_tokens"),
+        stable_round(
+            F.sum("n_chunks").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_chunks_per_doc"),
+    )
+
+
+CORPUS_PREP_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, lang, text,
+         regexp_split_to_array(TRIM(text), '\s+') AS toks
+  FROM documents
+), gated AS (
+  SELECT doc_id, lang, text, toks
+  FROM t
+  WHERE len(toks) >= 20
+    AND CAST(len(list_filter(toks, x -> list_contains({list(STOPWORDS)!r}, x))) AS DOUBLE)
+        / len(toks) < 0.5
+    AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) > 0.2
+), deduped AS (
+  SELECT lang, doc_id, toks FROM (
+    SELECT lang, doc_id, toks,
+           ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id ASC) AS rn
+    FROM gated
+  ) WHERE rn = 1
+), chunks AS (
+  SELECT lang, doc_id,
+         LEAST({CHUNK_SIZE}, len(toks) - start + 1) AS chunk_tokens
+  FROM (
+    SELECT lang, doc_id, toks,
+           UNNEST(range(1, GREATEST(len(toks), 1) + 1, {CHUNK_STRIDE})) AS start
+    FROM deduped
+  )
+), per_doc AS (
+  SELECT lang, doc_id, COUNT(*) AS n_chunks, SUM(chunk_tokens) AS doc_chunk_tokens
+  FROM chunks GROUP BY 1, 2
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+       CAST(SUM(n_chunks) AS BIGINT) AS n_chunks,
+       CAST(SUM(doc_chunk_tokens) AS BIGINT) AS total_chunk_tokens,
+       (ROUND((CAST(SUM(n_chunks) AS DOUBLE) / COUNT(*)) * 1e6) / 1e6)
+         AS mean_chunks_per_doc
+FROM per_doc GROUP BY lang
+"""
+
+
 VOCAB_TOP_K = 20
 
 
@@ -520,9 +627,6 @@ SELECT lang, CAST(rnk AS BIGINT) AS rnk, term, tf, df
 FROM ranked WHERE rnk <= {VOCAB_TOP_K}
 """
 
-
-CHUNK_SIZE = 128
-CHUNK_STRIDE = 96  # 32-token overlap between consecutive chunks
 
 
 def document_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1133,6 +1237,11 @@ QUERIES: dict[str, QueryDef] = {
         vocab_top_terms,
         VOCAB_SQL,
         "text: vocabulary induction (per-lang tf/df, top-k ranked)",
+    ),
+    "corpus_prep_pipeline": QueryDef(
+        corpus_prep_pipeline,
+        CORPUS_PREP_SQL,
+        "text: composed quality->dedup->chunk pipeline, one lazy plan",
     ),
     "ngram_repetition": QueryDef(
         ngram_repetition, NGRAM_REPETITION_SQL, "text: dup-ngram repetition score"
