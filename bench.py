@@ -68,6 +68,9 @@ HEADLINE = [
     "winsorize_per_group",
     "word_entropy_quality",
     "ewma_user_activity",
+    "document_chunking",
+    "vocab_top_terms",
+    "corpus_prep_pipeline",
 ]
 
 
