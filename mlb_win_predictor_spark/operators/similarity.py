@@ -348,3 +348,109 @@ def random_projection(
     return vectors.select(
         F.col(id_col), F.array(*comps).alias("projected")
     )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fit the IVF coarse quantizer ONCE and freeze it: returns the tiny
+    (cell, centroid) table that incremental ingest assigns against. At
+    corpus scale the fit runs on a sample (KMeans cost ∝ rows × cells ×
+    iters); the frozen centroids are what make ingest append-only — new
+    vectors never trigger a re-cluster, they just land in the nearest
+    existing cell (the FAISS IVF add() contract)."""
+    from pyspark.ml.clustering import KMeans
+
+    c = corpus.withColumn(
+        "_vec", array_to_vector(F.transform(F.col(vec_col), lambda v: v.cast("double")))
+    )
+    model = KMeans(k=n_cells, seed=seed, featuresCol="_vec", predictionCol="cell").fit(c)
+    cents = [
+        (int(i), [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())
+    ]
+    return corpus.sparkSession.createDataFrame(cents, "cell int, centroid array<double>")
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest frozen centroid — the map-only
+    index-append path (same shape as ml.nearest_centroid predict: the
+    centroid table collapses to ONE broadcastable row of literals and the
+    argmin is a pure column expression, so a 100 TB ingest stream is
+    assigned with ZERO shuffle and no Python). Ties break to the lower
+    cell id. Returns (cell, id, vec) rows ready to append to a
+    cell-partitioned index."""
+    cents = sorted(
+        ((int(r["cell"]), [float(x) for x in r["centroid"]]) for r in centroids.collect())
+    )
+    v = F.col(vec_col)
+
+    def dist2(ctr: list[float]):
+        return F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(c) for c in ctr]),
+                lambda x, c_: (x.cast("double") - c_) * (x.cast("double") - c_),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        )
+
+    # argmin via least-of-structs: (dist, cell) lexicographic min
+    best = F.least(
+        *[F.struct(dist2(ctr).alias("d"), F.lit(cell).alias("c")) for cell, ctr in cents]
+    )
+    return vectors.select(
+        best["c"].alias("cell"), F.col(id_col), F.col(vec_col)
+    )
+
+
+def ivf_search_index(
+    queries: DataFrame,
+    centroids: DataFrame,
+    index: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted (incrementally-built) IVF index WITHOUT any
+    fitting: per query rank the frozen centroids, probe the ``n_probe``
+    nearest cells, exact-rerank within them. With the index stored
+    partitioned by cell, the probe join prunes to n_probe/n_cells of the
+    files — the read-side payoff of the append-only layout."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    qc = q.join(F.broadcast(centroids)).select(
+        "query_id",
+        "q_vec",
+        "cell",
+        F.aggregate(
+            F.zip_with(
+                F.col("q_vec"),
+                F.col("centroid"),
+                lambda x, c_: (x.cast("double") - c_) * (x.cast("double") - c_),
+            ),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ).alias("cell_dist"),
+    )
+    wq = W.partitionBy("query_id").orderBy(F.col("cell_dist").asc(), F.col("cell").asc())
+    probes = qc.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= n_probe)
+    idx = index.select(
+        "cell", F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
+    )
+    cand = probes.select("query_id", "q_vec", "cell").join(idx, "cell").filter(
+        F.col("query_id") != F.col("cand_id")
+    )
+    scored = cand.select(
+        "query_id", "cand_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos")
+    ).dropDuplicates(["query_id", "cand_id"])
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
+    return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

@@ -191,6 +191,24 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return topk.select("query_id", "rnk", "cand_id")
 
 
+def similarity_ann_ivf_frozen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star ANN, append-only IVF variant: frozen coarse quantizer
+    (ivf_centroids), map-only literal-argmin assignment (ivf_assign —
+    the ZERO-shuffle ingest path new vectors take in
+    streaming.incremental_ann_index_stream), and a no-refit search over
+    the assignment table (ivf_search_index). Equivalence to a one-shot
+    batch build plus replay idempotence are pytest-pinned."""
+    from ..operators.similarity import ivf_assign, ivf_centroids, ivf_search_index
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    corpus = e.filter(F.col("vec_id") >= 8)
+    cents = ivf_centroids(corpus, n_cells=8, seed=42)
+    index = ivf_assign(corpus, cents)
+    topk = ivf_search_index(queries, cents, index, k=3, n_probe=4)
+    return topk.select("query_id", "rnk", "cand_id")
+
+
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss 64->16 Rademacher projection as a map-only
     column expression (seeded sign matrix inlined as literals — zero
@@ -431,6 +449,11 @@ QUERIES: dict[str, QueryDef] = {
     "similarity_ann_ivf": QueryDef(similarity_ann_ivf, None, "similarity: IVF ANN"),
     "embedding_random_projection": QueryDef(
         embedding_random_projection, None, "similarity: JL random projection (map-only)"
+    ),
+    "similarity_ann_ivf_frozen": QueryDef(
+        similarity_ann_ivf_frozen,
+        None,
+        "similarity: append-only IVF (frozen centroids, no-refit search)",
     ),
     "dedup_semantic_kmeans": QueryDef(
         dedup_semantic_kmeans, None, "dedup: SemDeDup clustered embedding near-dup"

@@ -387,6 +387,38 @@ def incremental_rollup_stream(events: DataFrame, rollup_path: str, checkpoint: s
     )
 
 
+def incremental_ann_index_stream(
+    new_vectors: DataFrame, centroids_path: str, index_path: str, checkpoint: str
+):
+    """Incremental ANN (IVF) index maintenance — the continuously-growing
+    embedded-corpus ingest loop: each micro-batch of vectors is assigned
+    to the FROZEN coarse-quantizer centroids (map-only broadcast argmin,
+    operators.similarity.ivf_assign — the corpus is never re-clustered)
+    and appended to the cell-partitioned index, so searches
+    (ivf_search_index) immediately see new vectors and still prune to
+    n_probe/n_cells of the files. Appends are not idempotent, so the
+    same epoch-marker guard as incremental_rollup_stream applies
+    (at-least-once foreachBatch + skip-applied-epochs = exactly-once
+    index contents)."""
+    from ..operators.similarity import ivf_assign
+
+    def index_batch(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        marker = index_path + f"._epochs/{epoch_id}"
+        if os.path.exists(marker):
+            return
+        cents = spark.read.parquet(centroids_path)
+        assigned = ivf_assign(batch, cents)
+        assigned.write.mode("append").partitionBy("cell").parquet(index_path)
+        os.makedirs(marker, exist_ok=True)
+
+    return (
+        new_vectors.writeStream.foreachBatch(index_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
 def upsert_outcomes_foreach_batch(
     updates: DataFrame, games_path: str, checkpoint: str
 ):
