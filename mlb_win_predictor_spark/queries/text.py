@@ -578,6 +578,54 @@ FROM per_doc GROUP BY lang
 """
 
 
+def balanced_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture REALIZATION (the execution step after ``mixture_weights``
+    decides proportions): every source is deterministically downsampled
+    to the smallest source's size, yielding a balanced mixture without
+    collecting, sorting, or shuffling the corpus — each row keeps or
+    drops itself from a hash gate.
+
+    The gate is EXACT integer arithmetic end to end: uniform hash =
+    first 8 md5 hex digits of doc_id as an int in [0, 2^32); keep iff
+    ``hash * n_source < n_min * 2^32``, which is ``hash/2^32 <
+    n_min/n_source`` with no float threshold — no cross-engine ulp risk
+    at the keep boundary, and retries/reruns keep identical rows (the
+    property random sample() lacks). Plan: one count agg (tiny) broadcast
+    back over the corpus scan; the gate filters map-side. At 100 TB the
+    corpus is never shuffled at all."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    min_count = counts.agg(F.min("n_docs").alias("n_min"))
+    hashv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    kept = (
+        d.join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(min_count))
+        .filter(hashv * F.col("n_docs") < F.col("n_min") * F.lit(4294967296))
+    )
+    return kept.groupBy("source").agg(
+        F.max("n_docs").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+
+
+BALANCED_MIXTURE_SQL = """
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY 1
+), m AS (
+  SELECT MIN(n_docs) AS n_min FROM counts
+), kept AS (
+  SELECT d.source, c.n_docs
+  FROM documents d JOIN counts c USING (source) CROSS JOIN m
+  WHERE CAST(concat('0x', substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+        * c.n_docs < m.n_min * 4294967296
+)
+SELECT source, MAX(n_docs) AS n_docs, CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM kept GROUP BY source
+"""
+
+
 VOCAB_TOP_K = 20
 
 
@@ -1242,6 +1290,11 @@ QUERIES: dict[str, QueryDef] = {
         corpus_prep_pipeline,
         CORPUS_PREP_SQL,
         "text: composed quality->dedup->chunk pipeline, one lazy plan",
+    ),
+    "balanced_mixture_sample": QueryDef(
+        balanced_mixture_sample,
+        BALANCED_MIXTURE_SQL,
+        "text: exact-integer hash-gate mixture downsampling (map-side keep)",
     ),
     "ngram_repetition": QueryDef(
         ngram_repetition, NGRAM_REPETITION_SQL, "text: dup-ngram repetition score"
