@@ -1019,12 +1019,13 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("rn") <= prefix_len)
         .select("doc_id", "sh", "n_sh", "rn")
-    )
+    ).persist()
     # candidate join with the PPJoin LENGTH filter folded in: J >= t forces
     # t*|A| <= |B| <= |A|/t, an integer predicate that prunes candidates
     # BEFORE the distinct and before any array_intersect is attempted.
-    # (No persist on `prefix`: the window pipeline recomputing once per
-    # join side is cheaper than materializing it — measured at sf0.1.)
+    # (`prefix` persisted: with the fanned-out scan the window pipeline
+    # is parallel but no longer free — materializing it once beats
+    # recomputing it per self-join side, measured A/B at sf0.1.)
     joinrows = (
         prefix.alias("a")
         .join(
