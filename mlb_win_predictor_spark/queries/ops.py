@@ -322,6 +322,12 @@ def kl_divergence_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .select("n_name", "o_orderpriority")
     )
+    # NOTE on the 4 branch re-scans: by_cell feeds three marginal aggs,
+    # and without a persist each branch re-scans + re-joins orders. At
+    # bench scale that is the FASTER plan (measured A/B: the persist's
+    # materialization barrier costs more than rescanning an OS-cached
+    # file); at 100 TB persist (or write) by_cell — ~nations x
+    # priorities rows — so the fact is scanned once.
     by_cell = enriched.groupBy("n_name", "o_orderpriority").agg(
         F.count(F.lit(1)).alias("n_cell")
     )
