@@ -264,6 +264,48 @@ FROM binned GROUP BY 1
 """
 
 
+GAP_THRESHOLD_SEC = 3600
+
+
+def freshness_gap_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness / outage detection (the pipeline-monitoring query a
+    continuously-loaded warehouse runs on itself): per event type, find
+    ingestion gaps longer than {GAP_THRESHOLD_SEC}s between consecutive
+    events — each one a window where the upstream feed was silent. One
+    lag window per type (single hash exchange on the type key; at 100 TB
+    partition-prune to the trailing day first — gaps older than the
+    freshness SLA are history, not alerts) plus a tiny rollup: gap
+    count, worst gap, and the last-seen timestamp per type."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double"), 1).over(w)
+    gapped = e.select("event_type", "ts", gap.alias("gap_sec"))
+    return gapped.groupBy("event_type").agg(
+        F.sum(F.when(F.col("gap_sec") > GAP_THRESHOLD_SEC, 1).otherwise(0))
+        .cast("long")
+        .alias("n_gaps"),
+        stable_round(F.max("gap_sec"), 3).alias("max_gap_sec"),
+        F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+    )
+
+
+FRESHNESS_GAP_SQL = f"""
+WITH gapped AS (
+  SELECT event_type, ts,
+         epoch(ts) - LAG(epoch(ts)) OVER (
+           PARTITION BY event_type ORDER BY ts ASC, event_id ASC
+         ) AS gap_sec
+  FROM events
+)
+SELECT event_type,
+       CAST(SUM(CASE WHEN gap_sec > {GAP_THRESHOLD_SEC} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_gaps,
+       (ROUND(MAX(gap_sec) * 1e3) / 1e3) AS max_gap_sec,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_seen
+FROM gapped GROUP BY event_type
+"""
+
+
 Z_THRESHOLD = 2.0
 
 
@@ -659,6 +701,11 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "zscore_anomalies": QueryDef(
         zscore_anomalies, ZSCORE_SQL, "ops: windowed z-score anomaly flags"
+    ),
+    "freshness_gap_scan": QueryDef(
+        freshness_gap_scan,
+        FRESHNESS_GAP_SQL,
+        "ops: ingestion-gap / data-freshness monitoring per event type",
     ),
     "robust_scale_per_group": QueryDef(
         robust_scale_per_group, ROBUST_SCALE_SQL, "ops: median/IQR robust scaling"
