@@ -5,7 +5,9 @@ JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ..
 Each query is executed to completion via a count() over its result (forces
 the full plan without driver-side materialization of wide rows). A warmup
 pass on the smallest SF absorbs JVM/codegen startup so the timings measure
-the plans, not the JIT.
+the plans, not the JIT. Per-query values are the MEDIAN of
+$SPARK_GRAFT_BENCH_RUNS (default 3) interleaved passes, with max-min
+spread reported alongside — single runs vary ~15% run to run.
 """
 
 from __future__ import annotations
@@ -113,9 +115,24 @@ def main() -> None:
             except Exception:
                 pass
 
-    timings: dict[str, float] = {}
-    for n in names:
-        timings[n] = round(run_query(spark, n, sf_dir), 4)
+    # median-of-N (default 3): single-run timings carry ~15% run-to-run
+    # variance (measured round 2), enough to mask real regressions. Passes
+    # are interleaved (full pass over the set, repeated) so drift in JVM /
+    # page-cache state spreads evenly across queries instead of biasing
+    # whichever query runs last.
+    runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    samples: dict[str, list[float]] = {n: [] for n in names}
+    for _ in range(runs):
+        for n in names:
+            samples[n].append(run_query(spark, n, sf_dir))
+
+    def median(xs: list[float]) -> float:
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    timings = {n: round(median(samples[n]), 4) for n in names}
+    spread = {n: round(max(samples[n]) - min(samples[n]), 4) for n in names}
 
     total = round(sum(timings.values()), 4)
     print(
@@ -125,6 +142,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "runs": runs,
                 "sf": sf,
             }
         )

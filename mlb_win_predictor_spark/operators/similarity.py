@@ -323,6 +323,10 @@ def random_projection(
     generation in the projected space reads out_dim/in_dim of the
     vector bytes, with re-check in the original space.
 
+    A vector whose length differs from ``in_dim`` fails loudly
+    (ANSI-style raise_error in the plan) instead of the silent NULL
+    projection zip_with's null-padding would otherwise produce.
+
     Dual use: numpy-parity and pairwise-distance-preservation are
     pytest-pinned (tests/test_operators.py)."""
     import numpy as np
@@ -332,7 +336,18 @@ def random_projection(
     # once driver-side; identical across runs for a given seed.
     signs = rng.integers(0, 2, size=(out_dim, in_dim)) * 2 - 1
     scale = 1.0 / float(np.sqrt(out_dim))
-    v = F.col(vec_col)
+    # shape gate: zip_with null-pads the shorter side, so a mismatched
+    # vector would silently project to NULLs — fail per-row instead
+    v = F.when(
+        F.size(F.col(vec_col)) == in_dim, F.col(vec_col)
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"random_projection: expected {in_dim}-dim vector, got "),
+                F.size(F.col(vec_col)).cast("string"),
+            )
+        )
+    )
     comps = [
         F.aggregate(
             F.zip_with(

@@ -4,9 +4,15 @@ Each entry re-expresses a reference operator over the driver testdata
 tables with a DuckDB oracle. Reference citations are in each docstring.
 
 Scale notes (100 TB posture):
-- dimension joins (nation/region/customer) use ``F.broadcast`` — on a
-  real cluster the dims stay far below the broadcast threshold while the
-  fact side streams through map-side hash joins, no shuffle;
+- broadcast-hint policy: ``F.broadcast`` is pinned ONLY on sides bounded
+  by construction — constant-domain dims (nation=25, region=5), 1-row
+  global aggregates, and bounded-group-count aggregates. Sides that scale
+  with the data (part/customer/supplier scans and any per-part/per-supp
+  aggregate) carry NO hint: at bench scale the size-based planner
+  broadcasts them anyway (all dims are KBs), and at 100 TB — where a
+  pinned hint would be a driver OOM since hints override the threshold —
+  the planner/AQE falls back to a shuffled join. The hint inventory and
+  each bound lives in SCALE.md §broadcast-audit;
 - aggregations are expressed declaratively so Catalyst plans partial
   (map-side) aggregation before the exchange;
 - filters/projections sit directly on the scan so parquet gets
@@ -194,7 +200,7 @@ def derived_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "inner")
+        li.join(p, li.l_partkey == p.p_partkey, "inner")
         .select(
             "l_orderkey",
             "l_linenumber",
@@ -786,7 +792,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"))
         .agg(F.sum(revenue.cast("decimal(28,6)")).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
@@ -826,7 +832,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(dims), o.o_custkey == dims.c_custkey)
+        .join(dims, o.o_custkey == dims.c_custkey)
         .groupBy("n_name")
         .agg(F.sum(revenue.cast("decimal(28,6)")).cast("double").alias("revenue"))
     )
@@ -1012,7 +1018,7 @@ def q19_discounted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     prune the broadcast side."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part")
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     leg = lambda brand, size_hi, q_lo, q_hi: (  # noqa: E731
         (F.col("p_brand") == brand)
         & (F.col("p_size") >= 1)
@@ -1058,7 +1064,7 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
@@ -1100,9 +1106,9 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%a%e%"))
     amount = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6)
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
         .agg(F.sum(amount.cast("decimal(28,6)")).cast("double").alias("sum_profit"))
@@ -1138,7 +1144,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     promo = F.when(F.col("p_type").like("PROMO%"), revenue).otherwise(
         F.lit(0).cast("decimal(28,6)")
     )
-    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    j = li.join(p, li.l_partkey == p.p_partkey)
     return j.agg(
         (
             F.lit(100.0)
@@ -1178,7 +1184,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = rev.agg(F.max("total_revenue").alias("max_rev"))
     return (
         rev.join(F.broadcast(top), rev.total_revenue == F.col("max_rev"))
-        .join(F.broadcast(s), rev.l_suppkey == s.s_suppkey)
+        .join(s, rev.l_suppkey == s.s_suppkey)
         .select(
             "s_suppkey",
             "s_name",
@@ -1228,12 +1234,12 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0).cast("decimal(28,6)")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n1), F.col("c_nationkey") == F.col("c_nk"))
         .join(F.broadcast(r), F.col("c_rk") == F.col("r_regionkey"))
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n2), F.col("s_nationkey") == F.col("s_nk"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
         .agg(
@@ -1344,14 +1350,14 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     flips at the boundary)."""
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     li = load_table(spark, sf_dir, "lineitem").join(
-        F.broadcast(p.select("p_partkey")), F.col("l_partkey") == F.col("p_partkey")
+        p.select("p_partkey"), F.col("l_partkey") == F.col("p_partkey")
     )
     stats = li.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.sum(F.col("l_quantity").cast(D2)).alias("sum_qty"),
         F.count("*").alias("cnt"),
     )
     return (
-        li.join(F.broadcast(stats), F.col("l_partkey") == F.col("pk"))
+        li.join(stats, F.col("l_partkey") == F.col("pk"))
         .filter(F.col("l_quantity").cast(D2) * 5 * F.col("cnt") < F.col("sum_qty"))
         .agg(
             (F.sum(F.col("l_extendedprice").cast(D2)).cast("double") / F.lit(7.0)).alias(
@@ -1419,7 +1425,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        waiting.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        waiting.join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.sum("n_late_rows").cast("long").alias("numwait"))
     )
@@ -1490,8 +1496,8 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = li.select("l_partkey", "l_suppkey").distinct()
     return (
-        pairs.join(F.broadcast(bad), pairs.l_suppkey == F.col("bad_sk"), "left_anti")
-        .join(F.broadcast(p), pairs.l_partkey == p.p_partkey)
+        pairs.join(bad, pairs.l_suppkey == F.col("bad_sk"), "left_anti")
+        .join(p, pairs.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -1518,7 +1524,7 @@ def q20_excess_share_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("small%"))
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
-    fam = li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+    fam = li.join(p.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
     per_sp = fam.groupBy("l_partkey", "l_suppkey").agg(
         F.sum(F.col("l_quantity").cast(D2)).alias("sp_qty")
     )
@@ -1526,7 +1532,7 @@ def q20_excess_share_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("l_quantity").cast(D2)).alias("part_qty")
     )
     dominant = (
-        per_sp.join(F.broadcast(per_part), per_sp.l_partkey == F.col("pk"))
+        per_sp.join(per_part, per_sp.l_partkey == F.col("pk"))
         .filter(F.col("sp_qty") * 5 > F.col("part_qty"))
         .select("l_suppkey")
         .distinct()
@@ -1579,17 +1585,17 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "s_acctbal", "n_name")
     )
     pairs = (
-        li.join(F.broadcast(p.select("p_partkey")), li.l_partkey == F.col("p_partkey"))
+        li.join(p.select("p_partkey"), li.l_partkey == F.col("p_partkey"))
         .select("l_partkey", "l_suppkey")
         .distinct()
-        .join(F.broadcast(sn), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(sn, F.col("l_suppkey") == F.col("s_suppkey"))
     )
     best = pairs.groupBy(F.col("l_partkey").alias("pk")).agg(
         F.max("s_acctbal").alias("max_bal")
     )
     return (
         pairs.join(
-            F.broadcast(best),
+            best,
             (pairs.l_partkey == F.col("pk")) & (pairs.s_acctbal == F.col("max_bal")),
         )
         .select("s_acctbal", "s_name", "n_name", "l_partkey")
@@ -1618,14 +1624,22 @@ WHERE s_acctbal = (
 
 
 Q22_SEGMENTS = ("BUILDING", "AUTOMOBILE", "MACHINERY")
+# dormancy window start: non-empty at every test SF (5/32/395 rows at
+# sf0.001/0.01/0.1) so the anti-join path is actually exercised
+Q22_DORMANT_CUTOFF = "2000-01-01"
 
 
 def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H-Q22-shaped: scalar subquery + anti join. Customers in target
     segments with above-average balance (threshold = a 1-row broadcast,
-    computed as exact DECIMAL sum / count so both engines agree) who have
-    never ordered (left-anti against orders). The anti join's build side
-    only needs o_custkey — column pruning keeps it narrow."""
+    computed as exact DECIMAL sum / count so both engines agree) with no
+    RECENT order (left-anti against orders filtered to the dormancy
+    window) — the "sales opportunity" set. The date filter pushes to the
+    orders scan and the anti join's build side only needs o_custkey, so
+    the build stays narrow AND small. (The classic never-ordered predicate
+    is vacuous on this dataset — every customer has ordered — so the
+    dormancy cutoff keeps the Q22 shape while exercising the anti join on
+    a non-empty result; driver checks >0 rows at sf0.01.)"""
     c = load_table(spark, sf_dir, "customer")
     thr = (
         c.filter(F.col("c_acctbal") > 0)
@@ -1641,7 +1655,11 @@ def q22_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(thr))
         .filter(F.col("c_acctbal") > F.col("thr"))
     )
-    o = load_table(spark, sf_dir, "orders").select("o_custkey")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(Q22_DORMANT_CUTOFF).cast("timestamp"))
+        .select("o_custkey")
+    )
     never_ordered = eligible.join(o, eligible.c_custkey == o.o_custkey, "left_anti")
     return never_ordered.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("numcust"),
@@ -1656,7 +1674,9 @@ FROM customer
 WHERE c_mktsegment IN {Q22_SEGMENTS!r}
   AND c_acctbal > (SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
                    FROM customer WHERE c_acctbal > 0)
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '{Q22_DORMANT_CUTOFF}')
 GROUP BY c_mktsegment
 """
 

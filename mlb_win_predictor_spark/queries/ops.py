@@ -360,7 +360,7 @@ def kl_divergence_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
     enriched = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
         .select("n_name", "o_orderpriority")
     )

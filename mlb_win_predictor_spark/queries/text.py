@@ -587,23 +587,35 @@ def balanced_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The gate is EXACT integer arithmetic end to end: uniform hash =
     first 8 md5 hex digits of doc_id as an int in [0, 2^32); keep iff
-    ``hash * n_source < n_min * 2^32``, which is ``hash/2^32 <
+    ``hash * n_source < n_min * 2^32``, i.e. ``hash/2^32 <
     n_min/n_source`` with no float threshold — no cross-engine ulp risk
     at the keep boundary, and retries/reruns keep identical rows (the
-    property random sample() lacks). Plan: one count agg (tiny) broadcast
-    back over the corpus scan; the gate filters map-side. At 100 TB the
-    corpus is never shuffled at all."""
+    property random sample() lacks). The per-row form of that predicate
+    would wrap int64 once a source exceeds ~2^31 docs (hash < 2^32, so
+    the product crosses 2^63), so the division is moved to the
+    source-count table: a per-source long threshold
+    ``thr = (n_min*2^32 - 1) div n_docs + 1`` computed once per source in
+    DECIMAL(38,0) (integral ``div`` — no rounded intermediate), and the
+    per-row gate is the overflow-free long compare ``hash < thr``.
+    Plan: one count agg (tiny) broadcast back over the corpus scan; the
+    gate filters map-side. At 100 TB the corpus is never shuffled at
+    all."""
     d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
     min_count = counts.agg(F.min("n_docs").alias("n_min"))
+    # a*n < T  <=>  a <= floor((T-1)/n)  <=>  a < (T-1) div n + 1
+    thr_tbl = counts.crossJoin(min_count).select(
+        "source",
+        "n_docs",
+        F.expr(
+            "CAST((CAST(n_min AS DECIMAL(38,0)) * 4294967296 - 1)"
+            " DIV CAST(n_docs AS DECIMAL(38,0)) AS BIGINT) + 1"
+        ).alias("thr"),
+    )
     hashv = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
     ).cast("long")
-    kept = (
-        d.join(F.broadcast(counts), "source")
-        .crossJoin(F.broadcast(min_count))
-        .filter(hashv * F.col("n_docs") < F.col("n_min") * F.lit(4294967296))
-    )
+    kept = d.join(F.broadcast(thr_tbl), "source").filter(hashv < F.col("thr"))
     return kept.groupBy("source").agg(
         F.max("n_docs").alias("n_docs"),
         F.count(F.lit(1)).cast("long").alias("n_kept"),
@@ -1072,14 +1084,16 @@ def dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # integer-threshold recheck: J >= 1/2  <=>  3*|A∩B| >= |A|+|B|, so the
     # pushed-down filter never duplicates the float jaccard expression and
     # array_intersect runs once per candidate (plus once per survivor).
-    # The shingle-set side is broadcast: one hashed-long array per doc is
-    # orders of magnitude smaller than the candidate-pair stream, so the
-    # re-check runs map-side with no pair shuffle (at corpus scale where
-    # the set table outgrows the broadcast threshold, drop the hint and
-    # AQE falls back to a shuffled hash join).
+    # The shingle-set sides carry NO broadcast hint on purpose: the set
+    # table is corpus-sized (one hashed-long array per doc), so a pinned
+    # hint would be a driver OOM at 100 TB — the size-based planner / AQE
+    # broadcasts it when it fits the threshold (it does at bench scale,
+    # keeping the re-check map-side) and falls back to a shuffled hash
+    # join when it doesn't. Plan-pinned in
+    # tests/test_plans.py::test_jaccard_recheck_broadcast_not_mandatory.
     scored = (
-        cand.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .select(
             "doc_a",
             "doc_b",

@@ -15,6 +15,7 @@ queries.core.merge_upsert and streaming.jobs.upsert_outcomes_foreach_batch.
 from __future__ import annotations
 
 import os
+from datetime import datetime
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -22,14 +23,12 @@ from pyspark.sql import functions as F
 
 def json_log_sink(events: DataFrame, out_dir: str, job_name: str) -> str:
     """Write an append-only JSON event log under a sanitized timestamped
-    key (the reference's S3 object-key scheme, src/function.py:42,529)."""
-    key_row = events.sparkSession.range(1).select(
-        F.concat(
-            F.date_format(F.current_timestamp(), "yyyy-MM-dd_HH-mm-ss"),
-            F.lit(f"_{job_name}"),
-        ).alias("key")
-    ).collect()[0]
-    path = os.path.join(out_dir, key_row.key)
+    key (the reference's S3 object-key scheme, src/function.py:42,529).
+
+    The key is driver-side metadata, not data — formatted with plain
+    ``datetime`` so no Spark job runs for it."""
+    key = datetime.now().strftime("%Y-%m-%d_%H-%M-%S") + f"_{job_name}"
+    path = os.path.join(out_dir, key)
     events.write.mode("overwrite").json(path)
     return path
 

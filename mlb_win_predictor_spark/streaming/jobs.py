@@ -308,26 +308,14 @@ def cms_sketch_stream(events: DataFrame, sketch_path: str, checkpoint: str, key:
     tests/test_operators.py and tests/test_streaming.py.
 
     Additive cell-wise merges are not replay-safe (at-least-once
-    foreachBatch would double-count a re-delivered epoch), so the same
-    epoch-marker guard as ``incremental_rollup_stream`` applies: skip
-    already-applied epochs, create the marker after the swap."""
+    foreachBatch would double-count a re-delivered epoch), so the sketch
+    uses the same versioned-snapshot log as ``incremental_rollup_stream``
+    (see its docstring for the crash-window analysis); read the current
+    sketch with ``read_snapshot(spark, sketch_path)``."""
     from ..operators.sketches import cms_build, cms_merge
 
     def sketch_batch(batch: DataFrame, epoch_id: int) -> None:
-        spark = batch.sparkSession
-        marker = sketch_path + f"._epochs/{epoch_id}"
-        if os.path.exists(marker):
-            return
-        delta = cms_build(batch, key)
-        if os.path.exists(sketch_path):
-            merged = cms_merge(spark.read.parquet(sketch_path), delta)
-        else:
-            merged = delta
-        tmp = sketch_path + f".tmp_epoch_{epoch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(sketch_path)
-        os.makedirs(marker, exist_ok=True)
-        shutil.rmtree(tmp, ignore_errors=True)
+        _apply_versioned_epoch(cms_build(batch, key), epoch_id, sketch_path, cms_merge)
 
     return (
         events.writeStream.foreachBatch(sketch_batch)
@@ -346,45 +334,95 @@ def incremental_rollup_stream(events: DataFrame, rollup_path: str, checkpoint: s
     while the facts grow to 100 TB.
 
     Additive merges are NOT replay-safe by construction (a re-delivered
-    foreachBatch epoch would double-count — unlike the last-writer-wins
-    join+overwrite of ``upsert_outcomes_foreach_batch``), so each applied
-    epoch leaves a marker and a replayed epoch is skipped: at-least-once
-    delivery + idempotent apply = exactly-once rollup contents."""
+    foreachBatch epoch would double-count), so the rollup is stored as a
+    VERSIONED snapshot log: epoch N merges the latest _SUCCESS-committed
+    snapshot with id < N and overwrites ``epoch=N`` — deterministic
+    inputs + deterministic target + overwrite = a replayed epoch
+    reproduces, never re-adds. A crash mid-write leaves ``epoch=N``
+    without _SUCCESS; readers (``read_rollup``) skip it and the retry
+    overwrites it. This closes BOTH crash windows a
+    marker-after-overwrite scheme leaves open (replay double-count, and
+    a torn final overwrite with no intact copy). Snapshots are
+    O(days × types) rows, so the ≤2 retained copies are negligible next
+    to the fact stream; older epochs are GC'd after each commit."""
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
-        spark = batch.sparkSession
-        marker = rollup_path + f"._epochs/{epoch_id}"
-        if os.path.exists(marker):
-            return
-        delta = (
-            batch.groupBy(F.to_date("ts").alias("day"), "event_type")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
-            )
-            .withColumn("total", F.col("total").cast("decimal(28,2)"))
-        )
-        if os.path.exists(rollup_path):
-            cur = spark.read.parquet(rollup_path)
-            merged = (
-                cur.unionByName(delta)
-                .groupBy("day", "event_type")
-                .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
-                .withColumn("total", F.col("total").cast("decimal(28,2)"))
-            )
-        else:
-            merged = delta
-        tmp = rollup_path + f".tmp_epoch_{epoch_id}"
-        merged.write.mode("overwrite").parquet(tmp)
-        spark.read.parquet(tmp).write.mode("overwrite").parquet(rollup_path)
-        os.makedirs(marker, exist_ok=True)
-        shutil.rmtree(tmp, ignore_errors=True)
+        apply_rollup_epoch(batch, epoch_id, rollup_path)
 
     return (
         events.writeStream.foreachBatch(merge_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def _committed_epochs(path: str) -> list[int]:
+    """Epoch snapshot ids under ``path`` whose write completed (_SUCCESS
+    present — the commit record on plain parquet)."""
+    if not os.path.isdir(path):
+        return []
+    out = []
+    for name in os.listdir(path):
+        if name.startswith("epoch=") and os.path.exists(
+            os.path.join(path, name, "_SUCCESS")
+        ):
+            out.append(int(name.split("=", 1)[1]))
+    return sorted(out)
+
+
+def read_snapshot(spark, path: str) -> DataFrame | None:
+    """Latest committed snapshot of a versioned-epoch state dir
+    (rollup / CMS sketch), or None before the first epoch."""
+    epochs = _committed_epochs(path)
+    if not epochs:
+        return None
+    return spark.read.parquet(f"{path}/epoch={epochs[-1]}")
+
+
+# read_rollup is the rollup-flavored name for the same operation
+read_rollup = read_snapshot
+
+
+def _apply_versioned_epoch(delta: DataFrame, epoch_id: int, path: str, merge) -> None:
+    """Commit one epoch of an additively-merged state: merge the latest
+    committed snapshot BELOW this epoch with ``delta`` via ``merge(cur,
+    delta)``, overwrite this epoch's own snapshot directory, GC snapshots
+    older than the merge input. Deterministic inputs + deterministic
+    target + overwrite = a replayed epoch reproduces, never re-adds."""
+    spark = delta.sparkSession
+    prev = [e for e in _committed_epochs(path) if e < epoch_id]
+    if prev:
+        merged = merge(spark.read.parquet(f"{path}/epoch={prev[-1]}"), delta)
+    else:
+        merged = delta
+    merged.write.mode("overwrite").parquet(f"{path}/epoch={epoch_id}")
+    # keep the merge input (prev[-1]) for replay determinism of THIS
+    # epoch; anything older can never be read again
+    for e in prev[:-1]:
+        shutil.rmtree(f"{path}/epoch={e}", ignore_errors=True)
+
+
+def apply_rollup_epoch(batch: DataFrame, epoch_id: int, rollup_path: str) -> None:
+    """One epoch of rollup maintenance (the foreachBatch body, module-level
+    so replay is directly testable)."""
+    delta = (
+        batch.groupBy(F.to_date("ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("total"),
+        )
+        .withColumn("total", F.col("total").cast("decimal(28,2)"))
+    )
+
+    def merge(cur: DataFrame, d: DataFrame) -> DataFrame:
+        return (
+            cur.unionByName(d)
+            .groupBy("day", "event_type")
+            .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+            .withColumn("total", F.col("total").cast("decimal(28,2)"))
+        )
+
+    _apply_versioned_epoch(delta, epoch_id, rollup_path, merge)
 
 
 def incremental_ann_index_stream(
@@ -396,26 +434,39 @@ def incremental_ann_index_stream(
     operators.similarity.ivf_assign — the corpus is never re-clustered)
     and appended to the cell-partitioned index, so searches
     (ivf_search_index) immediately see new vectors and still prune to
-    n_probe/n_cells of the files. Appends are not idempotent, so the
-    same epoch-marker guard as incremental_rollup_stream applies
-    (at-least-once foreachBatch + skip-applied-epochs = exactly-once
-    index contents)."""
-    from ..operators.similarity import ivf_assign
-
+    n_probe/n_cells of the files. Idempotence is BY CONSTRUCTION, not by
+    marker: each epoch writes (mode=overwrite) into its own
+    ``epoch=<id>`` partition directory, so a replayed epoch — including
+    a crash between write and any bookkeeping, the window a
+    marker-after-append scheme leaves open — overwrites its own output
+    instead of appending duplicates. at-least-once foreachBatch +
+    deterministic-target overwrite = exactly-once index contents.
+    Readers partition-discover ``epoch=*/cell=*`` from the base path;
+    cell pruning is unaffected (cell stays a partition column)."""
     def index_batch(batch: DataFrame, epoch_id: int) -> None:
-        spark = batch.sparkSession
-        marker = index_path + f"._epochs/{epoch_id}"
-        if os.path.exists(marker):
-            return
-        cents = spark.read.parquet(centroids_path)
-        assigned = ivf_assign(batch, cents)
-        assigned.write.mode("append").partitionBy("cell").parquet(index_path)
-        os.makedirs(marker, exist_ok=True)
+        apply_ann_index_epoch(batch, epoch_id, centroids_path, index_path)
 
     return (
         new_vectors.writeStream.foreachBatch(index_batch)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
+    )
+
+
+def apply_ann_index_epoch(
+    batch: DataFrame, epoch_id: int, centroids_path: str, index_path: str
+) -> None:
+    """One epoch of IVF index ingest (the foreachBatch body of
+    incremental_ann_index_stream, module-level so replay is directly
+    testable): assign against the frozen centroids, overwrite the
+    epoch's own partition directory."""
+    from ..operators.similarity import ivf_assign
+
+    spark = batch.sparkSession
+    cents = spark.read.parquet(centroids_path)
+    assigned = ivf_assign(batch, cents)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(
+        index_path + f"/epoch={epoch_id}"
     )
 
 

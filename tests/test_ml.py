@@ -169,3 +169,57 @@ def test_rff_approximates_rbf_kernel():
     exact = np.exp(-gamma * sq)
     err = np.abs(approx - exact).mean()
     assert err < 0.02, err
+
+
+def test_knn_lsh_matches_exact_oracle(spark):
+    """ANN-style recall gate for the LSH kNN (mirrors the IVF/LSH recall
+    tests): against an EXACT crossJoin k=5 majority vote at sf0.001, the
+    LSH-bucketed vote must agree on >= 80% of test points."""
+    from pyspark.sql.window import Window as W
+
+    from mlb_win_predictor_spark.ml.knn import knn_predict_lsh
+    from mlb_win_predictor_spark.queries.ml import _emb_features
+
+    df = _emb_features(spark, "/root/testdata/sf0.001")
+    test = df.filter(F.col("vec_id") % 10 == 0)
+    train = df.filter(F.col("vec_id") % 10 != 0)
+
+    # exact oracle: full cross join, euclidean top-5, same vote + tiebreak
+    sq = lambda a, b: F.aggregate(  # noqa: E731
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    te = test.select(
+        F.col("vec_id").alias("test_id"), F.col("features_arr").alias("t_f")
+    )
+    tr = train.select(
+        F.col("vec_id").alias("n_id"),
+        F.col("label").alias("n_label"),
+        F.col("features_arr").alias("n_f"),
+    )
+    pairs = te.crossJoin(tr).select(
+        "test_id", "n_id", "n_label", F.sqrt(sq(F.col("t_f"), F.col("n_f"))).alias("_dist")
+    )
+    wk = W.partitionBy("test_id").orderBy(F.col("_dist").asc(), F.col("n_id").asc())
+    topk = pairs.withColumn("rn", F.row_number().over(wk)).filter(F.col("rn") <= 5)
+    votes = topk.groupBy("test_id", "n_label").agg(
+        F.count(F.lit(1)).alias("votes"), F.min("_dist").alias("min_dist")
+    )
+    wv = W.partitionBy("test_id").orderBy(
+        F.col("votes").desc(), F.col("min_dist").asc(), F.col("n_label").asc()
+    )
+    exact = {
+        r.test_id: r.n_label
+        for r in votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .collect()
+    }
+
+    got = {
+        r.vec_id: r.prediction
+        for r in knn_predict_lsh(train, test, k=5).select("vec_id", "prediction").collect()
+    }
+    assert set(got) == set(exact)
+    agree = sum(1 for t in exact if got[t] == exact[t]) / len(exact)
+    assert agree >= 0.8, f"LSH kNN agreement with exact vote: {agree:.2f}"

@@ -263,12 +263,6 @@ def test_incremental_ann_index_matches_batch_and_searches(spark, emb, tmp_path):
     assert idx.count() == corpus.count()
     assert idx.select("cell", "vec_id").exceptAll(batch.select("cell", "vec_id")).count() == 0
 
-    # replayed epoch (same epoch id 0 marker exists) appends nothing
-    import os as _os
-
-    n_markers = len(_os.listdir(index_path + "._epochs"))
-    assert n_markers >= 2
-
     got = ivf_search_index(queries, cents, idx, k=5, n_probe=4)
     want = exact_topk_cosine(queries, corpus, k=5)
     g = {(r.query_id, r.cand_id) for r in got.collect()}
@@ -279,6 +273,25 @@ def test_incremental_ann_index_matches_batch_and_searches(spark, emb, tmp_path):
     full = ivf_search_index(queries, cents, idx, k=5, n_probe=8)
     f = {(r.query_id, r.cand_id) for r in full.collect()}
     assert f == w
+
+    # genuinely REPLAY an already-applied epoch: invoke the epoch-apply
+    # body directly with epoch_id=0, as the engine would after a crash
+    # between the epoch write and the checkpoint commit — the per-epoch
+    # overwrite target must leave index contents unchanged, not append.
+    # (Last: the overwrite rewrites epoch 0's files, invalidating any
+    # DataFrame that captured the old file listing.)
+    from mlb_win_predictor_spark.streaming.jobs import apply_ann_index_epoch
+
+    before = idx.count()
+    apply_ann_index_epoch(half, 0, cent_path, index_path)
+    after = spark.read.parquet(index_path).count()
+    assert after == before, "replayed epoch duplicated index rows"
+    # and the replayed contents still equal the batch assignment
+    re_idx = spark.read.parquet(index_path)
+    assert (
+        re_idx.select("cell", "vec_id").exceptAll(batch.select("cell", "vec_id")).count()
+        == 0
+    )
 
 
 def test_random_projection_numpy_parity_and_distance_preservation(spark, emb):
@@ -782,3 +795,17 @@ def test_bucketed_interval_join_matches_naive_and_avoids_nested_loop(spark):
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan  # tiny test input may still broadcast
     )
+
+
+def test_random_projection_rejects_dim_mismatch(spark):
+    """A vector shorter than in_dim must fail loudly, not silently
+    project to NULLs via zip_with null-padding (round-3 advice)."""
+    import pytest as _pytest
+
+    from mlb_win_predictor_spark.operators.similarity import random_projection
+
+    bad = spark.createDataFrame(
+        [(1, [0.5] * 32)], "vec_id long, embedding array<float>"
+    )
+    with _pytest.raises(Exception, match="expected 64-dim"):
+        random_projection(bad, out_dim=4, in_dim=64).collect()

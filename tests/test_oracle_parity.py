@@ -48,3 +48,10 @@ def test_entry_smoke(spark):
     rows = df.collect()
     assert len(rows) > 0
     assert set(se.oracle_sql()).issubset(set(se.queries()))
+
+
+def test_q22_non_vacuous(spark):
+    """Round-2 verdict: q22 hash-matched on the EMPTY set, verifying
+    nothing about the anti-join + scalar-subquery logic. The dormancy
+    cutoff must keep the result non-empty at every test SF."""
+    assert QUERIES["q22_sales_opportunity"].fn(spark, PARITY_SF_DIR).count() > 0

@@ -262,3 +262,46 @@ def test_q11_global_total_single_row_broadcast(plans):
     # formatted plans list each node in the tree AND the detail section
     assert p.count("BroadcastNestedLoopJoin") == 2, p.count("BroadcastNestedLoopJoin")
     assert "CartesianProduct" not in p
+
+
+def test_jaccard_recheck_broadcast_not_mandatory(spark):
+    """The PPJoin re-check joins the corpus-sized shingle-set table; a
+    pinned F.broadcast() hint there would override the size threshold and
+    OOM the driver at 100 TB. Simulate "set table exceeds the threshold"
+    by disabling size-based broadcast entirely: every join in the plan
+    must fall back to a shuffled strategy — any surviving
+    BroadcastExchange means a hint is mandatory."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        # a prior execution leaves shingled/prefix persisted, and the
+        # cached relation's STORED physical plan (compiled under default
+        # confs) leaks BroadcastExchange nodes into explain output —
+        # clear so the assertion sees only this plan's own joins
+        spark.catalog.clearCache()
+        p = plan_of(QUERIES["dedup_jaccard_prefix"].fn(spark, SF))
+        assert "BroadcastExchange" not in p, "mandatory broadcast hint in PPJoin path"
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_unpinned_dim_joins_still_broadcast_at_bench_scale(plans):
+    """Round 3 removed pinned F.broadcast() from SF-scaling sides (part /
+    customer / supplier and per-key aggregates) — at 100 TB a pinned hint
+    there is a driver OOM. The flip side must hold too: at bench scale
+    the size-based planner still picks broadcast on its own (every dim is
+    KBs), so un-pinning costs nothing. Guard the TPC-H heavy hitters."""
+    for name in ("q7_volume_shipping", "q8_market_share", "q9_product_profit",
+                 "derived_columns"):
+        p = plans[name]
+        assert "SortMergeJoin" not in p, f"{name}: dim join regressed to sort-merge"
+        assert "BroadcastHashJoin" in p, f"{name}: expected broadcast dim joins"

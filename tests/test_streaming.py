@@ -302,6 +302,7 @@ def test_cms_sketch_stream_matches_full_sketch(spark, tmp_path):
 
     from mlb_win_predictor_spark.operators.sketches import cms_build
     from mlb_win_predictor_spark.streaming import cms_sketch_stream
+    from mlb_win_predictor_spark.streaming.jobs import read_snapshot
 
     src = tmp_path / "ev_in"
     src.mkdir()
@@ -322,7 +323,7 @@ def test_cms_sketch_stream_matches_full_sketch(spark, tmp_path):
 
     got = {
         (r.seed, r.bucket): r.n
-        for r in spark.read.parquet(str(tmp_path / "sketch")).collect()
+        for r in read_snapshot(spark, str(tmp_path / "sketch")).collect()
     }
     want = {
         (r.seed, r.bucket): r.n
@@ -337,7 +338,10 @@ def test_incremental_rollup_stream_matches_batch_and_skips_replays(spark, tmp_pa
     (fresh checkpoint, same markers) must NOT double-count."""
     import pandas as pd
 
-    from mlb_win_predictor_spark.streaming import incremental_rollup_stream
+    from mlb_win_predictor_spark.streaming import (
+        incremental_rollup_stream,
+        read_rollup,
+    )
 
     src = tmp_path / "ev_roll"
     src.mkdir()
@@ -365,7 +369,7 @@ def test_incremental_rollup_stream_matches_batch_and_skips_replays(spark, tmp_pa
     def snapshot():
         return {
             (str(r.day), r.event_type): (r.n, str(r.total))
-            for r in spark.read.parquet(str(tmp_path / "rollup")).collect()
+            for r in read_rollup(spark, str(tmp_path / "rollup")).collect()
         }
 
     got = snapshot()
@@ -382,6 +386,20 @@ def test_incremental_rollup_stream_matches_batch_and_skips_replays(spark, tmp_pa
     assert got == want
 
     # replay: fresh checkpoint re-delivers epochs 0/1 with the same ids —
-    # the epoch markers must make the additive merge a no-op
+    # each replayed epoch recomputes from snapshots strictly below it
+    # (deterministic), so the additive merge reproduces instead of re-adds
     start("ckpt2")
+    assert snapshot() == got
+
+    # crash-window replay: re-deliver the LAST epoch directly (as the
+    # engine does after a crash between the snapshot write and the
+    # checkpoint commit) — the per-epoch overwrite must not double-count
+    from mlb_win_predictor_spark.streaming.jobs import (
+        _committed_epochs,
+        apply_rollup_epoch,
+    )
+
+    last = _committed_epochs(str(tmp_path / "rollup"))[-1]
+    h1 = spark.createDataFrame(full.iloc[len(full) // 2 :])
+    apply_rollup_epoch(h1, last, str(tmp_path / "rollup"))
     assert snapshot() == got
