@@ -251,34 +251,33 @@ def incremental_dedup_stream(
 
     State lives in the two parquet tables, not the streaming engine
     (same pattern as the foreachBatch MERGE): restart-safe via the
-    checkpoint + an epoch marker. foreachBatch is at-least-once, and the
-    appends are NOT naturally idempotent, so each applied epoch leaves a
-    marker and a replayed epoch is skipped. The index append runs BEFORE
-    the corpus append: a crash between them replays into a duplicate
-    index band (harmless — candidate hits are ``distinct``-ed) rather
-    than a duplicate corpus row; only a crash in the write-kept→mkdir
-    window can duplicate corpus rows (Delta's transactional MERGE is the
-    production close of that residual window)."""
+    checkpoint. foreachBatch is at-least-once and appends are not
+    naturally idempotent, so both tables are laid out as per-epoch
+    directories: epoch N reads the index as the union of committed
+    epochs BELOW N (deterministic on replay even if N's own index write
+    survived a crash) and overwrites ``epoch=N`` in both tables — a
+    replayed epoch reproduces its own output instead of appending
+    duplicates, with no marker race window. Readers take the union of
+    committed epochs (``read_epoch_union``), which IS append semantics,
+    just commit-aware."""
     from ..operators.dedup import incremental_neardup_filter, minhash_band_index
 
     def dedup_batch(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
-        marker = kept_path + f"._epochs/{epoch_id}"
-        if os.path.exists(marker):
-            return
-        if os.path.exists(index_path):
-            index = spark.read.parquet(index_path)
-        else:
-            index = spark.createDataFrame(
-                [], "doc_id long, band_idx int, band_sig long"
-            )
+        index = read_epoch_union(
+            spark,
+            index_path,
+            "doc_id long, band_idx int, band_sig long",
+            below=epoch_id,
+        )
         kept = incremental_neardup_filter(index, batch).persist()
         try:
-            minhash_band_index(kept).write.mode("append").parquet(index_path)
-            kept.write.mode("append").parquet(kept_path)
+            minhash_band_index(kept).write.mode("overwrite").parquet(
+                f"{index_path}/epoch={epoch_id}"
+            )
+            kept.write.mode("overwrite").parquet(f"{kept_path}/epoch={epoch_id}")
         finally:
             kept.unpersist()
-        os.makedirs(marker, exist_ok=True)
 
     return (
         new_docs.writeStream.foreachBatch(dedup_batch)
@@ -383,6 +382,23 @@ def read_snapshot(spark, path: str) -> DataFrame | None:
 read_rollup = read_snapshot
 
 
+def read_epoch_union(
+    spark, path: str, schema: str, below: int | None = None
+) -> DataFrame:
+    """Union of committed per-epoch directories — append semantics over
+    an idempotent per-epoch layout (each epoch owns ``epoch=N`` and
+    overwrites only itself). ``below`` restricts to epochs < N, which is
+    what epoch N itself must read so a replay after a partial crash sees
+    the identical pre-N state. Returns an empty frame with ``schema``
+    before the first commit."""
+    epochs = _committed_epochs(path)
+    if below is not None:
+        epochs = [e for e in epochs if e < below]
+    if not epochs:
+        return spark.createDataFrame([], schema)
+    return spark.read.parquet(*[f"{path}/epoch={e}" for e in epochs])
+
+
 def _apply_versioned_epoch(delta: DataFrame, epoch_id: int, path: str, merge) -> None:
     """Commit one epoch of an additively-merged state: merge the latest
     committed snapshot BELOW this epoch with ``delta`` via ``merge(cur,
@@ -442,7 +458,11 @@ def incremental_ann_index_stream(
     instead of appending duplicates. at-least-once foreachBatch +
     deterministic-target overwrite = exactly-once index contents.
     Readers partition-discover ``epoch=*/cell=*`` from the base path;
-    cell pruning is unaffected (cell stays a partition column)."""
+    cell pruning is unaffected (cell stays a partition column). A reader
+    racing a crashed-mid-write epoch should use ``read_epoch_union``
+    (commit-aware: skips epoch dirs without _SUCCESS); with
+    availableNow ingest the stream completes before searches run, so
+    the base-path read is the common case."""
     def index_batch(batch: DataFrame, epoch_id: int) -> None:
         apply_ann_index_epoch(batch, epoch_id, centroids_path, index_path)
 

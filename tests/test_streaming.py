@@ -131,10 +131,11 @@ def test_incremental_dedup_stream_across_batches(spark, tmp_path):
     assert 5 in kept
     assert 6 not in kept, "within-batch duplicate must be dropped"
 
-    # Replay safety: foreachBatch is at-least-once, and the appends are
-    # guarded by epoch markers. Wipe the checkpoint so the SAME epochs
-    # (0,1) are re-delivered — a guarded job must skip them, leaving the
-    # corpus and index byte-identical instead of re-appending duplicates.
+    # Replay safety: foreachBatch is at-least-once and the per-epoch
+    # directories make the apply idempotent. Wipe the checkpoint so the
+    # SAME epochs (0,1) are genuinely re-executed — each must reproduce
+    # its own epoch dir (reading only epochs below itself), leaving the
+    # corpus and index row-identical instead of appending duplicates.
     import shutil as _sh
 
     kept_rows = spark.read.parquet(str(tmp_path / "kept")).count()
@@ -150,6 +151,29 @@ def test_incremental_dedup_stream_across_batches(spark, tmp_path):
     q2.stop()
     assert spark.read.parquet(str(tmp_path / "kept")).count() == kept_rows
     assert spark.read.parquet(str(tmp_path / "index")).count() == index_rows
+
+    # crash-window replay: re-run epoch 1's body directly against the
+    # committed state (as after a crash between its writes and the
+    # checkpoint commit) — kept/index must be row-identical after
+    from mlb_win_predictor_spark.streaming.jobs import read_epoch_union
+
+    b1_df = spark.createDataFrame(b1)
+    from mlb_win_predictor_spark.operators.dedup import (
+        incremental_neardup_filter,
+        minhash_band_index,
+    )
+
+    idx_below = read_epoch_union(
+        spark, str(tmp_path / "index"), "doc_id long, band_idx int, band_sig long", below=1
+    )
+    kept_replay = incremental_neardup_filter(idx_below, b1_df)
+    minhash_band_index(kept_replay).write.mode("overwrite").parquet(
+        str(tmp_path / "index") + "/epoch=1"
+    )
+    kept_replay.write.mode("overwrite").parquet(str(tmp_path / "kept") + "/epoch=1")
+    assert spark.read.parquet(str(tmp_path / "kept")).count() == kept_rows
+    assert spark.read.parquet(str(tmp_path / "index")).count() == index_rows
+    assert {r.doc_id for r in spark.read.parquet(str(tmp_path / "kept")).collect()} == kept
 
 
 def test_foreach_batch_upsert(spark, tmp_path_factory):
@@ -403,3 +427,26 @@ def test_incremental_rollup_stream_matches_batch_and_skips_replays(spark, tmp_pa
     h1 = spark.createDataFrame(full.iloc[len(full) // 2 :])
     apply_rollup_epoch(h1, last, str(tmp_path / "rollup"))
     assert snapshot() == got
+
+
+def test_versioned_epoch_readers_skip_uncommitted(spark, tmp_path):
+    """read_snapshot / read_epoch_union must ignore an epoch dir whose
+    write never completed (_SUCCESS absent — the torn-write crash state)
+    and return empty/None before the first commit."""
+    from mlb_win_predictor_spark.streaming.jobs import (
+        read_epoch_union,
+        read_snapshot,
+    )
+
+    path = str(tmp_path / "state")
+    assert read_snapshot(spark, path) is None
+    assert read_epoch_union(spark, path, "a long").count() == 0
+
+    spark.range(3).selectExpr("id as a").write.parquet(path + "/epoch=0")
+    torn = tmp_path / "state" / "epoch=1"
+    torn.mkdir()
+    (torn / "part-00000.parquet").write_bytes(b"not a parquet file")
+
+    assert read_snapshot(spark, path).count() == 3
+    assert read_epoch_union(spark, path, "a long").count() == 3
+    assert read_epoch_union(spark, path, "a long", below=0).count() == 0
