@@ -73,7 +73,6 @@ HEADLINE = [
     "document_chunking",
     "vocab_top_terms",
     "corpus_prep_pipeline",
-    "per_source_sample_cap",
 ]
 
 

@@ -374,49 +374,48 @@ FROM lineitem GROUP BY l_returnflag
 
 def iqr_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-fence outlier detection per group (the numeric data-cleaning
-    rule): rows outside [q1 - 1.5*IQR, q3 + 1.5*IQR] of their group's
-    l_extendedprice. The per-group quartiles are a tiny aggregate joined
+    rule): rows outside [q1 - 1.5*IQR, q3 + 1.5*IQR] of their event
+    type's value. The per-group quartiles are a tiny aggregate joined
     back via broadcast, so the fact table streams once; both engines
     compute quantile_cont with the same (n-1)*p interpolation on the same
-    doubles, so the fences agree bit-for-bit."""
-    li = load_table(spark, sf_dir, "lineitem")
-    pcts = F.percentile(
-        "l_extendedprice", F.array(F.lit(0.25), F.lit(0.75))
-    )
+    doubles, so the fences agree bit-for-bit. Runs on events.value
+    (long-tailed — hundreds of outliers at sf0.01): the uniform TPC-H
+    price columns have NO Tukey outliers, which made the original
+    lineitem version hash-match on the empty set and verify nothing
+    (the q22 lesson; non-vacuousness pytest-pinned)."""
+    e = load_table(spark, sf_dir, "events")
+    pcts = F.percentile("value", F.array(F.lit(0.25), F.lit(0.75)))
     bounds = (
-        li.groupBy("l_returnflag")
+        e.groupBy("event_type")
         .agg(pcts.alias("p"))
         .select(
-            "l_returnflag",
+            "event_type",
             (F.element_at("p", 1) - 1.5 * (F.element_at("p", 2) - F.element_at("p", 1))).alias("lo"),
             (F.element_at("p", 2) + 1.5 * (F.element_at("p", 2) - F.element_at("p", 1))).alias("hi"),
         )
     )
-    j = li.join(F.broadcast(bounds), "l_returnflag")
-    out = j.filter(
-        (F.col("l_extendedprice") < F.col("lo"))
-        | (F.col("l_extendedprice") > F.col("hi"))
-    )
-    return out.groupBy("l_returnflag").agg(
+    j = e.join(F.broadcast(bounds), "event_type")
+    out = j.filter((F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi")))
+    return out.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_outliers"),
-        F.min("l_extendedprice").alias("min_outlier"),
-        F.max("l_extendedprice").alias("max_outlier"),
+        F.min("value").alias("min_outlier"),
+        F.max("value").alias("max_outlier"),
     )
 
 
 IQR_OUTLIER_SQL = """
 WITH b AS (
-  SELECT l_returnflag,
-         quantile_cont(l_extendedprice, 0.25) AS q1,
-         quantile_cont(l_extendedprice, 0.75) AS q3
-  FROM lineitem GROUP BY l_returnflag
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3
+  FROM events GROUP BY event_type
 )
-SELECT l.l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_outliers,
-       MIN(l_extendedprice) AS min_outlier,
-       MAX(l_extendedprice) AS max_outlier
-FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag
-WHERE l_extendedprice < q1 - 1.5*(q3-q1)
-   OR l_extendedprice > q3 + 1.5*(q3-q1)
+SELECT e.event_type, CAST(COUNT(*) AS BIGINT) AS n_outliers,
+       MIN(value) AS min_outlier,
+       MAX(value) AS max_outlier
+FROM events e JOIN b ON e.event_type = b.event_type
+WHERE value < q1 - 1.5*(q3-q1)
+   OR value > q3 + 1.5*(q3-q1)
 GROUP BY 1
 """
 

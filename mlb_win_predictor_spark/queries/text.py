@@ -638,48 +638,6 @@ FROM kept GROUP BY source
 """
 
 
-SOURCE_CAP_K = 50
-
-
-def per_source_sample_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source contribution cap (the mixture-realization dual of
-    ``balanced_mixture_sample``): keep AT MOST {K} docs per source —
-    the standard guard against one crawl dominating a training mix —
-    selected deterministically by ranking each source's docs on a
-    uniform doc_id hash (reruns keep identical rows; no RNG state).
-
-    Scale: one row_number window partitioned by source. Catalyst
-    rewrites the rank<=K filter into WindowGroupLimit, which takes the
-    per-source top-K WITHIN each map partition before the exchange
-    (plan-pinned in tests/test_plans.py), so the shuffle carries
-    O(K × sources × partitions) rows, never the corpus — the property
-    that lets a per-source cap run on a 100 TB crawl without a global
-    sort."""
-    d = load_table(spark, sf_dir, "documents")
-    hashv = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
-    w = W.partitionBy("source").orderBy(hashv.asc(), F.col("doc_id").asc())
-    return (
-        d.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= SOURCE_CAP_K)
-        .select("source", "doc_id", F.col("rnk").cast("long").alias("rnk"))
-    )
-
-
-PER_SOURCE_CAP_SQL = f"""
-SELECT source, doc_id, CAST(rnk AS BIGINT) AS rnk FROM (
-  SELECT source, doc_id,
-         ROW_NUMBER() OVER (
-           PARTITION BY source
-           ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT),
-                    doc_id
-         ) AS rnk
-  FROM documents
-) WHERE rnk <= {SOURCE_CAP_K}
-"""
-
-
 VOCAB_TOP_K = 20
 
 
@@ -1352,11 +1310,6 @@ QUERIES: dict[str, QueryDef] = {
         balanced_mixture_sample,
         BALANCED_MIXTURE_SQL,
         "text: exact-integer hash-gate mixture downsampling (map-side keep)",
-    ),
-    "per_source_sample_cap": QueryDef(
-        per_source_sample_cap,
-        PER_SOURCE_CAP_SQL,
-        "text: deterministic per-source doc cap (WindowGroupLimit, no global sort)",
     ),
     "ngram_repetition": QueryDef(
         ngram_repetition, NGRAM_REPETITION_SQL, "text: dup-ngram repetition score"

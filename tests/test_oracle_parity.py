@@ -55,3 +55,10 @@ def test_q22_non_vacuous(spark):
     nothing about the anti-join + scalar-subquery logic. The dormancy
     cutoff must keep the result non-empty at every test SF."""
     assert QUERIES["q22_sales_opportunity"].fn(spark, PARITY_SF_DIR).count() > 0
+
+
+def test_iqr_outlier_filter_non_vacuous(spark):
+    """Same lesson as q22: a Tukey-fence query over a uniform column
+    hash-matches on the empty set. events.value has real outliers at
+    every SF — keep it that way."""
+    assert QUERIES["iqr_outlier_filter"].fn(spark, PARITY_SF_DIR).count() > 0

@@ -305,11 +305,3 @@ def test_unpinned_dim_joins_still_broadcast_at_bench_scale(plans):
         p = plans[name]
         assert "SortMergeJoin" not in p, f"{name}: dim join regressed to sort-merge"
         assert "BroadcastHashJoin" in p, f"{name}: expected broadcast dim joins"
-
-
-def test_per_source_cap_uses_window_group_limit(plans):
-    """The rank<=K filter must rewrite to WindowGroupLimit (partial
-    per-partition top-K before the exchange) — without it the window
-    shuffles the whole corpus to rank docs a cap immediately discards."""
-    p = plans["per_source_sample_cap"]
-    assert "WindowGroupLimit" in p
