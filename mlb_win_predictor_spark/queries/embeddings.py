@@ -20,6 +20,7 @@ from pyspark.sql.window import Window as W
 from ..functions.scalars import stable_round
 from ..session import load_table
 from .base import QueryDef
+from .text import BM25_SQL, bm25_score
 
 TOPK_N_QUERIES = 8
 TOPK_K = 3
@@ -255,6 +256,285 @@ SELECT vec_id, true_label, assigned_label, sq_dist FROM (
 """
 
 
+RRF_K = 60
+RRF_POOL = 50
+RRF_TOPK = 15
+
+
+def hybrid_search_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion (Cormack et al. 2009):
+    a lexical BM25 ranking (``text.bm25_score``, fixed query terms) and a
+    dense cosine ranking (query = the doc-0 embedding; ``doc_id`` and
+    ``vec_id`` are the same corpus key) each yield a top-{pool} pool, and
+    rrf = 1/({k}+rank_lex) + 1/({k}+rank_dense) fuses them — the standard
+    two-tower + keyword retrieval merge of a RAG/data-curation stack.
+
+    Scale: both pools come from ``orderBy().limit()`` which Spark plans as
+    TakeOrderedAndProject — a per-partition top-{pool} then a driver merge
+    of {pool}-row heaps, NEVER a global sort. The rank windows and the
+    full-outer fusion join then touch only 2x{pool} rows (single tiny
+    partition, intentional). The corpus-sized work is exactly one BM25
+    scan + one cosine scan, both map-only against broadcast stats."""
+    lex_pool = (
+        bm25_score(spark, sf_dir)
+        .filter(F.col("doc_id") >= 1)
+        .select("doc_id", "bm25")
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(RRF_POOL)
+    )
+    lex_rank = lex_pool.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("bm25").desc(), F.col("doc_id").asc()))
+        .cast("long")
+        .alias("rank_lex"),
+    )
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"),
+        _dot(F.col("embedding"), F.col("embedding")).alias("q_nrm"),
+    )
+    c = e.filter(F.col("vec_id") >= 1).select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").alias("c_emb"),
+        _dot(F.col("embedding"), F.col("embedding")).alias("c_nrm"),
+    )
+    dense_pool = (
+        c.join(F.broadcast(q))
+        .select(
+            "doc_id",
+            stable_round(
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / F.sqrt(F.col("q_nrm") * F.col("c_nrm")),
+                6,
+            ).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+        .limit(RRF_POOL)
+    )
+    dense_rank = dense_pool.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("cosine").desc(), F.col("doc_id").asc()))
+        .cast("long")
+        .alias("rank_dense"),
+    )
+    fused = lex_rank.join(dense_rank, "doc_id", "full_outer")
+    rrf = stable_round(
+        F.coalesce(F.lit(1.0) / (F.col("rank_lex") + RRF_K), F.lit(0.0))
+        + F.coalesce(F.lit(1.0) / (F.col("rank_dense") + RRF_K), F.lit(0.0)),
+        6,
+    )
+    return (
+        fused.select("doc_id", "rank_lex", "rank_dense", rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), F.col("doc_id").asc())
+        .limit(RRF_TOPK)
+    )
+
+
+HYBRID_RRF_SQL = f"""
+WITH lex_pool AS (
+  SELECT doc_id, bm25 FROM ({{bm25}}) WHERE doc_id >= 1
+  ORDER BY bm25 DESC, doc_id ASC LIMIT {RRF_POOL}
+), lex_rank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rank_lex
+  FROM lex_pool
+), pairs AS (
+  SELECT cv.vec_id AS doc_id, SUM(CAST(qv.v AS DOUBLE) * CAST(cv.v AS DOUBLE)) AS dot
+  FROM (SELECT UNNEST(embedding) AS v, generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE vec_id = 0) qv
+  JOIN (SELECT vec_id, UNNEST(embedding) AS v, generate_subscripts(embedding, 1) AS i
+        FROM embeddings WHERE vec_id >= 1) cv ON qv.i = cv.i
+  GROUP BY 1
+), norms AS (
+  SELECT vec_id, SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nrm
+  FROM (SELECT vec_id, UNNEST(embedding) AS v FROM embeddings) GROUP BY 1
+), dense_pool AS (
+  SELECT doc_id, (ROUND(dot / SQRT(nq.nrm * nc.nrm) * 1e6) / 1e6) AS cosine
+  FROM pairs
+  JOIN norms nq ON nq.vec_id = 0
+  JOIN norms nc ON nc.vec_id = doc_id
+  ORDER BY cosine DESC, doc_id ASC LIMIT {RRF_POOL}
+), dense_rank AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id ASC) AS rank_dense
+  FROM dense_pool
+)
+SELECT COALESCE(l.doc_id, d.doc_id) AS doc_id,
+       CAST(rank_lex AS BIGINT) AS rank_lex,
+       CAST(rank_dense AS BIGINT) AS rank_dense,
+       (ROUND((COALESCE(1.0 / (rank_lex + {RRF_K}), 0.0)
+             + COALESCE(1.0 / (rank_dense + {RRF_K}), 0.0)) * 1e6) / 1e6) AS rrf
+FROM lex_rank l FULL OUTER JOIN dense_rank d ON l.doc_id = d.doc_id
+ORDER BY rrf DESC, doc_id ASC LIMIT {RRF_TOPK}
+""".format(bm25=BM25_SQL)
+
+
+SQ8_N_QUERIES = 4
+SQ8_POOL = 32
+SQ8_TOPK = 5
+
+
+def similarity_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized (int8) ANN with exact re-rank — the deterministic
+    sibling of the PQ/ADC path (``similarity_ann_pq``): per-dimension
+    corpus min/max (ONE 64-group aggregation, map-side combined) define a
+    linear int8 code ``round((v-mn)/(mx-mn)*255)-128``; the coarse pass
+    scores cosine over the DEQUANTIZED codes (4x fewer vector bytes at
+    rest in a production layout); the top-{pool} per query is re-ranked
+    with exact float cosine. Unlike the hash-seeded LSH variants this is
+    a pure function of the data, so it gets the full DuckDB value-hash
+    oracle, not a recall bound.
+
+    Scale: the stats row broadcasts; the coarse scan is map-only against
+    the broadcast queries; the per-query window moves (queries x
+    candidates) score rows ONLY (no vectors through the shuffle); the
+    exact re-rank joins the {nq}x{pool}-row pool back to the corpus —
+    AQE broadcasts the pool, so the re-read touches one corpus scan with
+    a pushed-down semi-join filter."""
+    e = load_table(spark, sf_dir, "embeddings")
+    stats = (
+        e.select(F.posexplode("embedding").alias("i", "v"))
+        .groupBy("i")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mn"))), lambda s: s["mn"]
+            ).alias("mn_arr"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mx"))), lambda s: s["mx"]
+            ).alias("mx_arr"),
+        )
+    )
+    rng = F.zip_with(
+        F.col("mx_arr"), F.col("mn_arr"), lambda a, b: a.cast("double") - b.cast("double")
+    )
+    shifted = F.zip_with(
+        F.col("embedding"),
+        F.col("mn_arr"),
+        lambda v, m: v.cast("double") - m.cast("double"),
+    )
+    code = F.zip_with(shifted, rng, lambda d, r: F.round(d / r * 255) - 128)
+    deq = F.zip_with(
+        F.zip_with(code, rng, lambda cd, r: (cd + 128) / 255.0 * r),
+        F.col("mn_arr"),
+        lambda t, m: m.cast("double") + t,
+    )
+    base = e.crossJoin(F.broadcast(stats)).select("vec_id", deq.alias("deq"))
+    qd = base.filter(F.col("vec_id") < SQ8_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("deq").alias("q_deq"),
+        _dot(F.col("deq"), F.col("deq")).alias("q_dnrm"),
+    )
+    cd = base.filter(F.col("vec_id") >= SQ8_N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("deq").alias("c_deq"),
+        _dot(F.col("deq"), F.col("deq")).alias("c_dnrm"),
+    )
+    coarse = cd.join(F.broadcast(qd)).select(
+        "query_id",
+        "cand_id",
+        stable_round(
+            _dot(F.col("q_deq"), F.col("c_deq"))
+            / F.sqrt(F.col("q_dnrm") * F.col("c_dnrm")),
+            6,
+        ).alias("sq8_cosine"),
+    )
+    wp = W.partitionBy("query_id").orderBy(
+        F.col("sq8_cosine").desc(), F.col("cand_id").asc()
+    )
+    pool = (
+        coarse.withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= SQ8_POOL)
+        .select("query_id", "cand_id", "sq8_cosine")
+    )
+    qv = e.filter(F.col("vec_id") < SQ8_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _dot(F.col("embedding"), F.col("embedding")).alias("q_nrm"),
+    )
+    cv = e.filter(F.col("vec_id") >= SQ8_N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        _dot(F.col("embedding"), F.col("embedding")).alias("c_nrm"),
+    )
+    exact = (
+        pool.join(F.broadcast(qv), "query_id")
+        .join(cv, "cand_id")
+        .select(
+            "query_id",
+            "cand_id",
+            "sq8_cosine",
+            stable_round(
+                _dot(F.col("q_emb"), F.col("c_emb"))
+                / F.sqrt(F.col("q_nrm") * F.col("c_nrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    we = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
+    return (
+        exact.withColumn("rnk", F.row_number().over(we).cast("long"))
+        .filter(F.col("rnk") <= SQ8_TOPK)
+        .select("query_id", "rnk", "cand_id", "sq8_cosine", "cosine")
+    )
+
+
+SQ8_SQL = f"""
+WITH flat AS (
+  SELECT vec_id, UNNEST(embedding) AS v, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), st AS (
+  SELECT i, MIN(v) AS mn, MAX(v) AS mx FROM flat GROUP BY 1
+), deq AS (
+  SELECT vec_id, f.i,
+         CAST(mn AS DOUBLE)
+         + (ROUND((CAST(v AS DOUBLE) - CAST(mn AS DOUBLE))
+                  / (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)) * 255) - 128 + 128)
+           / 255.0 * (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)) AS dv
+  FROM flat f JOIN st USING (i)
+), dnorms AS (
+  SELECT vec_id, SUM(dv * dv) AS dnrm FROM deq GROUP BY 1
+), cpairs AS (
+  SELECT cd.vec_id AS cand_id, qd.vec_id AS query_id, SUM(qd.dv * cd.dv) AS dot
+  FROM (SELECT * FROM deq WHERE vec_id < {SQ8_N_QUERIES}) qd
+  JOIN (SELECT * FROM deq WHERE vec_id >= {SQ8_N_QUERIES}) cd ON qd.i = cd.i
+  GROUP BY 1, 2
+), coarse AS (
+  SELECT query_id, cand_id,
+         (ROUND(dot / SQRT(nq.dnrm * nc.dnrm) * 1e6) / 1e6) AS sq8_cosine
+  FROM cpairs
+  JOIN dnorms nq ON nq.vec_id = query_id
+  JOIN dnorms nc ON nc.vec_id = cand_id
+), pool AS (
+  SELECT query_id, cand_id, sq8_cosine FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sq8_cosine DESC, cand_id ASC) AS prn
+    FROM coarse
+  ) WHERE prn <= {SQ8_POOL}
+), ex AS (
+  SELECT p.query_id, p.cand_id, p.sq8_cosine,
+         SUM(CAST(qf.v AS DOUBLE) * CAST(cf.v AS DOUBLE)) AS dot
+  FROM pool p
+  JOIN flat qf ON qf.vec_id = p.query_id
+  JOIN flat cf ON cf.vec_id = p.cand_id AND qf.i = cf.i
+  GROUP BY 1, 2, 3
+), norms AS (
+  SELECT vec_id, SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nrm
+  FROM flat GROUP BY 1
+)
+SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, sq8_cosine, cosine FROM (
+  SELECT query_id, cand_id, sq8_cosine,
+         (ROUND(dot / SQRT(nq.nrm * nc.nrm) * 1e6) / 1e6) AS cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY (ROUND(dot / SQRT(nq.nrm * nc.nrm) * 1e6) / 1e6) DESC,
+                                     cand_id ASC) AS rnk
+  FROM ex
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = cand_id
+) WHERE rnk <= {SQ8_TOPK}
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "cosine_topk_bruteforce": QueryDef(
         cosine_topk_bruteforce, COSINE_TOPK_SQL, "similarity: brute-force top-k"
@@ -264,5 +544,15 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "nearest_centroid_assign": QueryDef(
         nearest_centroid_assign, CENTROID_SQL, "M5 NearestCentroid assignment"
+    ),
+    "hybrid_search_rrf": QueryDef(
+        hybrid_search_rrf,
+        HYBRID_RRF_SQL,
+        "retrieval: BM25 + dense cosine fused by reciprocal-rank fusion",
+    ),
+    "similarity_sq8_rerank": QueryDef(
+        similarity_sq8_rerank,
+        SQ8_SQL,
+        "similarity: int8 scalar-quantized coarse pass + exact re-rank",
     ),
 }

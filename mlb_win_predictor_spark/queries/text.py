@@ -1271,6 +1271,123 @@ FROM per_doc
 """
 
 
+SPAN_N = 8
+SPAN_MIN_TOKENS = 16
+
+
+def duplicated_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-substring SPAN detection (the Lee et al. 2022
+    "Deduplicating Training Data" ExactSubstr signal, approximated at
+    word-{n}-gram granularity): for each document, the maximal token
+    spans covered by {n}-grams that also occur in at least one OTHER
+    document. ``crossdoc_dup_fraction`` reports the per-doc *rate*; this
+    returns the *positions*, which is what a span-removal rewrite needs.
+
+    Plan: position-tagged grams are built map-side (transform over an
+    index sequence, no explode until the gram table), hashed to 64-bit
+    longs for fixed-width shuffle keys; cross-document grams come from a
+    (gram, doc) distinct + count >= 2 (two-phase partial agg, result
+    bounded by |distinct grams|), semi-joined back onto the position
+    table — AQE broadcasts the dup-gram set when it fits. Overlapping
+    duplicated grams (gap <= {n}) merge into spans with the classic
+    islands trick: one per-doc window, partition bounded by doc length.
+    MIN span {m} tokens = at least two overlapping duplicated grams, so
+    single-gram chance collisions never surface as spans. At 100 TB the
+    suffix-array exactness of the paper is replaced by gram granularity
+    on purpose: every step is a hash shuffle or a per-doc window — no
+    global order, no driver state.
+    """
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toked = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    cnt = F.size("toks")
+    pos_grams = F.when(
+        cnt >= SPAN_N,
+        F.transform(
+            F.sequence(F.lit(1), cnt - SPAN_N + 1),
+            lambda i: F.struct(
+                (i - 1).cast("long").alias("pos"),
+                F.xxhash64(F.array_join(F.slice("toks", i, SPAN_N), " ")).alias("g"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:bigint,g:bigint>>"))
+    e = (
+        toked.select("doc_id", F.explode(pos_grams).alias("pg"))
+        .select("doc_id", F.col("pg.pos").alias("pos"), F.col("pg.g").alias("g"))
+    )
+    dup_grams = (
+        e.select("g", "doc_id")
+        .distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("dfd"))
+        .filter(F.col("dfd") >= 2)
+        .select("g")
+    )
+    dp = e.join(dup_grams, "g", "left_semi")
+    w = W.partitionBy("doc_id").orderBy("pos")
+    isl = (
+        dp.withColumn("prev", F.lag("pos").over(w))
+        .withColumn(
+            "new_span",
+            F.when(
+                F.col("prev").isNull() | (F.col("pos") - F.col("prev") > SPAN_N), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "island", F.sum("new_span").over(w.rowsBetween(W.unboundedPreceding, 0))
+        )
+    )
+    return (
+        isl.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + SPAN_N - 1).alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("long").alias("span_start"),
+            F.col("span_end").cast("long").alias("span_end"),
+            (F.col("span_end") - F.col("span_start") + 1)
+            .cast("long")
+            .alias("span_tokens"),
+        )
+        .filter(F.col("span_tokens") >= SPAN_MIN_TOKENS)
+    )
+
+
+DUP_SPAN_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS w FROM documents
+), e AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(w, i, i + {SPAN_N - 1}), ' ') AS gram
+  FROM t, LATERAL (SELECT unnest(range(1, len(w) - {SPAN_N} + 2)) AS i)
+  WHERE len(w) >= {SPAN_N}
+), dup AS (
+  SELECT gram FROM (SELECT gram, doc_id FROM e GROUP BY 1, 2)
+  GROUP BY gram HAVING COUNT(*) >= 2
+), dp AS (
+  SELECT doc_id, pos FROM e WHERE gram IN (SELECT gram FROM dup)
+), isl AS (
+  SELECT doc_id, pos,
+         SUM(CASE WHEN prev IS NULL OR pos - prev > {SPAN_N} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+  FROM (SELECT doc_id, pos,
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM dp)
+), sp AS (
+  SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + {SPAN_N} - 1 AS span_end
+  FROM isl GROUP BY doc_id, island
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(span_start AS BIGINT) AS span_start,
+       CAST(span_end AS BIGINT) AS span_end,
+       CAST(span_end - span_start + 1 AS BIGINT) AS span_tokens
+FROM sp WHERE span_end - span_start + 1 >= {SPAN_MIN_TOKENS}
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "token_count": QueryDef(token_count, TOKEN_COUNT_SQL, "text: token counting"),
     "token_count_bpe": QueryDef(token_count_bpe, TOKEN_BPE_SQL, "text: BPE-ish tokenizer"),
@@ -1328,5 +1445,10 @@ QUERIES: dict[str, QueryDef] = {
     "bm25_score": QueryDef(bm25_score, BM25_SQL, "text: BM25 relevance scoring"),
     "word_entropy_quality": QueryDef(
         word_entropy_quality, WORD_ENTROPY_SQL, "text: Shannon word-entropy quality signal"
+    ),
+    "duplicated_span_dedup": QueryDef(
+        duplicated_span_dedup,
+        DUP_SPAN_SQL,
+        "dedup: cross-doc duplicated token spans (ExactSubstr-style positions)",
     ),
 }
