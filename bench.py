@@ -73,6 +73,10 @@ HEADLINE = [
     "document_chunking",
     "vocab_top_terms",
     "corpus_prep_pipeline",
+    "duplicated_span_dedup",
+    "hybrid_search_rrf",
+    "similarity_sq8_rerank",
+    "recursive_hierarchy_rollup",
 ]
 
 

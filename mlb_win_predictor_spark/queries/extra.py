@@ -663,6 +663,42 @@ FROM t
 """
 
 
+RECURSIVE_HIERARCHY_SQL = """
+WITH RECURSIVE walk(root, pk, depth, price) AS (
+  SELECT p_partkey AS root, p_partkey AS pk, 0 AS depth,
+         CAST(p_retailprice AS DECIMAL(18,2)) AS price
+  FROM part WHERE p_partkey < 10
+  UNION ALL
+  SELECT w.root, p.p_partkey, w.depth + 1,
+         CAST(p.p_retailprice AS DECIMAL(18,2))
+  FROM walk w JOIN part p
+    ON CAST(FLOOR(p.p_partkey / 10.0) AS BIGINT) = w.pk AND p.p_partkey >= 10
+)
+SELECT root, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       CAST(MAX(depth) AS BIGINT) AS max_depth,
+       CAST(SUM(price) AS DOUBLE) AS subtree_price
+FROM walk GROUP BY root
+"""
+
+
+def recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive-CTE hierarchy traversal + rollup (Spark 4's native
+    ``WITH RECURSIVE``, SPARK-24497): a BOM-style containment tree
+    derived from ``part`` (node k's parent is k/10, roots are k<10) is
+    walked from the roots, then each root's subtree is rolled up
+    (node count, max depth, exact-decimal subtree price). The SAME SQL
+    text runs on both engines — the recursion is dialect-common.
+
+    Scale: each iteration is one hash join of the frontier against the
+    static ``part`` scan; depth is log10(max key), so the loop runs a
+    handful of iterations even at 100 TB key ranges, and each level's
+    frontier is a partitioned DataFrame — no driver-side accumulation."""
+    from ..session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(RECURSIVE_HIERARCHY_SQL)
+
+
 QUERIES: dict[str, QueryDef] = {
     "grouping_sets_agg": QueryDef(
         grouping_sets_agg, GROUPING_SETS_SQL, "GROUPING SETS + grouping_id"
@@ -711,4 +747,9 @@ QUERIES: dict[str, QueryDef] = {
     "ranking_functions": QueryDef(ranking_functions, RANKING_SQL, "rank/ntile family"),
     "union_distinct": QueryDef(union_distinct, UNION_DISTINCT_SQL, "union distinct"),
     "approx_distinct": QueryDef(approx_distinct, None, "approx_count_distinct (HLL)"),
+    "recursive_hierarchy_rollup": QueryDef(
+        recursive_hierarchy_rollup,
+        RECURSIVE_HIERARCHY_SQL,
+        "native WITH RECURSIVE hierarchy walk + subtree rollup",
+    ),
 }

@@ -668,7 +668,59 @@ def weighted_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return weighted_sample(d, "doc_id", "w", SAMPLE_K)
 
 
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TWAP-style) of ``value`` per event type:
+    each reading is weighted by how long it was "current" (until the
+    next event of the same type), the irregular-sampling average a
+    last-value-carried-forward sensor/price series needs — a plain AVG
+    over-weights bursts.
+
+    Determinism: durations are exact BIGINT microseconds
+    (``unix_micros``/``epoch_us``), values go through DECIMAL(18,6), so
+    the Σ(v·dur) / Σ(dur) fold is exact-integer/decimal on both engines
+    regardless of partial-agg order; only the final divide is float,
+    rounded 6dp. One shuffle (window by event_type, reused by the
+    groupBy — same key)."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    step = e.select(
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        (F.lead(us).over(w) - us).alias("dur_us"),
+    )
+    return (
+        step.filter(F.col("dur_us").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+            stable_round(
+                F.sum(F.col("v") * F.col("dur_us")).cast("double")
+                / F.sum("dur_us").cast("double"),
+                6,
+            ).alias("twap"),
+        )
+    )
+
+
+TWAP_SQL = """
+WITH seq AS (
+  SELECT event_type, CAST(value AS DECIMAL(18,6)) AS v,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           - epoch_us(ts) AS dur_us
+  FROM events
+)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       (ROUND(CAST(SUM(v * dur_us) AS DOUBLE) / CAST(SUM(dur_us) AS DOUBLE) * 1e6) / 1e6) AS twap
+FROM seq WHERE dur_us IS NOT NULL
+GROUP BY event_type
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "time_weighted_avg": QueryDef(
+        time_weighted_avg, TWAP_SQL, "ops: duration-weighted mean over irregular series"
+    ),
     "kl_divergence_slices": QueryDef(
         kl_divergence_slices, KL_DIVERGENCE_SQL, "ops: KL distribution drift per slice"
     ),

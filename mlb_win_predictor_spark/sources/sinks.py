@@ -168,6 +168,30 @@ def write_zorder_parquet(
     )
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    buckets: int,
+    key_cols: list[str],
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Bucketed+sorted parquet table (the co-located-join layout): rows
+    are hash-partitioned into ``buckets`` files per partition by
+    ``key_cols`` at WRITE time, so a later join or aggregation on those
+    keys needs NO shuffle — the scan's output partitioning already
+    satisfies the join's requirement. This is the standard answer to the
+    "same big join every day" pipeline at 100 TB: pay the shuffle once at
+    layout time, amortize it over every downstream query
+    (tests/test_plans.py pins the exchange-free plan).
+
+    ``sortBy`` additionally orders within each bucket so sort-merge joins
+    skip their sort. Bucketing requires ``saveAsTable`` (the bucket spec
+    lives in the catalog, not the parquet footer)."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(buckets, *key_cols)
+    w = w.sortBy(*(sort_cols or key_cols))
+    w.saveAsTable(table_name)
+
+
 def email_digest(prepared: DataFrame, updated: DataFrame) -> DataFrame:
     """S12/D10/A5 — the send_email() digest (src/function.py:367-384):
     per-bucket counts + HTML <li> item list, one row per bucket."""

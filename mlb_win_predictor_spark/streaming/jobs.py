@@ -132,6 +132,21 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def dedup_stream_within_watermark(
+    events: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """T4 variant — ``dropDuplicatesWithinWatermark`` (the production-
+    preferred dedup API since Spark 3.5): unlike ``dropDuplicates``,
+    duplicates whose *timestamps differ* (the reschedule case: the same
+    event re-emitted later with a fresh ts) still collapse, provided the
+    copies land within the watermark delay of the first arrival; and
+    state eviction never needs the event-time column inside the key.
+    State is bounded by the watermark horizon either way."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
 def click_purchase_stream_join(
     clicks: DataFrame, purchases: DataFrame, horizon_sec: int = 3600
 ) -> DataFrame:

@@ -305,3 +305,52 @@ def test_unpinned_dim_joins_still_broadcast_at_bench_scale(plans):
         p = plans[name]
         assert "SortMergeJoin" not in p, f"{name}: dim join regressed to sort-merge"
         assert "BroadcastHashJoin" in p, f"{name}: expected broadcast dim joins"
+
+
+def test_bucketed_join_and_agg_no_shuffle(spark):
+    """Co-located bucketed layout (sources.sinks.write_bucketed_table):
+    orders and customer bucketed 8 ways on the custkey join in a
+    join + same-key aggregation with ZERO hash-partitioning exchanges —
+    the scan's bucket partitioning satisfies the join AND the groupBy.
+    Broadcast is disabled so the test exercises the co-located shuffle
+    path, not the small-table shortcut."""
+    from pyspark.sql import functions as F
+
+    from mlb_win_predictor_spark.session import load_table
+    from mlb_win_predictor_spark.sources.sinks import write_bucketed_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        write_bucketed_table(
+            load_table(spark, SF, "orders").select("o_custkey", "o_totalprice"),
+            "b_orders", 8, ["o_custkey"],
+        )
+        write_bucketed_table(
+            load_table(spark, SF, "customer").select("c_custkey", "c_mktsegment"),
+            "b_customer", 8, ["c_custkey"],
+        )
+        j = (
+            spark.table("b_orders")
+            .join(spark.table("b_customer"),
+                  F.col("o_custkey") == F.col("c_custkey"))
+            .groupBy("o_custkey")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        p = plan_of(j)
+        assert "Exchange hashpartitioning" not in p, "bucketed join still shuffles"
+        assert "Bucketed: true" in p or "SelectedBucketsCount" in p
+        assert j.count() > 0
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")

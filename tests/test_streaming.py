@@ -94,6 +94,25 @@ def test_dedup_stream_drops_duplicates(spark, tmp_path):
     assert out.select("event_id").distinct().count() == out.count() == 200
 
 
+def test_dedup_within_watermark_collapses_rescheduled(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: the reschedule case — the same
+    event_id re-emitted with a SHIFTED timestamp still collapses to one
+    row, which ts-keyed dropDuplicates would keep twice."""
+    from mlb_win_predictor_spark.streaming import dedup_stream_within_watermark
+
+    src = tmp_path / "resched"
+    src.mkdir()
+    e = load_table(spark, SF, "events").filter(F.col("event_id") < 100)
+    shifted = e.withColumn("ts", F.col("ts") + F.expr("INTERVAL 5 MINUTES"))
+    e.unionByName(shifted).toPandas().to_parquet(str(src / "a.parquet"), index=False)
+    stream = read_events_stream(spark, str(src), nanos=True)
+    out = _run_to_memory(
+        spark, dedup_stream_within_watermark(stream), "t_dedup_wwm"
+    )
+    assert out.count() == 100
+    assert out.select("event_id").distinct().count() == 100
+
+
 def test_incremental_dedup_stream_across_batches(spark, tmp_path):
     """Docs arriving over two micro-batches: a doc duplicated across
     batches is kept once (the index grew between batches); within-batch

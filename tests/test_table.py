@@ -1,0 +1,97 @@
+"""VersionedTable: transactional MERGE on plain parquet (operators.table).
+
+Covers the commit protocol the module's docstring promises: atomic
+visibility (marker-last), snapshot isolation via time travel, crash
+replay idempotence, and vacuum retention.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from mlb_win_predictor_spark.operators.table import VersionedTable
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def base_df(spark):
+    return spark.createDataFrame(
+        [(1, 10.0, "a"), (2, 20.0, "b"), (3, 30.0, "c")], "k int, bal double, tag string"
+    )
+
+
+def test_merge_upsert_roundtrip(spark, tmp_path, base_df):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    assert t.init(base_df) == 0
+    delta = spark.createDataFrame(
+        [(2, 99.0, "B"), (4, 40.0, "d")], "k int, bal double, tag string"
+    )
+    assert t.merge(delta, keys=["k"]) == 1
+    assert _rows(t.read(spark)) == [
+        (1, 10.0, "a"),
+        (2, 99.0, "B"),
+        (3, 30.0, "c"),
+        (4, 40.0, "d"),
+    ]
+
+
+def test_time_travel_and_delete(spark, tmp_path, base_df):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.init(base_df)
+    t.merge(
+        spark.createDataFrame([(1, -1.0, "z")], "k int, bal double, tag string"),
+        keys=["k"],
+    )
+    t.delete_where(spark, F.col("k") == 2)
+    assert t.committed_versions() == [0, 1, 2]
+    # snapshot isolation: v0 unchanged after two rewrites
+    assert _rows(t.read(spark, version=0)) == _rows(base_df)
+    assert _rows(t.read(spark)) == [(1, -1.0, "z"), (3, 30.0, "c")]
+
+
+def test_crash_before_marker_is_invisible_and_retry_commits(spark, tmp_path, base_df):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.init(base_df)
+    delta = spark.createDataFrame([(3, 0.0, "X")], "k int, bal double, tag string")
+    # simulate a crash: v=1 data fully written but no marker published
+    delta.write.mode("overwrite").parquet(str(tmp_path / "tbl" / "v=1"))
+    assert t.latest_version() == 0
+    assert _rows(t.read(spark)) == _rows(base_df)  # torn write invisible
+    # retry recomputes from v0 and overwrites the orphan, then commits
+    assert t.merge(delta, keys=["k"]) == 1
+    assert _rows(t.read(spark)) == [(1, 10.0, "a"), (2, 20.0, "b"), (3, 0.0, "X")]
+
+
+def test_merge_rejects_schema_mismatch(spark, tmp_path, base_df):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.init(base_df)
+    bad = spark.createDataFrame([(1, 1.0)], "k int, bal double")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.merge(bad, keys=["k"])
+
+
+def test_vacuum_drops_old_and_orphans_keeps_head(spark, tmp_path, base_df):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.init(base_df)
+    for i in range(3):
+        t.merge(
+            spark.createDataFrame([(1, float(i), "v")], "k int, bal double, tag string"),
+            keys=["k"],
+        )
+    # plant an orphan above the head too
+    shutil.copytree(str(tmp_path / "tbl" / "v=0"), str(tmp_path / "tbl" / "v=9"))
+    removed = t.vacuum(keep_last=2)
+    assert removed == [0, 1, 9]
+    assert t.committed_versions() == [2, 3]
+    assert _rows(t.read(spark))[0] == (1, 2.0, "v")
+    with pytest.raises(FileNotFoundError):
+        t.read(spark, version=0)
+    assert not os.path.isdir(str(tmp_path / "tbl" / "v=9"))
