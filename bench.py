@@ -77,6 +77,8 @@ HEADLINE = [
     "hybrid_search_rrf",
     "similarity_sq8_rerank",
     "recursive_hierarchy_rollup",
+    "span_removal_stats",
+    "lateral_topn_subquery",
 ]
 
 

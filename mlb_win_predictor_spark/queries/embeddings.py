@@ -419,6 +419,11 @@ def similarity_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("mn_arr"),
         lambda t, m: m.cast("double") + t,
     )
+    # NOTE: the query/candidate branches each recompute stats+dequant
+    # (no CSE across DataFrame branches); persisting `base` was measured
+    # a wash at bench scale (1.81s vs 1.77s). In production the codes
+    # are a stored table — written once, scanned per query — so the
+    # recompute disappears by layout, not by cache.
     base = e.crossJoin(F.broadcast(stats)).select("vec_id", deq.alias("deq"))
     qd = base.filter(F.col("vec_id") < SQ8_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),

@@ -699,7 +699,49 @@ def recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(RECURSIVE_HIERARCHY_SQL)
 
 
+LATERAL_SPARK_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c JOIN LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+) t
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+LATERAL_ORACLE_SQL = """
+SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+FROM customer c, LATERAL (
+  SELECT o_orderkey, o_totalprice FROM orders
+  WHERE o_custkey = c.c_custkey
+  ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 2
+) t
+WHERE c.c_mktsegment = 'BUILDING'
+"""
+
+
+def lateral_topn_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row LIMIT (SQL:2016 lateral
+    derived tables; Spark SQL ``JOIN LATERAL``): each BUILDING customer's
+    top-2 orders by price. The DataFrame-API dual is
+    ``topk_per_group`` (window row_number <= k); this entry pins that the
+    SQL surface decorrelates to the same shape — Catalyst rewrites the
+    per-row subquery into a join + per-key window/limit, NOT one
+    subquery execution per outer row (the 100 TB difference between a
+    plan and a driver loop). Deterministic via the total tie-break
+    (price DESC, orderkey ASC)."""
+    from ..session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(LATERAL_SPARK_SQL)
+
+
 QUERIES: dict[str, QueryDef] = {
+    "lateral_topn_subquery": QueryDef(
+        lateral_topn_subquery,
+        LATERAL_ORACLE_SQL,
+        "correlated LATERAL top-N subquery (decorrelated by Catalyst)",
+    ),
     "grouping_sets_agg": QueryDef(
         grouping_sets_agg, GROUPING_SETS_SQL, "GROUPING SETS + grouping_id"
     ),

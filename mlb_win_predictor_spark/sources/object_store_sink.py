@@ -1,0 +1,104 @@
+"""Custom Python Data Source WRITER (Spark 4 Python Data Source API) —
+the write-side sibling of ``sources/schedule_source.py``'s reader.
+
+The reference ships JSON logs to S3 with driver-side boto3 put_object
+calls (src/function.py:349-364, 529-535) — single-threaded, and a crash
+mid-loop leaves a partial prefix readers can't distinguish from a
+complete one. This sink makes the object store a first-class
+``df.write.format("object_store")`` target with a TWO-PHASE commit:
+
+- each task stages its partition as ``_staged/part-<uuid>.jsonl``
+  (speculative / retried task attempts stage DISTINCT uuids and only the
+  attempt whose commit message reaches the driver survives);
+- the driver's ``commit()`` publishes the surviving objects and then
+  writes ``_MANIFEST`` atomically (``os.replace``) naming them — the
+  same marker-last protocol as ``operators.table.VersionedTable``;
+- ``abort()`` discards the staging area; no manifest, no visibility.
+
+Readers resolve through the manifest (``read_manifest_objects``), so a
+failed or in-flight job is invisible. A local directory stands in for
+the bucket here; against real S3 the staging prefix + copy-on-commit
+mechanics are identical (multipart upload finalization plays the
+``os.replace`` role).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class ObjectCommit(WriterCommitMessage):
+    filename: str
+    n_rows: int
+
+
+class ObjectStoreWriter(DataSourceWriter):
+    def __init__(self, options, overwrite: bool):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("object_store sink requires a save path")
+        # test hook: injected task failure exercises the abort path
+        self.inject_fail = str(options.get("inject_fail", "")).lower() == "true"
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        if self.inject_fail:
+            raise RuntimeError("object_store: injected task failure")
+        staged = os.path.join(self.path, "_staged")
+        os.makedirs(staged, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(staged, name), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(recursive=True), default=str) + "\n")
+                n += 1
+        return ObjectCommit(filename=name, n_rows=n)
+
+    def commit(self, messages):
+        published = []
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(
+                os.path.join(self.path, "_staged", m.filename),
+                os.path.join(self.path, m.filename),
+            )
+            published.append({"object": m.filename, "rows": m.n_rows})
+        shutil.rmtree(os.path.join(self.path, "_staged"), ignore_errors=True)
+        tmp = os.path.join(self.path, ".manifest.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"objects": published}, f)
+        os.replace(tmp, os.path.join(self.path, "_MANIFEST"))
+
+    def abort(self, messages):
+        shutil.rmtree(os.path.join(self.path, "_staged"), ignore_errors=True)
+
+
+class ObjectStoreDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "object_store"
+
+    def writer(self, schema, overwrite: bool) -> ObjectStoreWriter:
+        return ObjectStoreWriter(self.options, overwrite)
+
+
+def register_object_store_sink(spark) -> None:
+    spark.dataSource.register(ObjectStoreDataSource)
+
+
+def read_manifest_objects(path: str) -> list[dict]:
+    """Committed objects per the manifest — the ONLY read contract."""
+    with open(os.path.join(path, "_MANIFEST")) as f:
+        return json.load(f)["objects"]

@@ -458,3 +458,61 @@ def test_compact_small_files_reduces_file_count(spark, tmp_path):
     # round-robin imbalance can split one straggler via maxRecordsPerFile
     assert files <= len(parts) <= files + 1 <= 4
     assert spark.read.parquet(out).count() == n
+
+
+def test_object_store_writer_two_phase_commit(spark, tmp_path):
+    """Python Data Source WRITER: objects published + atomic manifest."""
+    import json as _json
+
+    from mlb_win_predictor_spark.sources.object_store_sink import (
+        read_manifest_objects,
+        register_object_store_sink,
+    )
+
+    register_object_store_sink(spark)
+    out = str(tmp_path / "bucket")
+    df = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_id") < 100)
+        .select("event_id", "event_type", "value")
+        .repartition(4)
+    )
+    df.write.format("object_store").mode("append").save(out)
+    objs = read_manifest_objects(out)
+    assert sum(o["rows"] for o in objs) == 100
+    back = []
+    for o in objs:
+        with open(os.path.join(out, o["object"])) as f:
+            back.extend(_json.loads(l) for l in f)
+    assert sorted(r["event_id"] for r in back) == sorted(
+        r.event_id for r in df.collect()
+    )
+    assert not os.path.isdir(os.path.join(out, "_staged"))
+
+
+def test_object_store_writer_abort_leaves_nothing_visible(spark, tmp_path):
+    """A failed job must publish NO manifest and NO objects (abort path)."""
+    import pytest as _pytest
+
+    from mlb_win_predictor_spark.sources.object_store_sink import (
+        register_object_store_sink,
+    )
+
+    register_object_store_sink(spark)
+    out = str(tmp_path / "bucket")
+    df = load_table(spark, SF, "events").limit(10).select("event_id")
+    with _pytest.raises(Exception):
+        (
+            df.write.format("object_store")
+            .option("inject_fail", "true")
+            .mode("append")
+            .save(out)
+        )
+    assert not os.path.exists(os.path.join(out, "_MANIFEST"))
+    assert not os.path.isdir(os.path.join(out, "_staged"))
+    published = (
+        [p for p in os.listdir(out) if p.startswith("part-")]
+        if os.path.isdir(out)
+        else []
+    )
+    assert published == []

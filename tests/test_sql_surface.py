@@ -84,3 +84,25 @@ def test_oracle_sql_runs_verbatim_on_spark(spark, views, name):
                 assert math.isclose(fa, fb, rel_tol=1e-9, abs_tol=1e-9), (ra, rb)
             except ValueError:
                 assert va == vb, (ra, rb)
+
+
+def test_recursive_cte_sql_is_dialect_common(spark, views):
+    """The recursive entry's ONE SQL text runs on both engines (the
+    catalog fn already executes it via spark.sql; parity covers DuckDB)."""
+    from mlb_win_predictor_spark.queries.extra import RECURSIVE_HIERARCHY_SQL
+
+    assert spark.sql(RECURSIVE_HIERARCHY_SQL).count() > 0
+
+
+def test_group_by_all_matches_explicit(spark, views):
+    """Spark 4 / DuckDB shared sugar: GROUP BY ALL groups on every
+    non-aggregate select item — same result as the explicit keys."""
+    sugar = spark.sql(
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n "
+        "FROM orders GROUP BY ALL"
+    )
+    explicit = spark.sql(
+        "SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n "
+        "FROM orders GROUP BY o_orderstatus, o_orderpriority"
+    )
+    assert sorted(map(tuple, sugar.collect())) == sorted(map(tuple, explicit.collect()))
