@@ -79,6 +79,7 @@ HEADLINE = [
     "recursive_hierarchy_rollup",
     "span_removal_stats",
     "lateral_topn_subquery",
+    "unigram_logprob_quality",
 ]
 
 

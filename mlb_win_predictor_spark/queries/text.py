@@ -1493,6 +1493,71 @@ FROM t LEFT JOIN rem ON t.doc_id = rem.doc_id
 """
 
 
+def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram language-model quality scoring (the cheap stand-in for the
+    KenLM-perplexity filter of CCNet/RefinedWeb pipelines): per document,
+    the average negative log-probability of its tokens under the CORPUS
+    unigram distribution — low = common-word boilerplate, high =
+    rare-token noise; the keep band sits between.
+
+    avg_nll = ln(N) − Σ_w k_w·ln(c_w) / n  (k_w per-doc counts, c_w
+    corpus counts, N corpus total, Σk_w = n) — same exact-integer-counts
+    + one-final-ln/divide discipline as ``word_entropy_quality``; 6dp
+    rounding swallows the ~1e-12 fold-order fuzz of the double Σ.
+
+    Shuffles: corpus counts (∝ vocabulary, map-side combined), per-doc
+    counts (one exchange), count join (vocab side AQE-broadcast), per-doc
+    rollup. No corpus-sized sort, no driver state."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
+    )
+    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = wc.agg(F.sum("c").cast("double").alias("n_total"))
+    dc = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("k"))
+    return (
+        dc.join(wc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.sum(F.col("k").cast("double") * F.log(F.col("c").cast("double"))).alias(
+                "sum_klnc"
+            ),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            "n_tokens",
+            stable_round(
+                F.log(F.col("n_total"))
+                - F.col("sum_klnc") / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("avg_nll"),
+        )
+    )
+
+
+UNIGRAM_LOGPROB_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS w
+  FROM documents
+), wc AS (
+  SELECT w, COUNT(*) AS c FROM toks GROUP BY 1
+), total AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM wc
+), dc AS (
+  SELECT doc_id, w, COUNT(*) AS k FROM toks GROUP BY 1, 2
+), per_doc AS (
+  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_tokens,
+         SUM(CAST(k AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS sum_klnc
+  FROM dc JOIN wc USING (w) GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+       (ROUND((LN(n_total) - sum_klnc / CAST(n_tokens AS DOUBLE)) * 1e6) / 1e6) AS avg_nll
+FROM per_doc, total
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "token_count": QueryDef(token_count, TOKEN_COUNT_SQL, "text: token counting"),
     "token_count_bpe": QueryDef(token_count_bpe, TOKEN_BPE_SQL, "text: BPE-ish tokenizer"),
@@ -1560,5 +1625,10 @@ QUERIES: dict[str, QueryDef] = {
         span_removal_stats,
         SPAN_REMOVAL_SQL,
         "dedup: keep-first span-removal yield accounting per doc",
+    ),
+    "unigram_logprob_quality": QueryDef(
+        unigram_logprob_quality,
+        UNIGRAM_LOGPROB_SQL,
+        "text: unigram-LM avg negative log-prob (perplexity-proxy filter)",
     ),
 }

@@ -32,6 +32,7 @@ from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -85,6 +86,57 @@ class ObjectStoreWriter(DataSourceWriter):
         shutil.rmtree(os.path.join(self.path, "_staged"), ignore_errors=True)
 
 
+class ObjectStoreStreamWriter(DataSourceStreamWriter):
+    """Streaming flavor: one epoch = one ``batch=<id>/`` object prefix +
+    one commit marker. ``commit(messages, batchId)`` REPLACES the epoch's
+    prefix before publishing, so a replayed epoch (at-least-once
+    foreachBatch-style delivery) overwrites its own output instead of
+    appending duplicates — the same versioned-epoch idempotence the
+    engine's foreachBatch sinks use (``streaming.jobs``)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("object_store sink requires a save path")
+
+    def write(self, iterator):
+        staged = os.path.join(self.path, "_staged")
+        os.makedirs(staged, exist_ok=True)
+        name = f"part-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(staged, name), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(recursive=True), default=str) + "\n")
+                n += 1
+        return ObjectCommit(filename=name, n_rows=n)
+
+    def commit(self, messages, batchId: int):
+        bdir = os.path.join(self.path, f"batch={batchId}")
+        shutil.rmtree(bdir, ignore_errors=True)
+        os.makedirs(bdir, exist_ok=True)
+        published = []
+        for m in messages:
+            if m is None:
+                continue
+            os.replace(
+                os.path.join(self.path, "_staged", m.filename),
+                os.path.join(bdir, m.filename),
+            )
+            published.append({"object": m.filename, "rows": m.n_rows})
+        commits = os.path.join(self.path, "_commits")
+        os.makedirs(commits, exist_ok=True)
+        tmp = os.path.join(commits, f".tmp-{batchId}")
+        with open(tmp, "w") as f:
+            json.dump({"batch": batchId, "objects": published}, f)
+        os.replace(tmp, os.path.join(commits, str(batchId)))
+
+    def abort(self, messages, batchId: int):
+        # epochs run serially, so the whole staging area belongs to the
+        # aborted epoch — including files from tasks that died before
+        # returning a commit message
+        shutil.rmtree(os.path.join(self.path, "_staged"), ignore_errors=True)
+
+
 class ObjectStoreDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -92,6 +144,9 @@ class ObjectStoreDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> ObjectStoreWriter:
         return ObjectStoreWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> ObjectStoreStreamWriter:
+        return ObjectStoreStreamWriter(self.options)
 
 
 def register_object_store_sink(spark) -> None:
@@ -102,3 +157,17 @@ def read_manifest_objects(path: str) -> list[dict]:
     """Committed objects per the manifest — the ONLY read contract."""
     with open(os.path.join(path, "_MANIFEST")) as f:
         return json.load(f)["objects"]
+
+
+def read_committed_stream_batches(path: str) -> dict[int, list[dict]]:
+    """Streaming read contract: committed epochs only (marker present);
+    an in-flight or crashed epoch's ``batch=`` dir is invisible."""
+    commits = os.path.join(path, "_commits")
+    if not os.path.isdir(commits):
+        return {}
+    out = {}
+    for m in os.listdir(commits):
+        if m.isdigit():
+            with open(os.path.join(commits, m)) as f:
+                out[int(m)] = json.load(f)["objects"]
+    return out

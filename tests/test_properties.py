@@ -97,3 +97,71 @@ def test_ewma_dyadic_weights_are_bit_exact(spark):
                 x = counts[i - k] if i - k >= 0 else 0
                 want += x * 2.0 ** -(k + 1)
             assert got == want, (user, i, got, want)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.integers(min_value=16, max_value=60),   # planted passage length L
+    st.integers(min_value=0, max_value=40),    # passage offset in doc A
+    st.integers(min_value=0, max_value=40),    # passage offset in doc B
+)
+def test_span_family_planted_passage_exact(spark, L, off_a, off_b):
+    """duplicated_span_dedup / span_removal_stats invariants on a corpus
+    with ONE planted shared passage and globally-unique filler tokens
+    (no chance collisions): spans are in-bounds, non-overlapping, and the
+    keep-first removal charges exactly the passage length to the later
+    doc and nothing to the first."""
+    import shutil
+    import tempfile
+
+    from mlb_win_predictor_spark.queries.text import (
+        SPAN_MIN_TOKENS,
+        duplicated_span_dedup,
+        span_removal_stats,
+    )
+
+    passage = [f"p{i}" for i in range(L)]
+
+    def doc(prefix, off, tail):
+        toks = (
+            [f"{prefix}u{i}" for i in range(off)]
+            + passage
+            + [f"{prefix}v{i}" for i in range(tail)]
+        )
+        return " ".join(toks)
+
+    rows = [
+        (0, doc("a", off_a, 25), "en", "s", 0),
+        (1, doc("b", off_b, 30), "en", "s", 0),
+        (2, " ".join(f"c{i}" for i in range(80)), "en", "s", 0),  # no dups
+    ]
+    d = tempfile.mkdtemp()
+    try:
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string, source string, n_chars long"
+        ).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+        spans = duplicated_span_dedup(spark, d).collect()
+        by_doc = {}
+        for r in spans:
+            assert r.span_tokens == r.span_end - r.span_start + 1 >= SPAN_MIN_TOKENS
+            assert r.span_start >= 0
+            by_doc.setdefault(r.doc_id, []).append(r)
+        assert 2 not in by_doc  # unique-token doc never reports spans
+        # both sharers report exactly the planted passage
+        for doc_id, off in ((0, off_a), (1, off_b)):
+            ss = by_doc[doc_id]
+            assert len(ss) == 1
+            assert (ss[0].span_start, ss[0].span_end) == (off, off + L - 1)
+        # non-overlap (vacuous at 1 span, kept for the general contract)
+        for ss in by_doc.values():
+            ss.sort(key=lambda r: r.span_start)
+            for a, b in zip(ss, ss[1:]):
+                assert b.span_start > a.span_end
+        stats = {r.doc_id: r for r in span_removal_stats(spark, d).collect()}
+        assert stats[0].removed_tokens == 0          # first doc keeps its copy
+        assert stats[1].removed_tokens == L          # later doc charged exactly L
+        assert stats[2].removed_tokens == 0
+        for r in stats.values():
+            assert 0 < r.kept_frac <= 1.0 and r.removed_tokens < r.n_tokens
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -213,3 +213,24 @@ def test_jaccard_prefix_index_prunes_candidates(spark):
     assert index_postings < 0.65 * full_postings, (index_postings, full_postings)
     # Every doc keeps at least one indexed shingle (completeness floor).
     assert prefix.select("doc_id").distinct().count() == shingled.count()
+
+
+def test_dynamic_partition_pruning_on_fact_scan(spark, tmp_path):
+    """Dynamic partition pruning (the other half of the partitioned-layout
+    story): when the partition column is the JOIN key and the dim side is
+    selective, the fact scan receives a runtime dynamicpruning subquery —
+    at 100 TB the difference between scanning one year and the table,
+    decided at run time from the dim's actual keys."""
+    o = load_table(spark, SF, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    path = str(tmp_path / "orders_by_year_dpp")
+    o.write.mode("overwrite").partitionBy("order_year").parquet(path)
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [(1996, "pick"), (1997, "skip")], "order_year int, tag string"
+    ).filter(F.col("tag") == "pick")
+    j = fact.join(dim, "order_year")
+    p = plan_of(j)
+    assert "dynamicpruning" in p.lower(), "fact scan lacks DPP subquery"
+    assert j.count() == o.filter(F.col("order_year") == 1996).count()

@@ -516,3 +516,47 @@ def test_object_store_writer_abort_leaves_nothing_visible(spark, tmp_path):
         else []
     )
     assert published == []
+
+
+def test_object_store_stream_writer_epoch_commits(spark, tmp_path):
+    """Streaming Python Data Source writer: per-epoch object prefix +
+    commit marker; totals match the source across micro-batches."""
+    from mlb_win_predictor_spark.sources.object_store_sink import (
+        read_committed_stream_batches,
+        register_object_store_sink,
+    )
+
+    register_object_store_sink(spark)
+    src = tmp_path / "in"
+    src.mkdir()
+    e = (
+        load_table(spark, SF, "events")
+        .filter(F.col("event_id") < 60)
+        .select("event_id", "event_type", "value")
+    )
+    e.filter(F.col("event_id") < 30).toPandas().to_parquet(
+        str(src / "a.parquet"), index=False
+    )
+    e.filter(F.col("event_id") >= 30).toPandas().to_parquet(
+        str(src / "b.parquet"), index=False
+    )
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    out = str(tmp_path / "bucket")
+    q = (
+        stream.writeStream.format("object_store")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batches = read_committed_stream_batches(out)
+    assert len(batches) >= 2  # one epoch per input file
+    total = sum(o["rows"] for objs in batches.values() for o in objs)
+    assert total == 60
+    staged = os.path.join(out, "_staged")
+    assert not os.path.isdir(staged) or os.listdir(staged) == []
