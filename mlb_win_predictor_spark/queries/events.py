@@ -417,7 +417,92 @@ FROM j GROUP BY 1, 2
 """
 
 
+def cdc_apply_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog APPLY (the "materialize a Debezium/upsert feed"
+    engine op; batch dual of ``streaming.jobs.upsert_outcomes_foreach_batch``):
+    events are an ordered changelog per ``user_id`` — ``error`` is a
+    delete tombstone, every other event an upsert carrying ``value``.
+    Final state = the last change per key under the (ts, event_id) total
+    order, minus keys whose last change is a tombstone; ``n_changes`` is
+    the audit trail length. ONE shuffle: the row_number and the count
+    windows share the user_id exchange."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .withColumn(
+            "n_changes", F.count(F.lit(1)).over(W.partitionBy("user_id"))
+        )
+        .filter((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_type").alias("last_op"),
+            F.col("value").alias("last_value"),
+            F.col("n_changes").cast("long").alias("n_changes"),
+        )
+    )
+
+
+CDC_APPLY_SQL = """
+SELECT user_id, event_type AS last_op, value AS last_value, n_changes FROM (
+  SELECT user_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+         CAST(COUNT(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_changes
+  FROM events
+) WHERE rn = 1 AND event_type <> 'error'
+"""
+
+
+def scd2_history_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history REBUILD from a raw event stream — the batch
+    backfill dual of ``operators.scd.scd2_apply`` (which applies one CDC
+    batch to existing state): per user, every change of ``event_type``
+    opens a version row; ``valid_from_us``/``valid_to_us`` are exact
+    BIGINT microseconds (lead-window close; NULL = current/open row).
+    One user_id exchange feeds the change-detect lag, the version
+    filter, and the closing lead."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "event_id",
+    ).withColumn("prev", F.lag("event_type").over(w))
+    vers = seq.filter(
+        F.col("prev").isNull() | (F.col("event_type") != F.col("prev"))
+    )
+    w2 = w
+    return vers.select(
+        "user_id",
+        "event_type",
+        F.col("ts_us").alias("valid_from_us"),
+        F.lead("ts_us").over(w2).alias("valid_to_us"),
+    )
+
+
+SCD2_REBUILD_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), vers AS (
+  SELECT user_id, event_type, ts_us, event_id FROM seq
+  WHERE prev IS NULL OR event_type <> prev
+)
+SELECT user_id, event_type, ts_us AS valid_from_us,
+       LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us
+FROM vers
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "cdc_apply_changelog": QueryDef(
+        cdc_apply_changelog, CDC_APPLY_SQL, "CDC feed materialization with tombstones"
+    ),
+    "scd2_history_rebuild": QueryDef(
+        scd2_history_rebuild, SCD2_REBUILD_SQL, "SCD2 version history from raw events"
+    ),
     "variant_props_extract": QueryDef(
         variant_props_extract, VARIANT_PROPS_SQL, "VariantType semi-structured extract"
     ),

@@ -175,6 +175,41 @@ def click_purchase_stream_join(
     ).select("user_id", "click_id", "purchase_id")
 
 
+def click_purchase_stream_join_outer(
+    clicks: DataFrame, purchases: DataFrame, horizon_sec: int = 3600
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the attribution report
+    that must also show the clicks that never converted. An unmatched
+    click emits (click, NULL purchase) only once the watermark passes
+    ``click_ts + horizon``, when the engine can PROVE no match can still
+    arrive; earlier emission would need retraction under out-of-order
+    input. Until then the click sits in join state, so state stays
+    bounded by watermark + horizon exactly like the inner join. Caveat
+    pinned by the test: outer rows flush in the batch AFTER the
+    watermark advance that frees them — a drained availableNow run needs
+    a later batch (or trailing heartbeat) to surface the tail."""
+    c = clicks.withWatermark("ts", "1 hour").select(
+        F.col("user_id"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    p = purchases.withWatermark("ts", "1 hour").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    return c.join(
+        p,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (
+            F.col("purchase_ts")
+            < F.col("click_ts") + F.expr(f"INTERVAL {horizon_sec} SECONDS")
+        ),
+        "left_outer",
+    ).select("user_id", "click_id", "purchase_id")
+
+
 def running_user_totals_stream(events: DataFrame) -> DataFrame:
     """Custom stateful operator via ``applyInPandasWithState`` (SURVEY
     §2.7 engine surface): per-user running event count + value total

@@ -469,3 +469,59 @@ def test_versioned_epoch_readers_skip_uncommitted(spark, tmp_path):
     assert read_snapshot(spark, path).count() == 3
     assert read_epoch_union(spark, path, "a long").count() == 3
     assert read_epoch_union(spark, path, "a long", below=0).count() == 0
+
+
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """LEFT OUTER stream-stream join: a click with no purchase emits a
+    NULL-purchase row once the watermark provably passes click_ts +
+    horizon; matched clicks emit normally. Built from 3 micro-batches:
+    data, then two future heartbeats (outer rows flush in the batch
+    AFTER the watermark advance that frees them)."""
+    import pandas as pd
+
+    from mlb_win_predictor_spark.streaming import click_purchase_stream_join_outer
+
+    src = tmp_path / "cpin"
+    src.mkdir()
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    def f(rows, name):
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).to_parquet(str(src / name), index=False)
+
+    f(
+        [
+            (1, t0, 10, "click", 1.0, "{}"),
+            (2, t0 + pd.Timedelta("10min"), 10, "purchase", 5.0, "{}"),
+            (3, t0, 20, "click", 1.0, "{}"),  # never converts
+        ],
+        "b0.parquet",
+    )
+    # heartbeats must reach BOTH join inputs: the global watermark is the
+    # min over the two filtered branches, so a 'view' event would advance
+    # neither. Future clicks+purchases advance both sides past
+    # c2_ts + horizon; their own rows are not asserted on.
+    f(
+        [
+            (4, t0 + pd.Timedelta("3h"), 99, "click", 0.0, "{}"),
+            (5, t0 + pd.Timedelta("3h"), 98, "purchase", 0.0, "{}"),
+        ],
+        "b1.parquet",
+    )
+    f(
+        [
+            (6, t0 + pd.Timedelta("4h"), 99, "click", 0.0, "{}"),
+            (7, t0 + pd.Timedelta("4h"), 98, "purchase", 0.0, "{}"),
+        ],
+        "b2.parquet",
+    )
+    stream = read_events_stream(spark, str(src), nanos=True).repartition(1)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    out = _run_to_memory(
+        spark, click_purchase_stream_join_outer(clicks, purchases), "t_ssjoin_outer"
+    )
+    rows = {(r.user_id, r.click_id, r.purchase_id) for r in out.collect()}
+    assert (10, 1, 2) in rows, "matched click missing"
+    assert (20, 3, None) in rows, "unmatched click never emitted NULL row"
