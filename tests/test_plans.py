@@ -354,3 +354,21 @@ def test_bucketed_join_and_agg_no_shuffle(spark):
                 spark.conf.set(k, v)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_new_entry_plan_shapes(plans):
+    """Round-3 additions hold their documented plan shapes. Node counts
+    use the formatted-explain DETAIL headers ("(N) Exchange") so each
+    physical node counts once (the tree section repeats them)."""
+    import re
+
+    def n_hash_exchanges(p):
+        return len(re.findall(r"\(\d+\) Exchange\b", p))
+
+    # one shared shuffle each: window(s) + aggregation on the same key
+    for name in ("time_weighted_avg", "cdc_apply_changelog", "scd2_history_rebuild"):
+        assert n_hash_exchanges(plans[name]) == 1, name
+    # duplicated_span_dedup: ONE corpus scan (the one-scan window plan)
+    assert len(re.findall(r"\(\d+\) Scan parquet\b", plans["duplicated_span_dedup"])) == 1
+    # hybrid_search_rrf: pools via distributed top-k, never a global sort
+    assert "TakeOrderedAndProject" in plans["hybrid_search_rrf"]

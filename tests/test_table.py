@@ -95,3 +95,19 @@ def test_vacuum_drops_old_and_orphans_keeps_head(spark, tmp_path, base_df):
     with pytest.raises(FileNotFoundError):
         t.read(spark, version=0)
     assert not os.path.isdir(str(tmp_path / "tbl" / "v=9"))
+
+
+def test_merge_retry_is_idempotent(spark, tmp_path, base_df):
+    """Replaying the SAME merge (crash-after-data, crash-after-commit,
+    or a blind client retry) converges: state equals a single apply.
+    The retry writes a NEW version (v2) whose content is a no-op merge."""
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.init(base_df)
+    delta = spark.createDataFrame(
+        [(2, 99.0, "B"), (4, 40.0, "d")], "k int, bal double, tag string"
+    )
+    t.merge(delta, keys=["k"])
+    once = _rows(t.read(spark))
+    t.merge(delta, keys=["k"])  # blind retry
+    assert _rows(t.read(spark)) == once
+    assert t.committed_versions() == [0, 1, 2]
