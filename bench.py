@@ -80,6 +80,8 @@ HEADLINE = [
     "span_removal_stats",
     "lateral_topn_subquery",
     "unigram_logprob_quality",
+    "token_budget_sample",
+    "source_overlap_matrix",
 ]
 
 

@@ -1558,6 +1558,132 @@ FROM per_doc, total
 """
 
 
+TOKEN_BUDGET = 800
+
+
+def token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-BUDGET sampling (the curation step after mixture weights:
+    "give me at most B training tokens per source"; B=800 here, chosen
+    to BIND at every test SF so the check is never vacuous): docs are ranked
+    by a deterministic per-doc hash (retry/rerun-stable, like
+    ``balanced_mixture_sample``) and taken greedily while the running
+    token total stays within budget — so the selection is an exact
+    prefix of a reproducible permutation, not a rate that drifts with
+    doc-length variance. Per-source report: docs/tokens kept vs total.
+
+    One shuffle (window per source, reused by the rollup). The hash
+    ranking means adding new docs to a source only APPENDS candidates
+    after the existing frontier w.h.p. — reruns over a grown corpus keep
+    a stable core instead of reshuffling the whole sample."""
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select(
+        "doc_id",
+        "source",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_toks"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    run = toked.withColumn("cum_toks", F.sum("n_toks").over(w))
+    return (
+        run.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs_total"),
+            F.sum("n_toks").cast("long").alias("tokens_total"),
+            F.sum(F.when(F.col("cum_toks") <= TOKEN_BUDGET, 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_kept"),
+            F.max(
+                F.when(F.col("cum_toks") <= TOKEN_BUDGET, F.col("cum_toks")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("tokens_kept"),
+        )
+    )
+
+
+TOKEN_BUDGET_SQL = rf"""
+WITH toked AS (
+  SELECT doc_id, source,
+         CAST(len(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) AS n_toks,
+         md5(CAST(doc_id AS VARCHAR)) AS h
+  FROM documents
+), run AS (
+  SELECT source, n_toks,
+         SUM(n_toks) OVER (PARTITION BY source ORDER BY h, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum_toks
+  FROM toked
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_total,
+       CAST(SUM(n_toks) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN cum_toks <= {TOKEN_BUDGET} THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+       CAST(MAX(CASE WHEN cum_toks <= {TOKEN_BUDGET} THEN cum_toks ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM run GROUP BY source
+"""
+
+
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE contamination matrix (the dataset-curation report
+    behind "which crawls/site feeds duplicate each other?"): for every
+    source pair, the number of distinct word-{n}-grams they share. The
+    per-pair counts tell you which source to drop or de-prioritize in
+    the mixture BEFORE paying for full pairwise doc dedup.
+
+    Plan: per-(source, gram) distinct on xxhash64-hashed grams (map-side
+    array_distinct per doc first, then a two-phase distinct); the
+    self-join explodes each gram by (#sources containing it)^2, bounded
+    by the SOURCE DOMAIN squared — not by docs — so it survives any
+    corpus size; final rollup is on (src_a, src_b), domain-bounded."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toked = d.select(
+        "source", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    e = (
+        toked.select(
+            "source",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        _word_ngrams(F.col("toks"), CROSSDOC_N),
+                        lambda g: F.xxhash64(g),
+                    )
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    a = e.select(F.col("source").alias("src_a"), "g")
+    b = e.select(F.col("source").alias("src_b"), "g")
+    return (
+        a.join(b, "g")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+    )
+
+
+SOURCE_OVERLAP_SQL = rf"""
+WITH t AS (
+  SELECT source, regexp_split_to_array(TRIM(text), '\s+') AS w FROM documents
+), e AS (
+  SELECT DISTINCT source,
+         array_to_string(list_slice(w, i, i + {CROSSDOC_N - 1}), ' ') AS gram
+  FROM t, LATERAL (SELECT unnest(range(1, len(w) - {CROSSDOC_N} + 2)) AS i)
+  WHERE len(w) >= {CROSSDOC_N}
+)
+SELECT a.source AS src_a, b.source AS src_b,
+       CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+FROM e a JOIN e b ON a.gram = b.gram AND a.source < b.source
+GROUP BY 1, 2
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
     "token_count": QueryDef(token_count, TOKEN_COUNT_SQL, "text: token counting"),
     "token_count_bpe": QueryDef(token_count_bpe, TOKEN_BPE_SQL, "text: BPE-ish tokenizer"),
@@ -1630,5 +1756,15 @@ QUERIES: dict[str, QueryDef] = {
         unigram_logprob_quality,
         UNIGRAM_LOGPROB_SQL,
         "text: unigram-LM avg negative log-prob (perplexity-proxy filter)",
+    ),
+    "token_budget_sample": QueryDef(
+        token_budget_sample,
+        TOKEN_BUDGET_SQL,
+        "text: exact per-source token-budget selection (hash-ranked prefix)",
+    ),
+    "source_overlap_matrix": QueryDef(
+        source_overlap_matrix,
+        SOURCE_OVERLAP_SQL,
+        "dedup: cross-source shared-gram contamination matrix",
     ),
 }
