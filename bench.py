@@ -82,6 +82,7 @@ HEADLINE = [
     "unigram_logprob_quality",
     "token_budget_sample",
     "source_overlap_matrix",
+    "bitmap_distinct_rollup",
 ]
 
 

@@ -717,7 +717,61 @@ GROUP BY event_type
 """
 
 
+def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct counting via bitmap aggregates (the
+    exact-counting sibling of the HLL/theta sketch entries): per
+    (type, day, bucket) user-id bitmaps (``bitmap_construct_agg`` over
+    ``bitmap_bit_position``), rolled up two ways — daily distincts by
+    summing per-bucket ``bitmap_count``, and the per-type TOTAL by
+    ``bitmap_or_agg``-merging the daily bitmaps first. Unlike
+    count-distinct, the bitmaps re-aggregate without rescanning facts —
+    the materialized-rollup trick for exact DAU->MAU at 100 TB; unlike
+    HLL they stay exact, at bitmap (not cardinality-constant) size.
+    State per group is bounded: one 4KB bitmap per 32k-id bucket."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.bitmap_bucket_number("user_id").alias("bk"),
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+    per_day = daily.groupBy("event_type", "day").agg(
+        F.sum(F.bitmap_count("bm")).alias("du")
+    )
+    days = per_day.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("du").cast("long").alias("max_daily_users"),
+    )
+    totals = (
+        daily.groupBy("event_type", "bk")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+        .groupBy("event_type")
+        .agg(F.sum(F.bitmap_count("bm")).cast("long").alias("distinct_users"))
+    )
+    return totals.join(days, "event_type").select(
+        "event_type", "distinct_users", "n_days", "max_daily_users"
+    )
+
+
+BITMAP_ROLLUP_SQL = """
+WITH pd AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(DISTINCT user_id) AS du
+  FROM events GROUP BY 1, 2
+)
+SELECT e.event_type, distinct_users, n_days, max_daily_users
+FROM (SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS distinct_users
+      FROM events GROUP BY 1) e
+JOIN (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(MAX(du) AS BIGINT) AS max_daily_users
+      FROM pd GROUP BY 1) d USING (event_type)
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "bitmap_distinct_rollup": QueryDef(
+        bitmap_distinct_rollup,
+        BITMAP_ROLLUP_SQL,
+        "ops: exact mergeable distinct via bitmap aggregates (DAU->MAU rollup)",
+    ),
     "time_weighted_avg": QueryDef(
         time_weighted_avg, TWAP_SQL, "ops: duration-weighted mean over irregular series"
     ),
