@@ -405,6 +405,58 @@ def incremental_rollup_stream(events: DataFrame, rollup_path: str, checkpoint: s
     )
 
 
+def apply_bitmap_epoch(batch: DataFrame, epoch_id: int, bitmap_path: str) -> None:
+    """One epoch of exact-distinct bitmap maintenance (foreachBatch body,
+    module-level so replay is directly testable): per-(event_type,
+    bucket) user-id bitmaps OR-merged into the stored state — bitmaps
+    are an idempotent commutative monoid (a | a = a), so unlike the
+    additive rollup even double-delivery of ROWS is harmless; the
+    versioned-epoch log still guards batch-boundary replay for free."""
+    delta = batch.groupBy(
+        "event_type", F.bitmap_bucket_number("user_id").alias("bk")
+    ).agg(F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"))
+
+    def merge(cur: DataFrame, d: DataFrame) -> DataFrame:
+        return (
+            cur.unionByName(d)
+            .groupBy("event_type", "bk")
+            .agg(F.bitmap_or_agg("bm").alias("bm"))
+        )
+
+    _apply_versioned_epoch(delta, epoch_id, bitmap_path, merge)
+
+
+def incremental_bitmap_distinct_stream(
+    events: DataFrame, bitmap_path: str, checkpoint: str
+):
+    """Incremental EXACT distinct-user maintenance — the streaming dual
+    of ``queries.ops.bitmap_distinct_rollup``: each micro-batch's user
+    ids become per-(type, bucket) bitmaps OR-merged into a versioned
+    snapshot; ``read_bitmap_distinct`` answers exact per-type distinct
+    counts from O(types x buckets) bitmap rows without ever rescanning
+    the fact stream (the exact counterpart of ``cms_sketch_stream``'s
+    approximate path)."""
+
+    def merge_batch(batch: DataFrame, epoch_id: int) -> None:
+        apply_bitmap_epoch(batch, epoch_id, bitmap_path)
+
+    return (
+        events.writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def read_bitmap_distinct(spark, bitmap_path: str) -> DataFrame | None:
+    """Exact per-type distinct users from the maintained bitmap state."""
+    snap = read_snapshot(spark, bitmap_path)
+    if snap is None:
+        return None
+    return snap.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).cast("long").alias("distinct_users")
+    )
+
+
 def _committed_epochs(path: str) -> list[int]:
     """Epoch snapshot ids under ``path`` whose write completed (_SUCCESS
     present — the commit record on plain parquet)."""

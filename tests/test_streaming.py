@@ -525,3 +525,61 @@ def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_pat
     rows = {(r.user_id, r.click_id, r.purchase_id) for r in out.collect()}
     assert (10, 1, 2) in rows, "matched click missing"
     assert (20, 3, None) in rows, "unmatched click never emitted NULL row"
+
+
+def test_incremental_bitmap_distinct_matches_batch_and_replay_safe(spark, tmp_path):
+    """Exact-distinct bitmap maintenance: after 2 micro-batches the
+    maintained state answers the same per-type distinct-user counts as a
+    batch COUNT(DISTINCT); replaying an epoch's body against committed
+    state changes nothing (bitmaps are idempotent under OR)."""
+    import pandas as pd
+
+    from mlb_win_predictor_spark.streaming import (
+        incremental_bitmap_distinct_stream,
+        read_bitmap_distinct,
+    )
+    from mlb_win_predictor_spark.streaming.jobs import apply_bitmap_epoch
+
+    src = tmp_path / "ev_bm"
+    src.mkdir()
+    full = pd.read_parquet(f"{SF}/events.parquet")[
+        ["event_id", "ts", "user_id", "event_type"]
+    ]
+    full["ts"] = full["ts"].astype("datetime64[us]")
+    full.iloc[: len(full) // 2].to_parquet(str(src / "h0.parquet"), index=False)
+    full.iloc[len(full) // 2 :].to_parquet(str(src / "h1.parquet"), index=False)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = incremental_bitmap_distinct_stream(
+        stream, str(tmp_path / "bm"), str(tmp_path / "ckpt")
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r.event_type: r.distinct_users
+        for r in read_bitmap_distinct(spark, str(tmp_path / "bm")).collect()
+    }
+    want = {
+        r.event_type: r.du
+        for r in spark.createDataFrame(full[["user_id", "event_type"]])
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("du"))
+        .collect()
+    }
+    assert got == want and len(got) > 0
+
+    # replay epoch 1's body directly against committed state: no change
+    b1 = spark.createDataFrame(full.iloc[len(full) // 2 :][["user_id", "event_type"]])
+    apply_bitmap_epoch(b1, 1, str(tmp_path / "bm"))
+    again = {
+        r.event_type: r.distinct_users
+        for r in read_bitmap_distinct(spark, str(tmp_path / "bm")).collect()
+    }
+    assert again == want
