@@ -736,7 +736,42 @@ def lateral_topn_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(LATERAL_SPARK_SQL)
 
 
+LISTAGG_SPARK_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       listagg(CAST(o_orderkey AS STRING), ',')
+         WITHIN GROUP (ORDER BY o_orderkey) AS keys
+FROM orders WHERE o_orderkey < 300 GROUP BY o_orderpriority
+"""
+
+LISTAGG_ORACLE_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey) AS keys
+FROM orders WHERE o_orderkey < 300 GROUP BY o_orderpriority
+"""
+
+
+def listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2023 LISTAGG ... WITHIN GROUP (Spark 4's native ordered string
+    aggregation; the reference's HTML-list building D10 used concat over
+    a collected array — this is the standard-SQL spelling). The
+    WITHIN-GROUP order makes the result value-deterministic without the
+    array_sort(collect_list) detour the `string_agg_digest` entry takes.
+    Keys capped to bound the string length; one hash agg, map-side
+    combined like any other aggregate."""
+    from ..session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(LISTAGG_SPARK_SQL)
+
+
 QUERIES: dict[str, QueryDef] = {
+    "listagg_ordered": QueryDef(
+        listagg_ordered,
+        LISTAGG_ORACLE_SQL,
+        "ordered LISTAGG / string_agg within group",
+    ),
     "lateral_topn_subquery": QueryDef(
         lateral_topn_subquery,
         LATERAL_ORACLE_SQL,
