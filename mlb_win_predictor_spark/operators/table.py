@@ -92,20 +92,54 @@ class VersionedTable:
         self._commit(0)
         return 0
 
-    def merge(self, source: DataFrame, keys: list[str]) -> int:
+    def merge(
+        self, source: DataFrame, keys: list[str], merge_schema: bool = False
+    ) -> int:
         """MERGE INTO: rows matching on ``keys`` are replaced by the
         source row (WHEN MATCHED THEN UPDATE SET *), unmatched source
         rows are appended (WHEN NOT MATCHED THEN INSERT *). Returns the
-        new committed version."""
+        new committed version.
+
+        Standard MERGE errors when a target row matches MULTIPLE source
+        rows (the full-outer join would silently fan the target row out —
+        a dup-keyed CDC delta would corrupt the table invisibly), so
+        source key-uniqueness is validated first: one hash agg over the
+        DELTA only (the small side), never the snapshot.
+
+        ``merge_schema=True`` is Delta's ``mergeSchema`` evolution: source
+        columns absent from the target are appended to the snapshot
+        schema (nullable); target columns absent from the source keep
+        their value on matched/unmatched rows and are null on inserts.
+        Old snapshots are immutable files, so time-travel to a
+        pre-evolution version still reads the old schema."""
         spark = source.sparkSession
         base = self.latest_version()
         if base is None:
             return self.init(source)
         target = self.read(spark, base)
-        if set(source.columns) != set(target.columns):
+        s_cols, t_cols = source.columns, target.columns
+        if missing := [k for k in keys if k not in s_cols]:
+            raise ValueError(f"merge keys absent from source: {missing}")
+        if merge_schema:
+            new_cols = [c for c in s_cols if c not in t_cols]
+        else:
+            new_cols = []
+            if set(s_cols) != set(t_cols):
+                raise ValueError(
+                    f"schema mismatch: target {sorted(t_cols)} vs "
+                    f"source {sorted(s_cols)} (pass merge_schema=True to evolve)"
+                )
+        dup = (
+            source.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .filter(F.col("_n") > 1)
+            .take(1)
+        )
+        if dup:
             raise ValueError(
-                f"schema mismatch: target {sorted(target.columns)} vs "
-                f"source {sorted(source.columns)}"
+                f"MERGE source has duplicate rows per key {keys} "
+                f"(e.g. {tuple(dup[0][k] for k in keys)}); dedup the delta "
+                "first (last-wins policy is the caller's call, not ours)"
             )
         t = target.alias("t")
         s = source.withColumn(PRESENCE, F.lit(1)).alias("s")
@@ -117,10 +151,17 @@ class VersionedTable:
         merged = t.join(s, cond, "full_outer").select(
             *[F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k) for k in keys],
             *[
-                F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
-                for c in target.columns
+                (
+                    F.when(matched, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}"))
+                    if c in s_cols
+                    else F.col(f"t.{c}")  # evolution: source dropped it — keep
+                ).alias(c)
+                for c in t_cols
                 if c not in keys
             ],
+            # evolution: brand-new columns — null wherever the source row
+            # is absent (unmatched target rows), by full-outer construction
+            *[F.col(f"s.{c}").alias(c) for c in new_cols],
         )
         new = base + 1
         # data first (overwrite clobbers any orphan from a crashed try),
@@ -152,7 +193,10 @@ class VersionedTable:
         if not os.path.isdir(self.path):
             return removed
         for d in os.listdir(self.path):
-            if not d.startswith("v="):
+            # mirror committed_versions()'s isdigit filter: a stray
+            # `v=1.bak` / editor temp dir must not abort the vacuum
+            # midway with some snapshots already removed
+            if not d.startswith("v=") or not d[2:].isdigit():
                 continue
             v = int(d[2:])
             if v in keep:

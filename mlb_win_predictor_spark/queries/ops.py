@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions.scalars import stable_round
+from ..operators.indexing import dense_global_index
 from ..session import load_table
 from .base import QueryDef
 
@@ -233,23 +234,39 @@ N_BINS = 10
 def quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Equal-frequency discretization of ``o_totalprice`` into deciles:
     per-bin row count and [min, max] boundary. Exact ``ntile`` requires a
-    total order (deterministic tie-break on the key); at 100 TB the scale
+    total order (deterministic tie-break on the key), but the naive
+    ``ntile().over(orderBy(...))`` collapses the table into ONE partition
+    — a single-task sort of the universe at 100 TB. Instead: the
+    range-partitioned dense global index (``dense_global_index``: range
+    shuffle → partition-local row_number → broadcast offset join), then
+    the exact NTILE bucket from arithmetic on the 0-based index. NTILE(k)
+    over n rows puts ``q+1`` rows in each of the first ``r`` buckets and
+    ``q`` in the rest (q = n div k, r = n mod k) — note ``floor(idx*k/n)``
+    is NOT the same split when k does not divide n. ``n`` is one count()
+    scan; the only driver-side data is that scalar plus the per-partition
+    offsets inside dense_global_index. At 100 TB the *approximate* scale
     path is boundary assignment from the mergeable quantile sketch
     (``approx_percentiles`` / ``kll_quantile_rollup``) — this entry is the
     exact oracle those sketches are tested against."""
-    o = load_table(spark, sf_dir, "orders")
-    wn = W.orderBy("o_totalprice", "o_orderkey")
-    return (
-        o.select(
-            "o_totalprice",
-            F.ntile(N_BINS).over(wn).cast("bigint").alias("bin"),
+    o = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
+    n = o.count()
+    q, r = divmod(n, N_BINS)
+    idx = F.col("row_idx")
+    if q == 0:  # fewer rows than bins: everyone lands in bucket idx+1
+        bin_expr = idx + 1
+    else:
+        head = r * (q + 1)  # rows covered by the first r (larger) buckets
+        bin_expr = (
+            F.when(idx < head, F.floor(idx / (q + 1)) + 1)
+            .otherwise(r + F.floor((idx - head) / q) + 1)
         )
-        .groupBy("bin")
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.min("o_totalprice").alias("lo"),
-            F.max("o_totalprice").alias("hi"),
-        )
+    binned = dense_global_index(o, ["o_totalprice", "o_orderkey"]).select(
+        "o_totalprice", bin_expr.cast("bigint").alias("bin")
+    )
+    return binned.groupBy("bin").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
     )
 
 

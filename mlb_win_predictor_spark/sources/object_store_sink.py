@@ -24,6 +24,7 @@ mechanics are identical (multipart upload finalization plays the
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import shutil
@@ -67,7 +68,17 @@ class ObjectStoreWriter(DataSourceWriter):
         return ObjectCommit(filename=name, n_rows=n)
 
     def commit(self, messages):
-        published = []
+        # mode semantics resolve at commit time, against the PREVIOUS
+        # manifest: append merges its object list into the new one (a
+        # second append must not orphan earlier committed objects —
+        # readers resolve ONLY through the manifest); overwrite deletes
+        # the previously published objects before the new manifest lands.
+        prior = []
+        manifest = os.path.join(self.path, "_MANIFEST")
+        if os.path.exists(manifest):
+            with open(manifest) as f:
+                prior = json.load(f)["objects"]
+        published = [] if self.overwrite else list(prior)
         for m in messages:
             if m is None:
                 continue
@@ -80,7 +91,16 @@ class ObjectStoreWriter(DataSourceWriter):
         tmp = os.path.join(self.path, ".manifest.tmp")
         with open(tmp, "w") as f:
             json.dump({"objects": published}, f)
-        os.replace(tmp, os.path.join(self.path, "_MANIFEST"))
+        os.replace(tmp, manifest)
+        if self.overwrite:
+            # reclaim the replaced objects AFTER the new manifest lands —
+            # deleting first would let a reader of the old manifest see
+            # dangling paths while the commit is still in flight
+            keep = {o["object"] for o in published}
+            for o in prior:
+                if o["object"] not in keep:
+                    with contextlib.suppress(FileNotFoundError):
+                        os.remove(os.path.join(self.path, o["object"]))
 
     def abort(self, messages):
         shutil.rmtree(os.path.join(self.path, "_staged"), ignore_errors=True)
@@ -112,6 +132,13 @@ class ObjectStoreStreamWriter(DataSourceStreamWriter):
 
     def commit(self, messages, batchId: int):
         bdir = os.path.join(self.path, f"batch={batchId}")
+        # replay ordering: retract the epoch's commit marker FIRST, so a
+        # reader resolving through read_committed_stream_batches treats
+        # the epoch as uncommitted while its objects are being replaced —
+        # clearing the dir with the old marker still up would hand
+        # readers dangling object paths (marker present, files gone)
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(os.path.join(self.path, "_commits", str(batchId)))
         shutil.rmtree(bdir, ignore_errors=True)
         os.makedirs(bdir, exist_ok=True)
         published = []

@@ -148,18 +148,27 @@ def dedup_stream_within_watermark(
 
 
 def click_purchase_stream_join(
-    clicks: DataFrame, purchases: DataFrame, horizon_sec: int = 3600
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon_sec: int = 3600,
+    watermark_sec: int | None = None,
 ) -> DataFrame:
     """Watermarked stream-stream join (SURVEY §2.7 engine surface):
     click→purchase attribution within ``horizon_sec`` per user. Both
     sides carry watermarks and the join condition time-bounds the match,
     so each side's buffered state is bounded by watermark + horizon —
     the requirement for an unbounded stream-stream inner join. Batch
-    dual (oracle-checked): queries.events.event_pair_join."""
-    c = clicks.withWatermark("ts", "1 hour").select(
+    dual (oracle-checked): queries.events.event_pair_join.
+
+    ``watermark_sec`` (late-data tolerance) defaults to
+    ``max(horizon_sec, 3600)`` so the state-retention bound in the
+    docstring holds for ANY horizon — a hardcoded 1h watermark under a
+    2h horizon would silently widen the emission timing mismatch."""
+    wm = f"{max(horizon_sec, 3600) if watermark_sec is None else watermark_sec} seconds"
+    c = clicks.withWatermark("ts", wm).select(
         F.col("user_id"), F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
     )
-    p = purchases.withWatermark("ts", "1 hour").select(
+    p = purchases.withWatermark("ts", wm).select(
         F.col("user_id").alias("p_user"),
         F.col("event_id").alias("purchase_id"),
         F.col("ts").alias("purchase_ts"),
@@ -176,7 +185,10 @@ def click_purchase_stream_join(
 
 
 def click_purchase_stream_join_outer(
-    clicks: DataFrame, purchases: DataFrame, horizon_sec: int = 3600
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon_sec: int = 3600,
+    watermark_sec: int | None = None,
 ) -> DataFrame:
     """Watermarked stream-stream LEFT OUTER join — the attribution report
     that must also show the clicks that never converted. An unmatched
@@ -187,13 +199,16 @@ def click_purchase_stream_join_outer(
     bounded by watermark + horizon exactly like the inner join. Caveat
     pinned by the test: outer rows flush in the batch AFTER the
     watermark advance that frees them — a drained availableNow run needs
-    a later batch (or trailing heartbeat) to surface the tail."""
-    c = clicks.withWatermark("ts", "1 hour").select(
+    a later batch (or trailing heartbeat) to surface the tail.
+    ``watermark_sec`` defaults to ``max(horizon_sec, 3600)`` — see the
+    inner variant."""
+    wm = f"{max(horizon_sec, 3600) if watermark_sec is None else watermark_sec} seconds"
+    c = clicks.withWatermark("ts", wm).select(
         F.col("user_id"),
         F.col("event_id").alias("click_id"),
         F.col("ts").alias("click_ts"),
     )
-    p = purchases.withWatermark("ts", "1 hour").select(
+    p = purchases.withWatermark("ts", wm).select(
         F.col("user_id").alias("p_user"),
         F.col("event_id").alias("purchase_id"),
         F.col("ts").alias("purchase_ts"),

@@ -128,6 +128,15 @@ def test_dense_index_no_single_partition_sort(plans):
     assert "rangepartitioning" in p.lower()
 
 
+def test_quantile_binning_no_single_partition_window(plans):
+    """Exact decile binning must ride the range-partitioned dense-index
+    plan, not a global ``ntile().over(orderBy(...))`` — the latter is a
+    SinglePartition WindowExec (one task sorts the whole table)."""
+    p = plans["quantile_binning"]
+    assert "SinglePartition" not in p, "ntile collapsed to 1 partition"
+    assert "rangepartitioning" in p.lower()
+
+
 def test_dim_joins_broadcast(plans):
     p = plans["broadcast_dim_join"]
     # formatted plans list each node in the tree AND the detail section

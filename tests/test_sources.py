@@ -490,6 +490,38 @@ def test_object_store_writer_two_phase_commit(spark, tmp_path):
     assert not os.path.isdir(os.path.join(out, "_staged"))
 
 
+def test_object_store_append_merges_manifest_overwrite_replaces(spark, tmp_path):
+    """Two append jobs to the same bucket must BOTH stay visible through
+    the manifest (the only read contract — a manifest naming only the
+    second job's objects silently orphans the first); a subsequent
+    overwrite replaces the manifest AND reclaims the replaced objects."""
+    from mlb_win_predictor_spark.sources.object_store_sink import (
+        read_manifest_objects,
+        register_object_store_sink,
+    )
+
+    register_object_store_sink(spark)
+    out = str(tmp_path / "bucket")
+    e = load_table(spark, SF, "events").select("event_id").repartition(2)
+    e.filter(F.col("event_id") < 40).write.format("object_store").mode("append").save(out)
+    e.filter((F.col("event_id") >= 40) & (F.col("event_id") < 70)).write.format(
+        "object_store"
+    ).mode("append").save(out)
+    objs = read_manifest_objects(out)
+    assert sum(o["rows"] for o in objs) == 70  # both jobs visible
+    # every manifest entry resolves to a real object
+    assert all(os.path.exists(os.path.join(out, o["object"])) for o in objs)
+
+    e.filter(F.col("event_id") < 5).write.format("object_store").mode(
+        "overwrite"
+    ).save(out)
+    objs2 = read_manifest_objects(out)
+    assert sum(o["rows"] for o in objs2) == 5
+    # replaced objects reclaimed: nothing dangling outside the manifest
+    on_disk = {p for p in os.listdir(out) if p.startswith("part-")}
+    assert on_disk == {o["object"] for o in objs2}
+
+
 def test_object_store_writer_abort_leaves_nothing_visible(spark, tmp_path):
     """A failed job must publish NO manifest and NO objects (abort path)."""
     import pytest as _pytest
@@ -516,6 +548,48 @@ def test_object_store_writer_abort_leaves_nothing_visible(spark, tmp_path):
         else []
     )
     assert published == []
+
+
+def test_object_store_stream_replay_retracts_marker_first(tmp_path, monkeypatch):
+    """Epoch replay must remove the stale commit marker BEFORE clearing
+    the batch dir — otherwise a reader resolving via
+    read_committed_stream_batches sees the marker but dangling object
+    paths mid-replay. Direct writer-protocol test (no Spark job)."""
+    import shutil as _shutil
+
+    from mlb_win_predictor_spark.sources import object_store_sink as oss
+
+    out = str(tmp_path / "bucket")
+    w = oss.ObjectStoreStreamWriter({"path": out})
+
+    def stage(name, rows):
+        staged = os.path.join(out, "_staged")
+        os.makedirs(staged, exist_ok=True)
+        with open(os.path.join(staged, name), "w") as f:
+            f.write("{}\n" * rows)
+        return oss.ObjectCommit(filename=name, n_rows=rows)
+
+    w.commit([stage("part-old.jsonl", 3)], batchId=0)
+    assert oss.read_committed_stream_batches(out)[0][0]["object"] == "part-old.jsonl"
+
+    # replay epoch 0: at the moment the batch dir is cleared, the old
+    # marker must already be gone (epoch reads as uncommitted)
+    real_rmtree = _shutil.rmtree
+    seen = {}
+
+    def checking_rmtree(path, **kw):
+        if os.path.basename(path) == "batch=0":
+            seen["marker_present_at_clear"] = os.path.exists(
+                os.path.join(out, "_commits", "0")
+            )
+        return real_rmtree(path, **kw)
+
+    monkeypatch.setattr(oss.shutil, "rmtree", checking_rmtree)
+    w.commit([stage("part-new.jsonl", 5)], batchId=0)
+    assert seen["marker_present_at_clear"] is False
+    batches = oss.read_committed_stream_batches(out)
+    assert [o["object"] for o in batches[0]] == ["part-new.jsonl"]
+    assert not os.path.exists(os.path.join(out, "batch=0", "part-old.jsonl"))
 
 
 def test_object_store_stream_writer_epoch_commits(spark, tmp_path):

@@ -97,6 +97,97 @@ def test_vacuum_drops_old_and_orphans_keeps_head(spark, tmp_path, base_df):
     assert not os.path.isdir(str(tmp_path / "tbl" / "v=9"))
 
 
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path, base_df):
+    """Standard MERGE semantics: a source with two rows for one key must
+    ERROR, not silently fan the matched target row out through the
+    full-outer join (a dup-keyed CDC delta would corrupt invisibly)."""
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.init(base_df)
+    dup = spark.createDataFrame(
+        [(2, 1.0, "x"), (2, 2.0, "y")], "k int, bal double, tag string"
+    )
+    with pytest.raises(ValueError, match="duplicate rows per key"):
+        t.merge(dup, keys=["k"])
+    assert t.committed_versions() == [0]  # nothing committed
+    assert _rows(t.read(spark)) == _rows(base_df)
+
+
+def test_vacuum_skips_non_numeric_version_dirs(spark, tmp_path, base_df):
+    """A stray `v=1.bak` (backup / editor temp) must be skipped, not
+    abort the vacuum midway via int('1.bak')."""
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.init(base_df)
+    for i in range(2):
+        t.merge(
+            spark.createDataFrame([(1, float(i), "v")], "k int, bal double, tag string"),
+            keys=["k"],
+        )
+    shutil.copytree(str(tmp_path / "tbl" / "v=0"), str(tmp_path / "tbl" / "v=1.bak"))
+    removed = t.vacuum(keep_last=2)
+    assert removed == [0]
+    assert os.path.isdir(str(tmp_path / "tbl" / "v=1.bak"))  # untouched
+    assert t.committed_versions() == [1, 2]
+
+
+def test_merge_schema_evolution(spark, tmp_path, base_df):
+    """Delta-style mergeSchema: a source with a NEW column widens the
+    snapshot schema (new column nullable — null on unmatched target
+    rows), a source MISSING a target column leaves that column's values
+    intact, and old snapshots still time-travel with the old schema."""
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.init(base_df)
+    evolved = spark.createDataFrame(
+        [(2, 99.0, "B", "eu"), (4, 40.0, "d", "us")],
+        "k int, bal double, tag string, region string",
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        t.merge(evolved, keys=["k"])  # evolution must be opt-in
+    assert t.merge(evolved, keys=["k"], merge_schema=True) == 1
+    assert _rows(t.read(spark)) == [
+        (1, 10.0, "a", None),
+        (2, 99.0, "B", "eu"),
+        (3, 30.0, "c", None),
+        (4, 40.0, "d", "us"),
+    ]
+    # time travel: pre-evolution snapshot keeps the 3-column schema
+    assert t.read(spark, version=0).columns == ["k", "bal", "tag"]
+    assert _rows(t.read(spark, version=0)) == _rows(base_df)
+    # narrow source (missing `tag` and `region`) keeps target values on
+    # matched rows, nulls only where no target row existed
+    narrow = spark.createDataFrame([(1, -5.0), (9, 9.0)], "k int, bal double")
+    t.merge(narrow, keys=["k"], merge_schema=True)
+    assert _rows(t.read(spark)) == [
+        (1, -5.0, "a", None),
+        (2, 99.0, "B", "eu"),
+        (3, 30.0, "c", None),
+        (4, 40.0, "d", "us"),
+        (9, 9.0, None, None),
+    ]
+
+
+def test_merge_schema_evolution_crash_replay(spark, tmp_path, base_df):
+    """Crash-sim for the evolution path: the widened v=1 written but
+    unmarked is invisible (readers still see the old schema); the retry
+    commits and the new column appears."""
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.init(base_df)
+    evolved = spark.createDataFrame(
+        [(3, 0.0, "X", "ap")], "k int, bal double, tag string, region string"
+    )
+    # crash: evolved v=1 data fully written, marker never published
+    base_df.join(evolved.select("k", "region"), "k", "left").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "tbl" / "v=1"))
+    assert t.read(spark).columns == ["k", "bal", "tag"]
+    assert t.merge(evolved, keys=["k"], merge_schema=True) == 1
+    assert t.read(spark).columns == ["k", "bal", "tag", "region"]
+    assert _rows(t.read(spark)) == [
+        (1, 10.0, "a", None),
+        (2, 20.0, "b", None),
+        (3, 0.0, "X", "ap"),
+    ]
+
+
 def test_merge_retry_is_idempotent(spark, tmp_path, base_df):
     """Replaying the SAME merge (crash-after-data, crash-after-commit,
     or a blind client retry) converges: state equals a single apply.
