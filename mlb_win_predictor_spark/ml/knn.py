@@ -16,6 +16,62 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 
+def _ranked_neighbors(
+    train: DataFrame,
+    test: DataFrame,
+    max_k: int,
+    features_col: str,
+    label_col: str,
+    id_col: str,
+    bucket_length: float,
+    num_hash_tables: int,
+    seed: int,
+) -> DataFrame:
+    """(test_id, n_label, _dist, rn<=max_k): each test row's max_k
+    approximate nearest train rows, distance-ranked with a deterministic
+    tie-break. One LSH bucket join + one per-test-row window — the
+    k-INDEPENDENT part of kNN, factored out so a k-grid sweep pays for
+    the join once."""
+    to_vec = lambda df: df.withColumn(  # noqa: E731
+        "_vec", array_to_vector(F.transform(F.col(features_col), lambda v: v.cast("double")))
+    )
+    tr, te = to_vec(train), to_vec(test)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="_vec",
+        outputCol="_hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(tr)
+    # bucket-join candidates within a generous radius, keep max_k per test row
+    joined = model.approxSimilarityJoin(te, tr, float("inf"), distCol="_dist")
+    pairs = joined.select(
+        F.col(f"datasetA.{id_col}").alias("test_id"),
+        F.col(f"datasetB.{label_col}").alias("n_label"),
+        F.col(f"datasetB.{id_col}").alias("n_id"),
+        F.col("_dist"),
+    )
+    wk = W.partitionBy("test_id").orderBy(F.col("_dist").asc(), F.col("n_id").asc())
+    return pairs.withColumn("rn", F.row_number().over(wk)).filter(F.col("rn") <= max_k)
+
+
+def _vote(topk: DataFrame) -> DataFrame:
+    """(test_id, prediction): majority label with (votes desc, closest
+    neighbor asc, label asc) deterministic tie-break."""
+    votes = topk.groupBy("test_id", "n_label").agg(
+        F.count(F.lit(1)).alias("votes"), F.min("_dist").alias("min_dist")
+    )
+    wv = W.partitionBy("test_id").orderBy(
+        F.col("votes").desc(), F.col("min_dist").asc(), F.col("n_label").asc()
+    )
+    return (
+        votes.withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") == 1)
+        .select("test_id", F.col("n_label").alias("prediction"))
+    )
+
+
 def knn_predict_lsh(
     train: DataFrame,
     test: DataFrame,
@@ -29,37 +85,61 @@ def knn_predict_lsh(
 ) -> DataFrame:
     """Returns test rows + ``prediction`` (majority label of ~k approximate
     nearest train neighbors). Deterministic given the seed."""
-    to_vec = lambda df: df.withColumn(  # noqa: E731
-        "_vec", array_to_vector(F.transform(F.col(features_col), lambda v: v.cast("double")))
+    topk = _ranked_neighbors(
+        train, test, k, features_col, label_col, id_col,
+        bucket_length, num_hash_tables, seed,
     )
-    tr, te = to_vec(train), to_vec(test)
-    lsh = BucketedRandomProjectionLSH(
-        inputCol="_vec",
-        outputCol="_hashes",
-        bucketLength=bucket_length,
-        numHashTables=num_hash_tables,
-        seed=seed,
-    )
-    model = lsh.fit(tr)
-    # bucket-join candidates within a generous radius, keep k per test row
-    joined = model.approxSimilarityJoin(te, tr, float("inf"), distCol="_dist")
-    pairs = joined.select(
-        F.col(f"datasetA.{id_col}").alias("test_id"),
-        F.col(f"datasetB.{label_col}").alias("n_label"),
-        F.col(f"datasetB.{id_col}").alias("n_id"),
-        F.col("_dist"),
-    )
-    wk = W.partitionBy("test_id").orderBy(F.col("_dist").asc(), F.col("n_id").asc())
-    topk = pairs.withColumn("rn", F.row_number().over(wk)).filter(F.col("rn") <= k)
-    votes = topk.groupBy("test_id", "n_label").agg(
-        F.count(F.lit(1)).alias("votes"), F.min("_dist").alias("min_dist")
-    )
-    wv = W.partitionBy("test_id").orderBy(
-        F.col("votes").desc(), F.col("min_dist").asc(), F.col("n_label").asc()
-    )
-    pred = (
-        votes.withColumn("rn", F.row_number().over(wv))
-        .filter(F.col("rn") == 1)
-        .select("test_id", F.col("n_label").alias("prediction"))
-    )
+    pred = _vote(topk)
     return test.join(pred, test[id_col] == pred.test_id, "left").drop("test_id")
+
+
+def knn_select_k(
+    train: DataFrame,
+    val: DataFrame,
+    k_grid: list[int],
+    features_col: str = "features_arr",
+    label_col: str = "label",
+    id_col: str = "vec_id",
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 3,
+    seed: int = 42,
+) -> tuple[int, list[tuple[int, float]]]:
+    """k-grid model selection for the LSH kNN (the reference sweeps
+    KNeighborsClassifier over ``n_neighbors in {1,...,79}`` with
+    GridSearchCV, modeling/modeling.ipynb:626): score each k on a held-out
+    validation split, return (best_k, [(k, accuracy), ...]) with the
+    ``grid_search_cv`` argmax policy (ties -> smallest k).
+
+    The LSH join and distance ranking are k-INDEPENDENT, so the sweep
+    ranks neighbors ONCE at max(k_grid), caches that (|val| x max_k rows
+    — bounded by the validation split, not the corpus), and derives each
+    k's vote by filtering rn <= k. Per grid point the incremental cost is
+    one bounded aggregation; the corpus-sized work happens exactly once
+    regardless of grid length. Driver-side data: one float per k."""
+    if not k_grid:
+        raise ValueError("empty k_grid")
+    ranked = _ranked_neighbors(
+        train, val, max(k_grid), features_col, label_col, id_col,
+        bucket_length, num_hash_tables, seed,
+    ).cache()
+    truth = val.select(
+        F.col(id_col).alias("test_id"), F.col(label_col).alias("_truth")
+    )
+    try:
+        leaderboard = []
+        for k in sorted(set(k_grid)):
+            pred = _vote(ranked.filter(F.col("rn") <= k))
+            acc_row = (
+                pred.join(truth, "test_id")
+                .agg(
+                    F.avg(
+                        (F.col("prediction") == F.col("_truth")).cast("double")
+                    ).alias("acc")
+                )
+                .first()
+            )
+            leaderboard.append((k, float(acc_row["acc"])))
+        best_k = max(leaderboard, key=lambda kv: (kv[1], -kv[0]))[0]
+        return best_k, leaderboard
+    finally:
+        ranked.unpersist()

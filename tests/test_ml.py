@@ -223,3 +223,38 @@ def test_knn_lsh_matches_exact_oracle(spark):
     assert set(got) == set(exact)
     agree = sum(1 for t in exact if got[t] == exact[t]) / len(exact)
     assert agree >= 0.8, f"LSH kNN agreement with exact vote: {agree:.2f}"
+
+
+def test_knn_select_k_finds_planted_best_k(spark):
+    """k-grid selection (M6 parity: the reference sweeps n_neighbors with
+    GridSearchCV and argmaxes accuracy). Planted geometry where the best
+    k is KNOWN: each validation point's 2 nearest train neighbors are
+    mislabeled, the next 5 correct — so k in {1,3} votes wrong (bad
+    majority), k in {5,7} votes right, and the smallest-k tie policy must
+    pick 5."""
+    from mlb_win_predictor_spark.ml.knn import knn_select_k
+
+    rows, vid = [], 0
+    centers = [((0.0, 0.0), 0), ((100.0, 100.0), 1)]
+    for (cx, cy), lab in centers:
+        bad = 1 - lab
+        for i in range(2):  # adversarial: closest neighbors mislabeled
+            rows.append((vid, bad, [cx + 0.1 * (i + 1), cy])); vid += 1
+        for i in range(5):  # then the true-label shell
+            rows.append((vid, lab, [cx + 0.3 + 0.1 * i, cy])); vid += 1
+    train = spark.createDataFrame(
+        rows, "vec_id long, label int, features_arr array<double>"
+    )
+    val = spark.createDataFrame(
+        [(1000, 0, [0.0, 0.0]), (1001, 1, [100.0, 100.0])],
+        "vec_id long, label int, features_arr array<double>",
+    )
+    # bucket_length >> intra-cluster spread: every relevant pair collides,
+    # so the LSH join is exact here and the geometry fully determines votes
+    best_k, board = knn_select_k(
+        train, val, k_grid=[1, 3, 5, 7], bucket_length=1000.0
+    )
+    accs = dict(board)
+    assert accs[1] == 0.0 and accs[3] == 0.0, board
+    assert accs[5] == 1.0 and accs[7] == 1.0, board
+    assert best_k == 5, (best_k, board)  # argmax with ties -> smallest k

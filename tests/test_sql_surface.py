@@ -86,6 +86,133 @@ def test_oracle_sql_runs_verbatim_on_spark(spark, views, name):
                 assert va == vb, (ra, rb)
 
 
+# ---------------------------------------------------------------------------
+# Tri-modal LLM-pipeline entries: for each entry below, ONE portable SQL
+# text runs verbatim on BOTH Spark and DuckDB and must equal the DataFrame
+# API implementation. Tokenization without explode/unnest (neither is
+# dialect-common): a positions table (row_number over `orders`) joined on
+# i <= n_tokens, with `split_part` (1-based on both engines) extracting
+# the i-th word and `length - length(translate(text,' ','')) + 1` counting
+# words — exact because the synthetic corpus is single-space-separated
+# lowercase alnum (asserted below, so a testdata change fails loudly, not
+# silently).
+
+_PORTABLE_TOKS = """
+WITH pos AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS INT) AS i
+  FROM orders LIMIT 128
+), docs AS (
+  SELECT doc_id, lang, source, text,
+         length(text) - length(translate(text, ' ', '')) + 1 AS n_toks
+  FROM documents
+), toks AS (
+  SELECT d.doc_id, d.lang, split_part(d.text, ' ', p.i) AS w
+  FROM docs d JOIN pos p ON p.i <= d.n_toks
+)
+"""
+
+PORTABLE_TEXT_SQL = {
+    "word_entropy_quality": _PORTABLE_TOKS
+    + """
+, wc AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM toks GROUP BY doc_id, w
+), per_doc AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct,
+         SUM(c * LN(c)) AS sum_clnc
+  FROM wc GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct,
+       ROUND((LN(n_tokens) - sum_clnc / n_tokens) * 1e6) / 1e6 AS word_entropy
+FROM per_doc
+""",
+    "unigram_logprob_quality": _PORTABLE_TOKS
+    + """
+, wc AS (
+  SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+), total AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM wc
+), dc AS (
+  SELECT doc_id, w, COUNT(*) AS k FROM toks GROUP BY doc_id, w
+), per_doc AS (
+  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_tokens,
+         SUM(CAST(k AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS sum_klnc
+  FROM dc JOIN wc ON dc.w = wc.w GROUP BY doc_id
+)
+SELECT doc_id, n_tokens,
+       ROUND((LN(n_total) - sum_klnc / CAST(n_tokens AS DOUBLE)) * 1e6) / 1e6 AS avg_nll
+FROM per_doc CROSS JOIN total
+""",
+    "vocab_top_terms": _PORTABLE_TOKS
+    + """
+, counts AS (
+  SELECT lang, w AS term, CAST(COUNT(*) AS BIGINT) AS tf,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+  FROM toks GROUP BY lang, w
+), ranked AS (
+  SELECT lang, term, tf, df,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY tf DESC, term ASC) AS rnk
+  FROM counts
+)
+SELECT lang, CAST(rnk AS BIGINT) AS rnk, term, tf, df
+FROM ranked WHERE rnk <= 20
+""",
+    "token_budget_sample": """
+WITH toked AS (
+  SELECT doc_id, source,
+         CAST(length(text) - length(translate(text, ' ', '')) + 1 AS BIGINT) AS n_toks,
+         md5(CAST(doc_id AS STRING)) AS h
+  FROM documents
+), run AS (
+  SELECT source, n_toks,
+         SUM(n_toks) OVER (PARTITION BY source ORDER BY h, doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum_toks
+  FROM toked
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs_total,
+       CAST(SUM(n_toks) AS BIGINT) AS tokens_total,
+       CAST(SUM(CASE WHEN cum_toks <= 800 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+       CAST(MAX(CASE WHEN cum_toks <= 800 THEN cum_toks ELSE 0 END) AS BIGINT) AS tokens_kept
+FROM run GROUP BY source
+""",
+    # these two oracle texts are ALREADY dialect-common — run them verbatim
+    "dedup_exact": None,
+    "kl_divergence_slices": None,
+}
+
+
+def test_corpus_is_single_space_lowercase(spark, views):
+    """The portable tokenizer's correctness precondition: words separated
+    by single spaces, no other whitespace, lowercase alnum only, and doc
+    length within the 128-slot positions table."""
+    bad = spark.sql(
+        "SELECT COUNT(*) AS n FROM documents "
+        "WHERE text RLIKE '[^a-z0-9 ]' OR text LIKE '%  %' "
+        "OR text <> trim(text) "
+        "OR length(text) - length(translate(text, ' ', '')) + 1 > 128"
+    ).first()["n"]
+    assert bad == 0
+
+
+@pytest.mark.parametrize("name", sorted(PORTABLE_TEXT_SQL))
+def test_llm_pipeline_entries_trimodal(spark, views, name):
+    """DataFrame API ≡ spark.sql(portable) ≡ DuckDB(portable) — the same
+    SQL text on both engines, matching the DataFrame implementation."""
+    from tests.oracle import compare, duckdb_connection
+
+    sql = PORTABLE_TEXT_SQL[name] or QUERIES[name].sql
+    con = duckdb_connection(SF)
+    try:
+        via_df = QUERIES[name].fn(spark, SF)
+        via_sql = spark.sql(sql)
+        compare(via_df, con, sql)   # DataFrame ≡ DuckDB
+        compare(via_sql, con, sql)  # spark.sql ≡ DuckDB (⇒ all three)
+    finally:
+        con.close()
+
+
 def test_recursive_cte_sql_is_dialect_common(spark, views):
     """The recursive entry's ONE SQL text runs on both engines (the
     catalog fn already executes it via spark.sql; parity covers DuckDB)."""
