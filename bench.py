@@ -83,6 +83,10 @@ HEADLINE = [
     "token_budget_sample",
     "source_overlap_matrix",
     "bitmap_distinct_rollup",
+    "bigram_logprob_quality",
+    "similarity_filtered_topk",
+    "mmr_diversified_topk",
+    "time_interpolate_linear",
 ]
 
 

@@ -137,3 +137,49 @@ def standardize_per_group(
     return df.select(group_col, *value_cols).groupBy(group_col).applyInPandas(
         scale, schema=out_schema
     )
+
+
+def arrow_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Ungrouped ``mapInArrow`` (Spark 4) — the remaining cell of the
+    Arrow-boundary matrix (scalar pandas_udf / GROUPED_AGG / mapInPandas
+    / applyInPandas / applyInArrow are covered elsewhere): each partition
+    streams through the Python worker as raw ``pyarrow.RecordBatch``es,
+    processed with vectorized ``pyarrow.compute`` kernels — no pandas
+    objects anywhere on the path. Per doc: byte length, whitespace token
+    count, distinct-token count.
+
+    This is the template for C-speed Python transforms whose kernels
+    exist in pyarrow.compute (tokenize-and-count here); equality with the
+    native-expression counts is pytest-pinned, so the two paths can't
+    drift."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def stats(batches):
+        for batch in batches:
+            t = pa.Table.from_batches([batch])
+            text = t.column(text_col)
+            trimmed = pc.utf8_trim_whitespace(text)
+            toks = pc.split_pattern_regex(trimmed, r"\s+")
+            n_tok = pc.list_value_length(toks).cast(pa.int64())
+            # single-space corpus: token chars = len(trimmed) − (n−1)
+            mean_len = pc.divide(
+                pc.cast(
+                    pc.add(pc.subtract(pc.binary_length(trimmed), n_tok), 1),
+                    pa.float64(),
+                ),
+                pc.cast(n_tok, pa.float64()),
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    t.column(id_col).combine_chunks(),
+                    pc.binary_length(text).cast(pa.int64()).combine_chunks(),
+                    n_tok.combine_chunks(),
+                    mean_len.combine_chunks(),
+                ],
+                names=[id_col, "n_bytes", "n_tokens", "mean_token_len"],
+            )
+
+    return df.select(id_col, text_col).mapInArrow(
+        stats, schema=f"{id_col} long, n_bytes long, n_tokens long, mean_token_len double"
+    )

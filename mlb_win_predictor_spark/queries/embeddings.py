@@ -125,6 +125,175 @@ SELECT query_id, rnk, cand_id, cosine FROM (
 """
 
 
+def similarity_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-FILTERED vector search (the production shape of ANN:
+    "nearest neighbors WHERE <predicate>" — per-tenant search, class-
+    constrained retrieval, freshness windows): each query's top-{k} by
+    cosine among candidates sharing the query's ``label``.
+
+    The predicate is applied as a JOIN KEY, not a post-filter: Catalyst
+    turns the label equality into the join's hash key, so only same-label
+    pairs are ever scored — pre-filtering, which keeps exactly k results
+    per query regardless of selectivity. (Post-filtering a global top-k
+    pool returns <k rows whenever the pool under-covers the predicate —
+    the classic filtered-ANN recall bug.) At 100 TB the same shape holds:
+    the label partitions the candidate scan and the broadcast query side
+    only meets its own partition's rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < TOPK_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        _dot(F.col("embedding"), F.col("embedding")).alias("q_nrm"),
+    )
+    c = e.filter(F.col("vec_id") >= TOPK_N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("label").alias("c_label"),
+        F.col("embedding").alias("c_emb"),
+        _dot(F.col("embedding"), F.col("embedding")).alias("c_nrm"),
+    )
+    scored = c.join(F.broadcast(q), F.col("c_label") == F.col("q_label")).select(
+        "query_id",
+        F.col("q_label").alias("label"),
+        "cand_id",
+        stable_round(
+            _dot(F.col("q_emb"), F.col("c_emb"))
+            / F.sqrt(F.col("q_nrm") * F.col("c_nrm")),
+            6,
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK_K)
+        .select(
+            "query_id",
+            "label",
+            F.col("rnk").cast("long").alias("rnk"),
+            "cand_id",
+            "cosine",
+        )
+    )
+
+
+FILTERED_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < {TOPK_N_QUERIES}
+), c AS (
+  SELECT vec_id, label, embedding FROM embeddings WHERE vec_id >= {TOPK_N_QUERIES}
+), pairs AS (
+  SELECT qv.vec_id AS query_id, cv.vec_id AS cand_id,
+         SUM(CAST(qv.v AS DOUBLE) * CAST(cv.v AS DOUBLE)) AS dot
+  FROM (SELECT vec_id, label, UNNEST(embedding) AS v,
+               generate_subscripts(embedding, 1) AS i FROM q) qv
+  JOIN (SELECT vec_id, label, UNNEST(embedding) AS v,
+               generate_subscripts(embedding, 1) AS i FROM c) cv
+    ON qv.i = cv.i AND qv.label = cv.label
+  GROUP BY 1, 2
+), norms AS (
+  SELECT vec_id, SUM(CAST(v AS DOUBLE) * CAST(v AS DOUBLE)) AS nrm
+  FROM (SELECT vec_id, UNNEST(embedding) AS v FROM embeddings)
+  GROUP BY 1
+), scored AS (
+  SELECT query_id, q.label AS label, cand_id,
+         (ROUND(dot / SQRT(nq.nrm * nc.nrm) * 1e6) / 1e6) AS cosine
+  FROM pairs
+  JOIN embeddings q ON q.vec_id = query_id
+  JOIN norms nq ON nq.vec_id = query_id
+  JOIN norms nc ON nc.vec_id = cand_id
+)
+SELECT query_id, label, rnk, cand_id, cosine FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, cand_id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= {TOPK_K}
+"""
+
+
+MMR_POOL = 12
+MMR_K = 5
+MMR_LAMBDA = 0.7
+
+
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified re-rank (Carbonell &
+    Goldstein 1998; the standard RAG retrieval step that stops the top-k
+    being {MMR_K} near-copies of the same passage): per query, pool the
+    {MMR_POOL} highest-cosine candidates, then greedily select {MMR_K}
+    maximizing ``λ·cos(q,c) − (1−λ)·max_{{s∈S}} cos(c,s)``.
+
+    Scale shape: the corpus-sized work is the pooling (same plan as
+    ``cosine_topk_bruteforce`` — at 100 TB, an ANN index pass); the
+    iterative MMR loop runs per-query over a POOL-BOUNDED Arrow batch in
+    ``applyInPandas`` ({MMR_POOL} vectors — numpy does k·pool cosine
+    ops per group, never the corpus). Deterministic: 6dp-rounded scores,
+    ties broken by cand_id, so retry-stable. Inexpressible in one SQL
+    query (greedy selection is inherently sequential) — rows-only entry;
+    numpy parity is pinned in tests/test_operators.py."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < TOPK_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        _dot(F.col("embedding"), F.col("embedding")).alias("q_nrm"),
+    )
+    c = e.filter(F.col("vec_id") >= TOPK_N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        _dot(F.col("embedding"), F.col("embedding")).alias("c_nrm"),
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "cand_id",
+        "c_emb",
+        stable_round(
+            _dot(F.col("q_emb"), F.col("c_emb"))
+            / F.sqrt(F.col("q_nrm") * F.col("c_nrm")),
+            6,
+        ).alias("cosine"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
+    pool = scored.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= MMR_POOL
+    )
+
+    def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["cosine", "cand_id"], ascending=[False, True])
+        vecs = np.stack(pdf["c_emb"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        rel = pdf["cosine"].to_numpy()
+        ids = pdf["cand_id"].to_numpy()
+        n = len(ids)
+        sim = (vecs @ vecs.T) / np.outer(norms, norms)
+        np.round(sim, 6, out=sim)  # same grain as the relevance scores
+        chosen: list[int] = []
+        free = list(range(n))
+        while free and len(chosen) < MMR_K:
+            if chosen:
+                penalty = sim[np.ix_(free, chosen)].max(axis=1)
+            else:
+                penalty = np.zeros(len(free))
+            mmr_score = MMR_LAMBDA * rel[free] - (1.0 - MMR_LAMBDA) * penalty
+            # argmax with cand_id tie-break: free is cand_id-ordered within
+            # equal cosine, so first max index is deterministic
+            best = int(np.lexsort((ids[free], -mmr_score))[0])
+            chosen.append(free.pop(best))
+        return pd.DataFrame(
+            {
+                "query_id": pdf["query_id"].iloc[0],
+                "mmr_rank": np.arange(1, len(chosen) + 1, dtype=np.int64),
+                "cand_id": ids[chosen],
+                "cosine": rel[chosen],
+            }
+        )
+
+    return pool.groupBy("query_id").applyInPandas(
+        mmr, "query_id long, mmr_rank long, cand_id long, cosine double"
+    )
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection (north-star dedup): all pairs
     above a cosine threshold within a bounded id range (exact oracle for
@@ -543,6 +712,16 @@ SELECT query_id, CAST(rnk AS BIGINT) AS rnk, cand_id, sq8_cosine, cosine FROM (
 QUERIES: dict[str, QueryDef] = {
     "cosine_topk_bruteforce": QueryDef(
         cosine_topk_bruteforce, COSINE_TOPK_SQL, "similarity: brute-force top-k"
+    ),
+    "similarity_filtered_topk": QueryDef(
+        similarity_filtered_topk,
+        FILTERED_TOPK_SQL,
+        "similarity: metadata-filtered top-k (predicate as join key, pre-filter)",
+    ),
+    "mmr_diversified_topk": QueryDef(
+        mmr_diversified_topk,
+        None,
+        "retrieval: MMR diversified re-rank over a pool-bounded Arrow batch",
     ),
     "embedding_neardup_pairs": QueryDef(
         embedding_neardup_pairs, NEARDUP_SQL, "dedup: embedding cosine"

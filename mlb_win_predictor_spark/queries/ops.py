@@ -87,6 +87,130 @@ FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
 """
 
 
+def time_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill (pandas ``interpolate('linear')``,
+    distributed) — the numeric sibling of ``time_resample_ffill``: each
+    user's daily series is densified to a calendar grid and interior
+    gaps get the straight line between the surrounding observations,
+    ``v = prev + (next−prev)·(d−d_prev)/(d_next−d_prev)``; leading edges
+    carry the first observation back, trailing edges carry the last
+    forward (min/max span endpoints are observed days, so both exist).
+
+    Two windows per user over the SAME partitioning (one exchange): a
+    backward pass (last non-null value + its day) and a forward pass
+    (first non-null value + its day) — per-user state is one row each
+    way, the classic distributed gap-fill. Observed days reduce to the
+    identity (prev==next==current), so the interpolation expression is
+    total: no CASE on observation status is needed beyond the fill
+    flag."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < RESAMPLE_USER_CAP)
+    daily = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.sum(F.col("value").cast(D2)).cast("double").alias("day_value")
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day"),
+    )
+    g = grid.join(daily, ["user_id", "day"], "left")
+    wb = W.partitionBy("user_id").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    wf = W.partitionBy("user_id").orderBy("day").rowsBetween(0, W.unboundedFollowing)
+    obs_day = F.when(F.col("day_value").isNotNull(), F.col("day"))
+    prev_v = F.last("day_value", ignorenulls=True).over(wb)
+    prev_d = F.last(obs_day, ignorenulls=True).over(wb)
+    next_v = F.first("day_value", ignorenulls=True).over(wf)
+    next_d = F.first(obs_day, ignorenulls=True).over(wf)
+    span = F.datediff(next_d, prev_d)
+    interp = F.when(F.col("day_value").isNotNull(), F.col("day_value")).otherwise(
+        F.when(prev_v.isNull(), next_v)
+        .when(next_v.isNull(), prev_v)
+        .otherwise(
+            prev_v + (next_v - prev_v) * F.datediff(F.col("day"), prev_d) / span
+        )
+    )
+    return g.select(
+        "user_id",
+        "day",
+        stable_round(interp, 6).alias("value"),
+        F.col("day_value").isNull().alias("is_filled"),
+    )
+
+
+TIME_INTERPOLATE_SQL = f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+  FROM events WHERE user_id < {RESAMPLE_USER_CAP}
+  GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM daily GROUP BY 1
+), grid AS (
+  SELECT user_id, CAST(UNNEST(generate_series(CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans
+), hinged AS (
+  SELECT g.user_id, g.day, d.day_value,
+         LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+         LAST_VALUE(CASE WHEN d.day_value IS NOT NULL THEN g.day END IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+         FIRST_VALUE(d.day_value IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+         FIRST_VALUE(CASE WHEN d.day_value IS NOT NULL THEN g.day END IGNORE NULLS) OVER (
+           PARTITION BY g.user_id ORDER BY g.day
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+  FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+)
+SELECT user_id, day,
+       ROUND(CASE
+         WHEN day_value IS NOT NULL THEN day_value
+         WHEN prev_v IS NULL THEN next_v
+         WHEN next_v IS NULL THEN prev_v
+         ELSE prev_v + (next_v - prev_v) * datediff('day', prev_d, day)
+                       / datediff('day', prev_d, next_d)
+       END * 1e6) / 1e6 AS value,
+       day_value IS NULL AS is_filled
+FROM hinged
+"""
+
+
+def filtered_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI ``FILTER (WHERE ...)`` conditional aggregation (SQL:2003
+    T612 — the standard spelling of "pivot a few predicates into
+    columns"; both engines support the clause, so the oracle text is
+    dialect-common and pinned tri-modal in tests/test_sql_surface.py).
+    The DataFrame dual is the when()-null idiom — aggregates skip nulls,
+    so ``sum(when(p, x))`` ≡ ``SUM(x) FILTER (WHERE p)`` including the
+    empty-group → NULL edge. One partial-aggregated groupBy; every
+    conditional is computed in the same pass (no per-predicate scans)."""
+    o = load_table(spark, sf_dir, "orders")
+    finished = F.col("o_orderstatus") == "F"
+    opened = F.col("o_orderstatus") == "O"
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(F.when(finished, 1)).cast("long").alias("n_finished"),
+        F.sum(F.when(finished, F.col("o_totalprice").cast(D2)))
+        .cast("double")
+        .alias("finished_price"),
+        F.max(F.when(opened, F.col("o_totalprice"))).alias("max_open_price"),
+    )
+
+
+FILTERED_AGG_SQL = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_all,
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_finished,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS finished_price,
+       MAX(o_totalprice) FILTER (WHERE o_orderstatus = 'O') AS max_open_price
+FROM orders GROUP BY o_orderpriority
+"""
+
+
 def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot reconciliation: diff two versions of ``orders`` into
     added / removed / changed rows (the engine-level form of the
@@ -809,6 +933,16 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "time_resample_ffill": QueryDef(
         time_resample_ffill, TIME_RESAMPLE_SQL, "ops: calendar gap-fill + forward-fill"
+    ),
+    "time_interpolate_linear": QueryDef(
+        time_interpolate_linear,
+        TIME_INTERPOLATE_SQL,
+        "ops: calendar gap-fill + linear interpolation (two-window pass)",
+    ),
+    "filtered_aggregates": QueryDef(
+        filtered_aggregates,
+        FILTERED_AGG_SQL,
+        "ops: FILTER-clause conditional aggregation (ANSI, dialect-common)",
     ),
     "table_diff_reconcile": QueryDef(
         table_diff_reconcile, TABLE_DIFF_SQL, "ops: snapshot diff (added/removed/changed)"

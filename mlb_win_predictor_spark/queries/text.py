@@ -24,6 +24,8 @@ from .base import QueryDef
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
+BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
 
 def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting (north-star text analysis): whitespace tokenization,
@@ -96,6 +98,172 @@ SELECT doc_id, n_tokens,
        CASE WHEN n_tokens >= 20 AND sw_ratio < 0.5 AND tt_ratio > 0.2
             THEN 1 ELSE 0 END AS keep_flag
 FROM s
+"""
+
+
+FUNNEL_RULES = ("min_tokens", "stopword_ratio", "type_token_ratio", "mean_word_len")
+
+
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-RULE attrition report for a Gopher-style quality filter chain
+    (the report a data curator reads before shipping a filter config:
+    each rule's total kill count, its marginal kills in chain order, and
+    the survivor count after it — distinguishing "this rule is the
+    gate" from "this rule only re-kills what rule 1 already caught").
+
+    Rules in chain order over ``documents``: (1) ≥20 tokens,
+    (2) stopword ratio <0.5, (3) type-token ratio >0.2, (4) mean word
+    length in [3,10]. Map-only flag computation, one explode to
+    per-(doc,rule) rows bounded by 4×docs, one hash agg keyed by the
+    4-row rule dimension. ``n_killed_here`` sums to docs−survivors
+    across rules; each doc is charged to its FIRST failing rule."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n_tok = F.size(toks)
+    sw_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    sw_ratio = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t))).cast(
+        "double"
+    ) / n_tok
+    tt_ratio = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    mean_wlen = (F.length("text") - n_tok + 1).cast("double") / n_tok
+    fails = [
+        n_tok < 20,
+        sw_ratio >= 0.5,
+        tt_ratio <= 0.2,
+        (mean_wlen < 3.0) | (mean_wlen > 10.0),
+    ]
+    # first_fail: 1-based index of the first failing rule, 0 = survivor
+    first_fail = F.lit(0)
+    for i, cond in reversed(list(enumerate(fails, start=1))):
+        first_fail = F.when(cond, F.lit(i)).otherwise(first_fail)
+    flagged = d.select(
+        first_fail.alias("first_fail"),
+        *[cond.cast("int").alias(f"f{i}") for i, cond in enumerate(fails, start=1)],
+    )
+    per_rule = flagged.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("rule_idx"),
+                        F.lit(FUNNEL_RULES[i - 1]).alias("rule"),
+                        F.col(f"f{i}").alias("failed"),
+                        (F.col("first_fail") == i).cast("int").alias("killed_here"),
+                        ((F.col("first_fail") == 0) | (F.col("first_fail") > i))
+                        .cast("int")
+                        .alias("survives_through"),
+                    )
+                    for i in range(1, len(fails) + 1)
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
+    return per_rule.groupBy("rule_idx", "rule").agg(
+        F.sum("failed").cast("long").alias("n_failed_total"),
+        F.sum("killed_here").cast("long").alias("n_killed_here"),
+        F.sum("survives_through").cast("long").alias("n_surviving_after"),
+    )
+
+
+QUALITY_FUNNEL_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(TRIM(text), '\s+') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         CAST(len(toks) AS INT) AS n_tokens,
+         CAST(len(list_filter(toks, t -> list_contains({list(STOPWORDS)!r}, t))) AS DOUBLE)
+           / len(toks) AS sw_ratio,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS tt_ratio,
+         CAST(LENGTH(text) - len(toks) + 1 AS DOUBLE) / len(toks) AS mean_wlen
+  FROM t
+), flagged AS (
+  SELECT CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END AS f1,
+         CASE WHEN sw_ratio >= 0.5 THEN 1 ELSE 0 END AS f2,
+         CASE WHEN tt_ratio <= 0.2 THEN 1 ELSE 0 END AS f3,
+         CASE WHEN mean_wlen < 3.0 OR mean_wlen > 10.0 THEN 1 ELSE 0 END AS f4,
+         CASE WHEN n_tokens < 20 THEN 1
+              WHEN sw_ratio >= 0.5 THEN 2
+              WHEN tt_ratio <= 0.2 THEN 3
+              WHEN mean_wlen < 3.0 OR mean_wlen > 10.0 THEN 4
+              ELSE 0 END AS first_fail
+  FROM s
+), per_rule AS (
+  SELECT 1 AS rule_idx, 'min_tokens' AS rule, f1 AS failed,
+         CASE WHEN first_fail = 1 THEN 1 ELSE 0 END AS killed_here,
+         CASE WHEN first_fail = 0 OR first_fail > 1 THEN 1 ELSE 0 END AS survives_through
+  FROM flagged
+  UNION ALL
+  SELECT 2, 'stopword_ratio', f2,
+         CASE WHEN first_fail = 2 THEN 1 ELSE 0 END,
+         CASE WHEN first_fail = 0 OR first_fail > 2 THEN 1 ELSE 0 END
+  FROM flagged
+  UNION ALL
+  SELECT 3, 'type_token_ratio', f3,
+         CASE WHEN first_fail = 3 THEN 1 ELSE 0 END,
+         CASE WHEN first_fail = 0 OR first_fail > 3 THEN 1 ELSE 0 END
+  FROM flagged
+  UNION ALL
+  SELECT 4, 'mean_word_len', f4,
+         CASE WHEN first_fail = 4 THEN 1 ELSE 0 END,
+         CASE WHEN first_fail = 0 OR first_fail > 4 THEN 1 ELSE 0 END
+  FROM flagged
+)
+SELECT CAST(rule_idx AS BIGINT) AS rule_idx, rule,
+       CAST(SUM(failed) AS BIGINT) AS n_failed_total,
+       CAST(SUM(killed_here) AS BIGINT) AS n_killed_here,
+       CAST(SUM(survives_through) AS BIGINT) AS n_surviving_after
+FROM per_rule GROUP BY 1, 2
+"""
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY profile per language (the tokenizer-eval
+    metric: how many subword tokens per word / per char a tokenizer
+    spends on each language — the signal behind "our vocab under-serves
+    lang X" decisions): per lang, corpus chars, whitespace words, BPE-ish
+    pre-tokens, and the ratios bpe/word (fertility) and chars/bpe
+    (compression). Map-only per-doc counts (both tokenizations are
+    single-pass column expressions), one tiny agg keyed by lang."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long")
+    bpe = F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_PATTERN), 0)).cast(
+        "long"
+    )
+    per_doc = d.select(
+        "lang", F.length("text").cast("long").alias("n_chars"), ws.alias("n_words"),
+        bpe.alias("n_bpe"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+        F.sum("n_words").alias("words"),
+        F.sum("n_bpe").alias("bpe_tokens"),
+        stable_round(F.sum("n_bpe").cast("double") / F.sum("n_words"), 6).alias(
+            "fertility"
+        ),
+        stable_round(F.sum("n_chars").cast("double") / F.sum("n_bpe"), 6).alias(
+            "chars_per_bpe_token"
+        ),
+    )
+
+
+TOKENIZER_FERTILITY_SQL = rf"""
+WITH per_doc AS (
+  SELECT lang,
+         CAST(LENGTH(text) AS BIGINT) AS n_chars,
+         CAST(len(regexp_split_to_array(TRIM(text), '\s+')) AS BIGINT) AS n_words,
+         CAST(len(regexp_extract_all(LOWER(text), '{BPE_PATTERN}')) AS BIGINT) AS n_bpe
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS chars,
+       CAST(SUM(n_words) AS BIGINT) AS words,
+       CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+       ROUND(CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_words) * 1e6) / 1e6 AS fertility,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_bpe) * 1e6) / 1e6 AS chars_per_bpe_token
+FROM per_doc GROUP BY lang
 """
 
 
@@ -295,9 +463,95 @@ WHERE (ROUND(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared) * 1e6) / 
 """
 
 
+CONTAINMENT_THRESHOLD = 0.8
 
 
-BPE_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC containment dedup (quote / subset detection, the case
+    Jaccard structurally misses: a short doc fully quoted inside a long
+    one has tiny Jaccard but containment 1.0 — the policy question is
+    "is A inside B", not "are A and B alike"). For candidate pairs
+    sharing ≥1 word-{n}-gram, C(A⊂B) = |sh(A) ∩ sh(B)| / |sh(A)|; pairs
+    kept when EITHER direction ≥ {thr}. Same bounded candidate set and
+    shared-shingle equi-join as ``ngram_jaccard_pairs`` (one plan
+    difference: the denominator is per-side, so both directions come
+    from the same n_shared agg — no second join). Scale path: the
+    banded-MinHash candidates feed the same containment re-check."""
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < NGRAM_DOC_CAP)
+        .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+    )
+    shingles = d.select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size("toks") - (NGRAM_N - 1), F.lit(0))),
+                lambda i: F.concat_ws(" ", F.slice("toks", i, NGRAM_N)),
+            )
+        ).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sizes = shingles.select("doc_id", F.size("shingles").alias("n_sh"))
+    exploded = shingles.select("doc_id", F.explode("shingles").alias("sh"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    cont_a = F.col("n_shared").cast("double") / F.col("sa.n_sh")
+    cont_b = F.col("n_shared").cast("double") / F.col("sb.n_sh")
+    return (
+        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_shared").cast("long").alias("n_shared"),
+            stable_round(cont_a, 6).alias("containment_a_in_b"),
+            stable_round(cont_b, 6).alias("containment_b_in_a"),
+        )
+        .filter(
+            (F.col("containment_a_in_b") >= CONTAINMENT_THRESHOLD)
+            | (F.col("containment_b_in_a") >= CONTAINMENT_THRESHOLD)
+        )
+    )
+
+
+NGRAM_CONTAINMENT_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks
+  FROM documents WHERE doc_id < {NGRAM_DOC_CAP}
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, GREATEST(len(toks) - {NGRAM_N - 1}, 0) + 1),
+           i -> array_to_string(list_slice(toks, i, i + {NGRAM_N - 1}), ' ')
+         )) AS shingles
+  FROM toks
+), sized AS (
+  SELECT doc_id, len(shingles) AS n_sh FROM sh WHERE len(shingles) > 0
+), ex AS (
+  SELECT doc_id, UNNEST(shingles) AS s FROM sh WHERE len(shingles) > 0
+), shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+       (ROUND(CAST(n_shared AS DOUBLE) / sa.n_sh * 1e6) / 1e6) AS containment_a_in_b,
+       (ROUND(CAST(n_shared AS DOUBLE) / sb.n_sh * 1e6) / 1e6) AS containment_b_in_a
+FROM shared
+JOIN sized sa ON doc_a = sa.doc_id
+JOIN sized sb ON doc_b = sb.doc_id
+WHERE (ROUND(CAST(n_shared AS DOUBLE) / sa.n_sh * 1e6) / 1e6) >= {CONTAINMENT_THRESHOLD}
+   OR (ROUND(CAST(n_shared AS DOUBLE) / sb.n_sh * 1e6) / 1e6) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
 
 
 def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1558,6 +1812,102 @@ FROM per_doc, total
 """
 
 
+def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model quality scoring — the next step up from
+    ``unigram_logprob_quality`` toward the KenLM-perplexity filters of
+    CCNet/RefinedWeb: per document, the average negative log of the
+    CONDITIONAL probability of each token given its predecessor,
+    ``avg_nll = Σ −ln( c_bi(u,w) / c_ctx(u) ) / (n−1)``, with corpus
+    bigram counts ``c_bi`` and context counts ``c_ctx(u)`` = occurrences
+    of u in non-final position (so probabilities per context sum to 1 —
+    an exact MLE bigram model, no smoothing needed since every doc's
+    bigrams are, by construction, in the corpus they're scored against).
+    Repetitive boilerplate scores LOW (its transitions dominate the
+    corpus); incoherent token soup scores HIGH.
+
+    Plan: bigrams are built MAP-SIDE from each doc's token array
+    (transform over an index sequence — no window, no positions
+    shuffle), then one hash agg keyed (u,w) for the model, one keyed u
+    (derived from the same agg, not a rescan), and one broadcast-bounded
+    join back to per-doc bigram counts. Exact integer counts; one final
+    ln/divide rounded 6dp (same discipline as the unigram entry)."""
+    d = load_table(spark, sf_dir, "documents")
+    # STAGED projection: tokenize once per doc, THEN build bigrams from
+    # the materialized array. Inlining the split into the transform
+    # lambda re-evaluates the regex split per array element — O(n²)
+    # tokenization per doc (measured 4x on this entry at sf0.1).
+    toked = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    toks = F.col("toks")
+    # every shuffle below is keyed on xxhash64 LONGS, not (u,w) string
+    # pairs — the span-dedup family's 8-byte-key discipline (collision
+    # probability ~(n_bigrams)²/2⁶⁵, vanishing and deterministic). The
+    # context key rides along so c_ctx never needs the strings either.
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.struct(
+            F.xxhash64(F.element_at(toks, i), F.element_at(toks, i + 1)).alias("bi"),
+            F.xxhash64(F.element_at(toks, i)).alias("ctx"),
+        ),
+    )
+    doc_bi = (
+        toked.select("doc_id", F.explode(bigrams).alias("b"))
+        .select("doc_id", F.col("b.bi").alias("bi"), F.col("b.ctx").alias("ctx"))
+        .groupBy("doc_id", "bi")
+        .agg(F.count(F.lit(1)).alias("k"), F.first("ctx").alias("ctx"))
+    )
+    corpus_bi = doc_bi.groupBy("bi").agg(
+        F.sum("k").alias("c_bi"), F.first("ctx").alias("ctx")
+    )
+    ctx = corpus_bi.groupBy("ctx").agg(F.sum("c_bi").alias("c_ctx"))
+    model = corpus_bi.join(ctx, "ctx").select("bi", "c_bi", "c_ctx")
+    return (
+        doc_bi.join(model, "bi")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            F.sum(
+                F.col("k").cast("double")
+                * (
+                    F.log(F.col("c_ctx").cast("double"))
+                    - F.log(F.col("c_bi").cast("double"))
+                )
+            ).alias("sum_nll"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            stable_round(F.col("sum_nll") / F.col("n_bigrams").cast("double"), 6).alias(
+                "avg_nll"
+            ),
+        )
+    )
+
+
+BIGRAM_LOGPROB_SQL = r"""
+WITH toked AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks
+  FROM documents
+), bi AS (
+  SELECT doc_id, toks[i] AS u, toks[i + 1] AS w
+  FROM toked, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+), doc_bi AS (
+  SELECT doc_id, u, w, COUNT(*) AS k FROM bi GROUP BY 1, 2, 3
+), corpus_bi AS (
+  SELECT u, w, SUM(k) AS c_bi FROM doc_bi GROUP BY 1, 2
+), ctx AS (
+  SELECT u, SUM(c_bi) AS c_ctx FROM corpus_bi GROUP BY 1
+)
+SELECT doc_id,
+       CAST(SUM(k) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(CAST(k AS DOUBLE) * (LN(CAST(c_ctx AS DOUBLE)) - LN(CAST(c_bi AS DOUBLE))))
+             / CAST(SUM(k) AS DOUBLE) * 1e6) / 1e6 AS avg_nll
+FROM doc_bi JOIN corpus_bi USING (u, w) JOIN ctx USING (u)
+GROUP BY doc_id
+"""
+
+
 TOKEN_BUDGET = 800
 
 
@@ -1771,6 +2121,26 @@ QUERIES: dict[str, QueryDef] = {
         unigram_logprob_quality,
         UNIGRAM_LOGPROB_SQL,
         "text: unigram-LM avg negative log-prob (perplexity-proxy filter)",
+    ),
+    "bigram_logprob_quality": QueryDef(
+        bigram_logprob_quality,
+        BIGRAM_LOGPROB_SQL,
+        "text: bigram-LM conditional avg negative log-prob (map-side bigrams)",
+    ),
+    "ngram_containment_pairs": QueryDef(
+        ngram_containment_pairs,
+        NGRAM_CONTAINMENT_SQL,
+        "dedup: asymmetric n-gram containment (quote/subset detection)",
+    ),
+    "quality_filter_funnel": QueryDef(
+        quality_filter_funnel,
+        QUALITY_FUNNEL_SQL,
+        "text: per-rule attrition report for the quality filter chain",
+    ),
+    "tokenizer_fertility": QueryDef(
+        tokenizer_fertility,
+        TOKENIZER_FERTILITY_SQL,
+        "text: per-lang tokenizer fertility / compression profile",
     ),
     "token_budget_sample": QueryDef(
         token_budget_sample,

@@ -809,3 +809,87 @@ def test_random_projection_rejects_dim_mismatch(spark):
     )
     with _pytest.raises(Exception, match="expected 64-dim"):
         random_projection(bad, out_dim=4, in_dim=64).collect()
+
+
+def test_mmr_diversified_topk_matches_numpy(spark, emb):
+    """MMR re-rank parity: an independent driver-side numpy greedy MMR
+    over the same pool must pick the same candidates in the same order;
+    plus the structural properties (rank-1 = plain top-1; k rows per
+    query; no duplicates)."""
+    import numpy as np
+
+    from mlb_win_predictor_spark.queries.embeddings import (
+        MMR_K,
+        MMR_LAMBDA,
+        MMR_POOL,
+        TOPK_N_QUERIES,
+        mmr_diversified_topk,
+    )
+
+    got = {}
+    for r in mmr_diversified_topk(spark, SF).collect():
+        got.setdefault(r.query_id, []).append((r.mmr_rank, r.cand_id))
+    assert set(got) == set(range(TOPK_N_QUERIES))
+
+    rows = emb.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in rows}
+    for qid in range(TOPK_N_QUERIES):
+        qv = vecs[qid]
+        cands = sorted(i for i in vecs if i >= TOPK_N_QUERIES)
+        cos = {
+            i: round(
+                float(vecs[i] @ qv / (np.linalg.norm(vecs[i]) * np.linalg.norm(qv))), 6
+            )
+            for i in cands
+        }
+        pool = sorted(cands, key=lambda i: (-cos[i], i))[:MMR_POOL]
+        sim = {
+            (a, b): round(
+                float(
+                    vecs[a] @ vecs[b] / (np.linalg.norm(vecs[a]) * np.linalg.norm(vecs[b]))
+                ),
+                6,
+            )
+            for a in pool
+            for b in pool
+        }
+        chosen: list[int] = []
+        free = list(pool)
+        while free and len(chosen) < MMR_K:
+            def score(i):
+                pen = max((sim[(i, s)] for s in chosen), default=0.0)
+                return MMR_LAMBDA * cos[i] - (1.0 - MMR_LAMBDA) * pen
+            best = min(free, key=lambda i: (-score(i), i))
+            chosen.append(best)
+            free.remove(best)
+        expect = [(r + 1, c) for r, c in enumerate(chosen)]
+        assert sorted(got[qid]) == expect, (qid, got[qid], expect)
+        # rank-1 is the plain nearest neighbor
+        assert got[qid][0][1] == pool[0] or sorted(got[qid])[0][1] == pool[0]
+        assert len({c for _, c in got[qid]}) == MMR_K
+
+
+def test_arrow_token_stats_matches_native_exprs(spark, docs):
+    """mapInArrow surface (§2.9): the pyarrow.compute token stats must
+    equal the native-expression duals exactly — the two paths can't
+    drift."""
+    from mlb_win_predictor_spark.functions.pandas_fns import arrow_token_stats
+
+    got = {
+        r.doc_id: (r.n_bytes, r.n_tokens, round(r.mean_token_len, 9))
+        for r in arrow_token_stats(docs, "doc_id", "text").collect()
+    }
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    want = {
+        r.doc_id: (r.n_bytes, r.n_tokens, round(r.mean_token_len, 9))
+        for r in docs.select(
+            "doc_id",
+            F.length("text").cast("long").alias("n_bytes"),
+            F.size(toks).cast("long").alias("n_tokens"),
+            (
+                (F.length(F.trim(F.col("text"))) - F.size(toks) + 1).cast("double")
+                / F.size(toks)
+            ).alias("mean_token_len"),
+        ).collect()
+    }
+    assert got == want

@@ -43,6 +43,7 @@ PORTABLE = [
     "q17_small_quantity_revenue",
     "q19_discounted_revenue",
     "q21_waiting_supplier",
+    "filtered_aggregates",  # ANSI FILTER clause — dialect-common by design
 ]
 
 
