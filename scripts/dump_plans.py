@@ -48,7 +48,48 @@ PICKS = [
     ("span_removal_stats", "one-scan staging shared with duplicated_span_dedup; gram window carries df AND min-doc on one exchange"),
     ("bitmap_distinct_rollup", "exact mergeable distinct: per-bucket bitmaps, daily sum(bitmap_count) + or_agg re-merge for totals — no fact rescan"),
     ("source_overlap_matrix", "per-gram source sets from ONE agg (df==1 dropped pre-pairing); pairs expanded map-side, no self-join"),
+    ("quantile_binning", "exact NTILE without a SinglePartition window: range-partitioned dense index + bucket arithmetic"),
+    ("similarity_filtered_topk", "metadata predicate as the JOIN KEY (pre-filter): label equality is the hash key, queries broadcast"),
+    ("bigram_logprob_quality", "staged token projection (split once), xxhash64-long keys on every exchange; model joins vocab-bounded"),
+    ("time_interpolate_linear", "backward + forward ignore-nulls windows over ONE per-user partitioning"),
 ]
+
+# Static appendix blocks preserved across regenerations (A/B evidence that
+# is measured, not derived from a live plan dump).
+APPENDIX = """
+## recursive_hierarchy_rollup — per-iteration latency floor (round-4 A/B)
+
+The entry costs ~1.5s at sf0.1 — the most expensive non-PPJoin headline
+entry. Round-4 A/B (median of 3 warm runs, local[32], sf0.1):
+
+| variant | time | note |
+|---|---|---|
+| full recursion (anchor + 4 join levels) | 1.50–1.79s | as shipped |
+| `AND w.depth < 3` (3 join levels) | 1.25s | −1 level ≈ −0.25s |
+| `AND w.depth < 1` (1 join level) | 0.60s | |
+| trivial body, 5 levels, NO join | 0.43–0.53s | pure `UnionLoop` floor ≈ 0.09s/iteration |
+| `/*+ BROADCAST(w) */` on the frontier | 1.39–1.52s | REJECTED: last-level frontier is O(\\|part\\|) — not broadcastable at scale |
+| `/*+ REPARTITION(4) */` recursive member | 1.26–1.46s | REJECTED: hardcodes bench-sized partitioning; at 100 TB the level outputs need real parallelism |
+
+Conclusion: cost = ~0.09s/iteration UnionLoop scheduling floor plus
+~0.2s/level of exchange latency on a 20k-row join — fixed overhead, not
+data-proportional work. The iteration count is `log10(max key)` and grows
+only logarithmically with the keyspace, so at 100 TB the same ~5-7
+iterations amortize over real per-level join work; the bench-scale cost
+IS the floor. Both hint variants buy <15% here by pinning plan choices
+that are wrong at scale — kept un-hinted, AQE decides per level.
+
+## bigram_logprob_quality — staged-projection A/B (round 4)
+
+Inlining the regex `split` into the bigram-building `transform` lambda
+re-evaluates the split per array ELEMENT (Catalyst does not CSE the
+subexpression across lambda invocations): 8.6–9.2s at sf0.1. Staging the
+token array in its own projection first (`select(split(...).alias("toks"))`
+then transform over the column) drops the same plan to 1.5–1.7s — a 5x
+win from one projection boundary. Rule now applied across the text
+family: any array consumed inside a HOF lambda is materialized by a
+staged projection first.
+"""
 
 
 def main() -> None:
@@ -70,6 +111,8 @@ def main() -> None:
             df.explain("formatted")
         tree = buf.getvalue().split("\n\n")[0]
         out += [f"## {name}", "", f"*{why}*", "", "```", tree.strip(), "```", ""]
+    out.append(APPENDIX.strip())
+    out.append("")
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(repo, "PLANS.md"), "w") as fh:
         fh.write("\n".join(out))

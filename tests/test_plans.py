@@ -128,6 +128,28 @@ def test_dense_index_no_single_partition_sort(plans):
     assert "rangepartitioning" in p.lower()
 
 
+def test_filtered_topk_prefilters_via_join_key(plans):
+    """Filtered ANN must broadcast the query side and use the label
+    predicate as a hash-join key (pre-filter) — a cartesian/BNLJ plan
+    here means the predicate degraded to a post-filter."""
+    p = plans["similarity_filtered_topk"]
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+
+
+def test_bigram_lm_no_single_partition(plans):
+    p = plans["bigram_logprob_quality"]
+    assert "SinglePartition" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_interpolation_windows_share_partitioning(plans):
+    """Both gap-fill windows ride the same per-user partitioning — no
+    SinglePartition stage, no extra window exchange."""
+    p = plans["time_interpolate_linear"]
+    assert "SinglePartition" not in p
+
+
 def test_quantile_binning_no_single_partition_window(plans):
     """Exact decile binning must ride the range-partitioned dense-index
     plan, not a global ``ntile().over(orderBy(...))`` — the latter is a
