@@ -372,6 +372,58 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+PERCENTILE_WITHIN_GROUP_SQL = """
+SELECT l_returnflag,
+       ROUND(CAST(percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE) * 1e6) / 1e6 AS median_cont,
+       CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE) AS median_disc,
+       ROUND(CAST(percentile_cont(0.9) WITHIN GROUP (ORDER BY l_extendedprice) AS DOUBLE) * 1e6) / 1e6 AS p90_cont
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def percentile_within_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2008 ordered-set aggregates ``percentile_cont`` /
+    ``percentile_disc ... WITHIN GROUP`` — the standard spelling of
+    ``exact_percentiles`` plus the DISCRETE variant (an actual data
+    value, what cont's interpolation can't give you). ONE dialect-common
+    SQL text runs on both engines verbatim (tri-modal, pinned in
+    tests/test_sql_surface.py). Same scale posture as exact_percentiles:
+    the exact form needs a per-group sort; the 100 TB default is the
+    mergeable sketch (`approx_percentiles`), with this as its oracle."""
+    from ..session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(PERCENTILE_WITHIN_GROUP_SQL)
+
+
+REGRESSION_AGG_SQL = """
+SELECT l_returnflag,
+       CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n,
+       ROUND(regr_slope(l_extendedprice, l_quantity) * 1e6) / 1e6 AS slope,
+       ROUND(regr_intercept(l_extendedprice, l_quantity) * 1e6) / 1e6 AS intercept,
+       ROUND(regr_r2(l_extendedprice, l_quantity) * 1e6) / 1e6 AS r2,
+       ROUND(corr(l_extendedprice, l_quantity) * 1e6) / 1e6 AS pearson_r
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def regression_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL:2003 linear-regression aggregates (``regr_slope`` /
+    ``regr_intercept`` / ``regr_r2`` / ``regr_count`` + Pearson r): the
+    price~quantity fit per return flag, entirely inside the JVM
+    aggregation framework — one partial-aggregated groupBy, no
+    `applyInPandas` (contrast `per_group_linear_models`, which exists
+    for MULTI-feature fits where numpy lstsq is the right tool; for the
+    single-regressor case the built-in moment aggregates are exact, one
+    pass, and mergeable at any scale). Dialect-common text → tri-modal
+    (tests/test_sql_surface.py); 6dp rounding absorbs the engines'
+    different partial-fold orders, as with `corr_matrix`."""
+    from ..session import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(REGRESSION_AGG_SQL)
+
+
 def iqr_outlier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tukey-fence outlier detection per group (the numeric data-cleaning
     rule): rows outside [q1 - 1.5*IQR, q3 + 1.5*IQR] of their event
@@ -782,6 +834,16 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "exact_percentiles": QueryDef(
         exact_percentiles, EXACT_PERCENTILES_SQL, "exact interpolated percentiles"
+    ),
+    "percentile_within_group": QueryDef(
+        percentile_within_group,
+        PERCENTILE_WITHIN_GROUP_SQL,
+        "SQL:2008 percentile_cont/disc WITHIN GROUP (tri-modal)",
+    ),
+    "regression_aggregates": QueryDef(
+        regression_aggregates,
+        REGRESSION_AGG_SQL,
+        "SQL:2003 regr_* linear-fit aggregates (tri-modal)",
     ),
     "approx_percentiles": QueryDef(
         approx_percentiles, None, "mergeable GK quantile sketch"

@@ -44,6 +44,8 @@ PORTABLE = [
     "q19_discounted_revenue",
     "q21_waiting_supplier",
     "filtered_aggregates",  # ANSI FILTER clause — dialect-common by design
+    "percentile_within_group",  # SQL:2008 WITHIN GROUP — dialect-common
+    "regression_aggregates",  # SQL:2003 regr_* family — dialect-common
 ]
 
 
