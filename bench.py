@@ -87,6 +87,8 @@ HEADLINE = [
     "similarity_filtered_topk",
     "mmr_diversified_topk",
     "time_interpolate_linear",
+    "ngram_containment_pairs",
+    "quality_filter_funnel",
 ]
 
 

@@ -111,3 +111,71 @@ def test_fit_linear_per_group_matches_numpy(spark):
     tiny = spark.createDataFrame([("c", 1.0, 2.0, 3.0)], "grp string, x1 double, x2 double, y double")
     r = fit_linear_per_group(tiny, "grp", ["x1", "x2"], "y").collect()[0]
     assert r.coef is None and r.n_rows == 1
+
+
+def test_quality_filter_funnel_conserves_documents(spark):
+    """Funnel invariants: marginal kills sum to docs − survivors; each
+    rule's marginal kills never exceed its total failures; survivors are
+    non-increasing along the chain; the last survivor count equals the
+    docs passing ALL rules."""
+    from mlb_win_predictor_spark.queries.text import quality_filter_funnel
+
+    rows = {r.rule_idx: r for r in quality_filter_funnel(spark, SF).collect()}
+    assert sorted(rows) == [1, 2, 3, 4]
+    n_docs = load_table(spark, SF, "documents").count()
+    killed = sum(r.n_killed_here for r in rows.values())
+    final_survivors = rows[4].n_surviving_after
+    assert killed == n_docs - final_survivors
+    surv = [rows[i].n_surviving_after for i in sorted(rows)]
+    assert surv == sorted(surv, reverse=True), surv
+    for r in rows.values():
+        assert 0 <= r.n_killed_here <= r.n_failed_total
+    # chain step identity: survivors drop by exactly the marginal kills
+    prev = n_docs
+    for i in sorted(rows):
+        assert rows[i].n_surviving_after == prev - rows[i].n_killed_here
+        prev = rows[i].n_surviving_after
+
+
+def test_ngram_containment_bounds_and_detects_planted_subset(spark, tmp_path):
+    """Containment ∈ (0,1]; a planted doc that is a verbatim SUBSTRING of
+    another must surface with containment 1.0 in the small→large
+    direction even though Jaccard is far below the near-dup threshold."""
+    import pandas as pd
+
+    from mlb_win_predictor_spark.queries.text import (
+        CONTAINMENT_THRESHOLD,
+        ngram_containment_pairs,
+    )
+
+    base = load_table(spark, SF, "documents").toPandas()
+    long_text = " ".join(f"w{i}" for i in range(60))
+    quote = " ".join(f"w{i}" for i in range(20, 32))  # 12-token excerpt
+    planted = pd.concat(
+        [
+            base,
+            pd.DataFrame(
+                {
+                    "doc_id": [100000, 100001],
+                    "text": [long_text, quote],
+                    "lang": ["en", "en"],
+                    "source": ["t", "t"],
+                    "n_chars": [len(long_text), len(quote)],
+                }
+            ),
+        ]
+    )
+    # containment scans doc_id < NGRAM_DOC_CAP, so remap the plants low
+    planted.loc[planted.doc_id == 100000, "doc_id"] = 198
+    planted.loc[planted.doc_id == 100001, "doc_id"] = 199
+    p = str(tmp_path / "documents.parquet")
+    planted.to_parquet(p, index=False)
+    out = ngram_containment_pairs(spark, str(tmp_path)).collect()
+    for r in out:
+        assert 0.0 < r.containment_a_in_b <= 1.0
+        assert 0.0 < r.containment_b_in_a <= 1.0
+        assert max(r.containment_a_in_b, r.containment_b_in_a) >= CONTAINMENT_THRESHOLD
+    pair = {(r.doc_a, r.doc_b): r for r in out}.get((198, 199))
+    assert pair is not None, "planted subset pair not detected"
+    assert pair.containment_b_in_a == 1.0  # the quote is fully inside
+    assert pair.containment_a_in_b < 0.25  # and Jaccard-style symmetry fails
