@@ -26,26 +26,88 @@ TABLES = (
     "documents embeddings".split()
 )
 
-# oracle SQL that is valid Spark SQL verbatim
+# oracle SQL that is valid Spark SQL verbatim AND value-matches the
+# DataFrame implementation (round-4 sweep: every oracle text was run
+# through spark.sql and compared; the 75 below pass, the rest use
+# DuckDB-only constructs — strftime, list_*, unnest, generate_series —
+# whose Spark duals are separate catalog entries).
 PORTABLE = [
     "q1_pricing_summary",
     # q3 uses DuckDB strftime for date bucketing — not portable
+    "q2_min_cost_supplier",
+    "q4_order_priority",
     "q5_region_revenue",
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
+    "q10_returned_items",
     "q11_important_volume",
     "q12_late_priority",
     "q13_customer_distribution",
     "q14_promo_revenue",
+    "q15_top_supplier",
     "q16_supplier_count",
     "q17_small_quantity_revenue",
     "q19_discounted_revenue",
+    "q20_excess_share_supplier",
     "q21_waiting_supplier",
+    "q22_sales_opportunity",
     "filtered_aggregates",  # ANSI FILTER clause — dialect-common by design
     "percentile_within_group",  # SQL:2008 WITHIN GROUP — dialect-common
     "regression_aggregates",  # SQL:2003 regr_* family — dialect-common
+    "asof_prior_stats",
+    "bag_set_operations",
+    "bitmap_distinct_rollup",
+    "broadcast_dim_join",
+    "cdc_apply_changelog",
+    "confusion_matrix_metrics",
+    "corr_matrix",
+    "count_rows",
+    "cross_join_dims",
+    "cube_aggregation",
+    "dedup_exact",
+    "dedup_latest_event",
+    "dense_global_index",
+    "derived_columns",
+    "distinct_count",
+    "drop_columns",
+    "dropna_funnel",
+    "edit_distance_pairs",
+    "ewma_user_activity",
+    "first_last_window",
+    "first_match_lookup",
+    "flagship_asof_funnel",
+    "grouping_sets_agg",
+    "guarded_division",
+    "having_filter_sql_api",
+    "histogram_binning",
+    "join_cardinality_estimate",
+    "key_skew_profile",
+    "kl_divergence_slices",
+    "lag_lead_sequence",
+    "late_outcome_upsert",
+    "lateral_topn_subquery",
+    "limit_topk",
+    "max_by_leaderboard",
+    "merge_upsert",
+    "pivot_wide",
+    "quantile_binning",
+    "range_join_bands",
+    "ranking_functions",
+    "recursive_hierarchy_rollup",
+    "rollup_aggregation",
+    "scan_project_filter",
+    "semi_anti_join",
+    "set_operations",
+    "string_functions",
+    "table_diff_reconcile",
+    "topk_per_group",
+    "union_distinct",
+    "unpivot_measures",
+    "unpivot_melt",
+    "window_distribution_functions",
+    "zscore_anomalies",
 ]
 
 
