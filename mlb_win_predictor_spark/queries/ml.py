@@ -95,6 +95,27 @@ def ml_knn_lsh_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ml_knn_k_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6 — the reference's n_neighbors GRID as a leaderboard (GridSearchCV
+    over k ∈ {1,...,79}, modeling/modeling.ipynb:617-635): validation
+    accuracy per k from ``ml.knn.knn_select_k``, which ranks neighbors
+    ONCE at max(k) (one LSH bucket join, cached val×max_k pairs) and
+    derives every k's vote from the same ranking — the whole grid costs
+    one corpus pass + a bounded agg per grid point. Deterministic
+    (seeded LSH, tie-broken votes) ⇒ stable rows; not SQL-expressible
+    (iterative model selection), so rows-only."""
+    from ..ml.knn import knn_select_k
+
+    df = _emb_features(spark, sf_dir)
+    val = df.filter(F.col("vec_id") % 10 == 0)
+    train = df.filter(F.col("vec_id") % 10 != 0)
+    best_k, board = knn_select_k(train, val, k_grid=[1, 3, 5, 7, 9])
+    return spark.createDataFrame(
+        [(int(k), float(a), int(k == best_k)) for k, a in board],
+        "k int, accuracy double, is_best int",
+    )
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star MinHash LSH near-dup: candidate pair count + mean
     Jaccard distance per band-collision outcome."""
@@ -473,6 +494,9 @@ QUERIES: dict[str, QueryDef] = {
     "ml_logreg_leaderboard": QueryDef(ml_logreg_leaderboard, None, "M1-M3/M8 LR pipeline"),
     "ml_nearest_centroid": QueryDef(ml_nearest_centroid, None, "M5 NearestCentroid"),
     "ml_knn_lsh_vote": QueryDef(ml_knn_lsh_vote, None, "M6 LSH kNN vote"),
+    "ml_knn_k_leaderboard": QueryDef(
+        ml_knn_k_leaderboard, None, "M6 n_neighbors grid leaderboard (one LSH ranking)"
+    ),
     "dedup_minhash_lsh": QueryDef(dedup_minhash_lsh, None, "dedup: MinHash LSH"),
     "dedup_minhash_banded": QueryDef(
         dedup_minhash_banded, None, "dedup: native banded MinHash"

@@ -1831,7 +1831,7 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (derived from the same agg, not a rescan), and one broadcast-bounded
     join back to per-doc bigram counts. Exact integer counts; one final
     ln/divide rounded 6dp (same discipline as the unigram entry)."""
-    d = load_table(spark, sf_dir, "documents")
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     # STAGED projection: tokenize once per doc, THEN build bigrams from
     # the materialized array. Inlining the split into the transform
     # lambda re-evaluates the regex split per array element — O(n²)
