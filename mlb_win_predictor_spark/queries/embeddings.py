@@ -294,6 +294,84 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MRL_DIMS = (8, 16, 32, 64)
+
+
+def similarity_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka/truncated-embedding EVALUATION (the measurement behind
+    "can we search on the first d dims and pay 1/8th the index?" — MRL,
+    Kusupati et al. 2022): recall@{k} of cosine top-{k} under prefix
+    truncation to d ∈ {dims} dimensions, against the full-width exact
+    ranking.
+
+    ONE pair pass computes every width: per (query, candidate) the
+    prefix dot/norms for all d come from slices of the same arrays, so
+    the corpus join is paid once, not once per width (the pair loop
+    dominates; extra prefix folds are arithmetic on already-loaded
+    vectors). Ranks per (d, query) ride one window; recall joins each
+    width's top-k against the full-width top-k from the SAME scored
+    table. Deterministic (6dp + id tie-breaks) ⇒ stable rows; not
+    SQL-expressible compactly (per-width rank-join self-comparison) —
+    rows-only, with invariants pinned in tests (full-width recall ≡ 1,
+    bounds, per-width row counts)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    full_d = MRL_DIMS[-1]
+    q = e.filter(F.col("vec_id") < TOPK_N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+    )
+    c = e.filter(F.col("vec_id") >= TOPK_N_QUERIES).select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    )
+    per_dim = F.array(
+        *[
+            F.struct(
+                F.lit(d).cast("long").alias("dims"),
+                stable_round(
+                    _dot(F.slice("q_emb", 1, d), F.slice("c_emb", 1, d))
+                    / F.sqrt(
+                        _dot(F.slice("q_emb", 1, d), F.slice("q_emb", 1, d))
+                        * _dot(F.slice("c_emb", 1, d), F.slice("c_emb", 1, d))
+                    ),
+                    6,
+                ).alias("cosine"),
+            )
+            for d in MRL_DIMS
+        ]
+    )
+    scored = (
+        c.join(F.broadcast(q))
+        .select("query_id", "cand_id", F.explode(per_dim).alias("s"))
+        .select("query_id", "cand_id", F.col("s.dims").alias("dims"), F.col("s.cosine").alias("cosine"))
+    )
+    w = W.partitionBy("dims", "query_id").orderBy(
+        F.col("cosine").desc(), F.col("cand_id").asc()
+    )
+    topk = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOPK_K)
+        .select("dims", "query_id", "cand_id")
+    )
+    truth = topk.filter(F.col("dims") == full_d).select(
+        F.col("query_id").alias("t_q"), F.col("cand_id").alias("t_c")
+    )
+    hits = topk.join(
+        truth,
+        (F.col("query_id") == F.col("t_q")) & (F.col("cand_id") == F.col("t_c")),
+        "left",
+    )
+    denom = float(TOPK_N_QUERIES * TOPK_K)
+    return (
+        hits.groupBy("dims")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_retrieved"),
+            stable_round(
+                F.sum(F.col("t_q").isNotNull().cast("int")) / F.lit(denom), 6
+            ).alias("recall_at_k"),
+        )
+        .orderBy("dims")
+    )
+
+
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup detection (north-star dedup): all pairs
     above a cosine threshold within a bounded id range (exact oracle for
@@ -722,6 +800,11 @@ QUERIES: dict[str, QueryDef] = {
         mmr_diversified_topk,
         None,
         "retrieval: MMR diversified re-rank over a pool-bounded Arrow batch",
+    ),
+    "similarity_truncated_recall": QueryDef(
+        similarity_truncated_recall,
+        None,
+        "similarity: Matryoshka prefix-truncation recall@k eval, one pair pass",
     ),
     "embedding_neardup_pairs": QueryDef(
         embedding_neardup_pairs, NEARDUP_SQL, "dedup: embedding cosine"

@@ -154,6 +154,43 @@ def dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
 
 
+def dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER size profile (the report a curation team reads
+    before choosing a keep policy: "is our duplication a few mega-
+    clusters or a long tail of pairs?"): banded-MinHash pairs →
+    connected components → per-cluster-size histogram with the document
+    and token mass tied up in each size class. ``n_removable`` =
+    docs − clusters = exactly the docs a canonical-keep pass deletes —
+    so this entry PRICES the dedup before anyone runs it.
+
+    Shuffle shape: the component join touches only clustered docs
+    (near-dup density, not the corpus); the histogram aggregates
+    cluster-count rows. Iterative components ⇒ rows-only entry; the
+    mass-conservation invariants are pinned in tests/test_operators.py."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_banded_pairs(docs, jaccard_threshold=0.5)
+    comps = components_from_pairs(pairs)
+    toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    clustered = docs.join(comps, docs["doc_id"] == comps["node"]).select(
+        "component", "doc_id", toks.alias("n_toks")
+    )
+    per_cluster = clustered.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.sum("n_toks").alias("cluster_tokens"),
+    )
+    return (
+        per_cluster.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clusters"),
+            F.sum("cluster_tokens").cast("long").alias("tokens_in_clusters"),
+        )
+        .withColumn(
+            "n_removable_docs",
+            ((F.col("cluster_size") - 1) * F.col("n_clusters")).cast("long"),
+        )
+    )
+
+
 def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus dedup (the ingest-loop flavor of near-dedup):
     docs with doc_id % 10 != 0 are the already-indexed corpus; the rest
@@ -503,6 +540,11 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "dedup_end_to_end": QueryDef(
         dedup_end_to_end, None, "dedup: pairs→components→canonical keep"
+    ),
+    "dedup_cluster_profile": QueryDef(
+        dedup_cluster_profile,
+        None,
+        "dedup: duplicate-cluster size/mass histogram (prices the dedup)",
     ),
     "dedup_simhash": QueryDef(dedup_simhash, None, "dedup: SimHash"),
     "dedup_incremental": QueryDef(

@@ -893,3 +893,60 @@ def test_arrow_token_stats_matches_native_exprs(spark, docs):
         ).collect()
     }
     assert got == want
+
+
+def test_dedup_cluster_profile_mass_conservation(spark, docs):
+    """Cluster-profile invariants against the underlying components:
+    every cluster has >= 2 docs (pairs built it), sum(size * n_clusters)
+    equals the clustered-doc count, n_removable = docs - clusters
+    matches what canonical-keep actually deletes, and token mass in
+    clusters equals the clustered docs' token total."""
+    from mlb_win_predictor_spark.operators.dedup import (
+        components_from_pairs,
+        keep_canonical_per_component,
+        minhash_banded_pairs,
+    )
+    from mlb_win_predictor_spark.queries.ml import dedup_cluster_profile
+
+    prof = dedup_cluster_profile(spark, SF).collect()
+    assert prof and all(r.cluster_size >= 2 for r in prof)
+
+    pairs = minhash_banded_pairs(docs, jaccard_threshold=0.5)
+    comps = components_from_pairs(pairs)
+    n_clustered_docs = comps.count()
+    n_clusters = comps.select("component").distinct().count()
+    assert sum(r.cluster_size * r.n_clusters for r in prof) == n_clustered_docs
+    assert sum(r.n_clusters for r in prof) == n_clusters
+    removable = sum(r.n_removable_docs for r in prof)
+    assert removable == n_clustered_docs - n_clusters
+
+    kept = keep_canonical_per_component(docs, comps)
+    assert docs.count() - kept.count() == removable
+
+    tok_total = (
+        docs.join(comps, docs["doc_id"] == comps["node"])
+        .select(F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n"))
+        .agg(F.sum("n"))
+        .first()[0]
+    )
+    assert sum(r.tokens_in_clusters for r in prof) == tok_total
+
+
+def test_truncated_recall_invariants(spark):
+    """Matryoshka eval invariants: one row per width; every width
+    retrieves exactly n_queries*k candidates; recalls in [0,1]; the
+    full-width ranking trivially achieves recall 1.0 (it IS the truth
+    set — a mismatch means the self-join keys are broken)."""
+    from mlb_win_predictor_spark.queries.embeddings import (
+        MRL_DIMS,
+        TOPK_K,
+        TOPK_N_QUERIES,
+        similarity_truncated_recall,
+    )
+
+    rows = {r.dims: r for r in similarity_truncated_recall(spark, SF).collect()}
+    assert sorted(rows) == sorted(MRL_DIMS)
+    for r in rows.values():
+        assert r.n_retrieved == TOPK_N_QUERIES * TOPK_K
+        assert 0.0 <= r.recall_at_k <= 1.0
+    assert rows[MRL_DIMS[-1]].recall_at_k == 1.0
