@@ -258,3 +258,29 @@ def test_knn_select_k_finds_planted_best_k(spark):
     assert accs[1] == 0.0 and accs[3] == 0.0, board
     assert accs[5] == 1.0 and accs[7] == 1.0, board
     assert best_k == 5, (best_k, board)  # argmax with ties -> smallest k
+
+
+def test_knn_select_k_reference_grid_shape(spark):
+    """Reference-grid faithfulness (modeling.ipynb:626 sweeps odd k):
+    an odd grid 1..15 over the embeddings split returns one accuracy per
+    k from ONE ranking, all within [0,1], and best_k is a grid member
+    achieving the max accuracy."""
+    from mlb_win_predictor_spark.ml.knn import knn_select_k
+    from mlb_win_predictor_spark.queries.ml import _emb_features
+
+    df = _emb_features(spark, "/root/testdata/sf0.001")
+    val = df.filter(F.col("vec_id") % 10 == 0)
+    train = df.filter(F.col("vec_id") % 10 != 0)
+    grid = list(range(1, 16, 2))
+    best_k, board = knn_select_k(train, val, k_grid=grid)
+    assert [k for k, _ in board] == grid
+    assert all(0.0 <= a <= 1.0 for _, a in board)
+    accs = dict(board)
+    assert best_k in grid and accs[best_k] == max(accs.values())
+    # smallest-k tie policy
+    assert best_k == min(k for k in grid if accs[k] == accs[best_k])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty k_grid"):
+        knn_select_k(train, val, k_grid=[])
