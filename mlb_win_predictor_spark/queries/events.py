@@ -496,12 +496,214 @@ FROM vers
 """
 
 
+def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (AS OF) query over the SCD2 history — the read side
+    that justifies keeping versioned rows at all: reconstruct every
+    user's state at time T and roll it up per state. T is the midpoint
+    of the corpus's [min, max] event time, computed in-plan (1-row agg,
+    broadcast) so the entry is deterministic at every SF and never
+    vacuous. Selection is the interval predicate
+    ``valid_from <= T < coalesce(valid_to, +inf)`` — exactly one row per
+    user with history at T, no window re-sort: the rebuild's exchanges
+    are reused and the as-of filter is map-side after the broadcast.
+    At 100 TB the production trim is partition-pruning the history on
+    valid_from date ranges; the predicate shape is unchanged."""
+    hist = scd2_history_rebuild(spark, sf_dir)
+    e = load_table(spark, sf_dir, "events")
+    t = e.agg(
+        (
+            (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / F.lit(2)
+        )
+        .cast("long")
+        .alias("t_us")
+    )
+    asof = hist.crossJoin(F.broadcast(t)).filter(
+        (F.col("valid_from_us") <= F.col("t_us"))
+        & (F.col("valid_to_us").isNull() | (F.col("t_us") < F.col("valid_to_us")))
+    )
+    return asof.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users_in_state"),
+        F.min("valid_from_us").alias("oldest_entry_us"),
+        F.max("valid_from_us").alias("newest_entry_us"),
+    )
+
+
+SCD2_ASOF_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+), vers AS (
+  SELECT user_id, event_type, ts_us, event_id FROM seq
+  WHERE prev IS NULL OR event_type <> prev
+), hist AS (
+  SELECT user_id, event_type, ts_us AS valid_from_us,
+         LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us
+  FROM vers
+), t AS (
+  SELECT CAST((MIN(epoch_us(ts)) + MAX(epoch_us(ts))) / 2 AS BIGINT) AS t_us
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_users_in_state,
+       MIN(valid_from_us) AS oldest_entry_us,
+       MAX(valid_from_us) AS newest_entry_us
+FROM hist CROSS JOIN t
+WHERE valid_from_us <= t_us AND (valid_to_us IS NULL OR t_us < valid_to_us)
+GROUP BY event_type
+"""
+
+
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order behavioral TRANSITION matrix (the Markov-chain view
+    of a clickstream: P(next state | state), the input to funnel design,
+    churn prediction features, and next-action models): per ordered
+    (prev → next) event-type pair, the transition count and the
+    row-normalized probability over each prev state's outgoing edges.
+
+    One user_id exchange feeds the ordering lag; the pair counts are a
+    states²-bounded aggregate (tiny at any corpus size), and the row
+    normalization is a window over that tiny table — the corpus is
+    touched exactly once. Exact integer counts; probability rounded 6dp."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    pairs = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("prev_type"),
+            F.col("next_type").alias("next_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wout = W.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        F.col("n").cast("long").alias("n"),
+        S.stable_round(
+            F.col("n").cast("double") / F.sum("n").over(wout).cast("double"), 6
+        ).alias("p"),
+    )
+
+
+def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily GROWTH ACCOUNTING (the new/retained/resurrected/churned
+    decomposition every growth team runs — DAU is vanity until split
+    this way): per calendar day, users seen for the first time (new),
+    also active the previous day (retained), returning after a gap
+    (resurrected), and users whose previous-day activity did NOT carry
+    over (churned, attributed to the first inactive day).
+
+    Identity (pinned by the oracle): for consecutive days,
+    ``DAU(d) = new + retained + resurrected`` and
+    ``churned(d) = DAU(d-1) − retained(d)``. Plan: one distinct
+    (user, day) agg, ONE user-partitioned window producing both lag and
+    lead, then two tiny branches (state rows + churn rows shifted one
+    day) unioned into a per-day conditional agg — the fact table is
+    scanned once, every later stage is user-day-bounded."""
+    e = load_table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    marked = ud.select(
+        "user_id",
+        "day",
+        F.lag("day").over(w).alias("prev_day"),
+        F.lead("day").over(w).alias("next_day"),
+    )
+    state = marked.select(
+        "day",
+        F.when(F.col("prev_day").isNull(), "new")
+        .when(F.col("prev_day") == F.date_sub("day", 1), "retained")
+        .otherwise("resurrected")
+        .alias("kind"),
+    )
+    churn = marked.filter(
+        F.col("next_day").isNull() | (F.col("next_day") > F.date_add("day", 1))
+    ).select(F.date_add("day", 1).alias("day"), F.lit("churned").alias("kind"))
+    return (
+        state.unionByName(churn)
+        .groupBy("day")
+        .agg(
+            F.count(F.when(F.col("kind") == "new", 1)).cast("long").alias("n_new"),
+            F.count(F.when(F.col("kind") == "retained", 1))
+            .cast("long")
+            .alias("n_retained"),
+            F.count(F.when(F.col("kind") == "resurrected", 1))
+            .cast("long")
+            .alias("n_resurrected"),
+            F.count(F.when(F.col("kind") == "churned", 1))
+            .cast("long")
+            .alias("n_churned"),
+        )
+    )
+
+
+GROWTH_ACCOUNTING_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), marked AS (
+  SELECT user_id, day,
+         LAG(day)  OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+         LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+  FROM ud
+), labeled AS (
+  SELECT day,
+         CASE WHEN prev_day IS NULL THEN 'new'
+              WHEN prev_day = day - INTERVAL 1 DAY THEN 'retained'
+              ELSE 'resurrected' END AS kind
+  FROM marked
+  UNION ALL
+  SELECT CAST(day + INTERVAL 1 DAY AS DATE) AS day, 'churned' AS kind
+  FROM marked
+  WHERE next_day IS NULL OR next_day > day + INTERVAL 1 DAY
+)
+SELECT day,
+       CAST(COUNT(*) FILTER (WHERE kind = 'new') AS BIGINT) AS n_new,
+       CAST(COUNT(*) FILTER (WHERE kind = 'retained') AS BIGINT) AS n_retained,
+       CAST(COUNT(*) FILTER (WHERE kind = 'resurrected') AS BIGINT) AS n_resurrected,
+       CAST(COUNT(*) FILTER (WHERE kind = 'churned') AS BIGINT) AS n_churned
+FROM labeled GROUP BY day
+"""
+
+
+EVENT_TRANSITION_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+         ) AS next_type
+  FROM events
+), pairs AS (
+  SELECT event_type AS prev_type, next_type, COUNT(*) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY prev_type) * 1e6) / 1e6 AS p
+FROM pairs
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "event_transition_matrix": QueryDef(
+        event_transition_matrix,
+        EVENT_TRANSITION_SQL,
+        "behavioral Markov transition matrix (counts + row-normalized P)",
+    ),
+    "growth_accounting": QueryDef(
+        growth_accounting,
+        GROWTH_ACCOUNTING_SQL,
+        "daily new/retained/resurrected/churned user decomposition",
+    ),
     "cdc_apply_changelog": QueryDef(
         cdc_apply_changelog, CDC_APPLY_SQL, "CDC feed materialization with tombstones"
     ),
     "scd2_history_rebuild": QueryDef(
         scd2_history_rebuild, SCD2_REBUILD_SQL, "SCD2 version history from raw events"
+    ),
+    "scd2_asof_snapshot": QueryDef(
+        scd2_asof_snapshot, SCD2_ASOF_SQL, "AS OF point-in-time state over SCD2 history"
     ),
     "variant_props_extract": QueryDef(
         variant_props_extract, VARIANT_PROPS_SQL, "VariantType semi-structured extract"

@@ -950,3 +950,24 @@ def test_truncated_recall_invariants(spark):
         assert r.n_retrieved == TOPK_N_QUERIES * TOPK_K
         assert 0.0 <= r.recall_at_k <= 1.0
     assert rows[MRL_DIMS[-1]].recall_at_k == 1.0
+
+
+def test_growth_accounting_identity(spark):
+    """Growth-accounting bookkeeping identities: DAU(d) = new + retained
+    + resurrected, and churned(d) = DAU(d-1) − retained(d) for every
+    consecutive day pair — the invariant that makes the decomposition an
+    ACCOUNTING, not four unrelated counts."""
+    import datetime
+
+    from mlb_win_predictor_spark.queries.events import growth_accounting
+
+    rows = growth_accounting(spark, SF).orderBy("day").collect()
+    assert rows
+    dau = {r.day: r.n_new + r.n_retained + r.n_resurrected for r in rows}
+    checked = 0
+    for r in rows:
+        prev = r.day - datetime.timedelta(days=1)
+        if prev in dau:
+            assert r.n_churned == dau[prev] - r.n_retained, r.day
+            checked += 1
+    assert checked > 0
