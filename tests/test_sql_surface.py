@@ -108,6 +108,8 @@ PORTABLE = [
     "unpivot_melt",
     "window_distribution_functions",
     "zscore_anomalies",
+    "event_transition_matrix",
+    "growth_accounting",
 ]
 
 
