@@ -791,6 +791,88 @@ GROUP BY 1
 """
 
 
+MAU_WINDOW = 28
+
+
+def user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / MAU + STICKINESS per day (DAU/MAU — the engagement
+    ratio product teams track beside the growth-accounting split): all
+    three actives curves from ONE (user, day) observation table, each by
+    the same replicate-don't-window idiom as ``rolling_active_users`` —
+    a (user, day) row is exploded to the ≤1 / ≤7 / ≤{MAU_WINDOW} report
+    days it can influence, tagged with the window length, and ONE
+    distinct aggregation keyed (report_day, window, user) feeds a pivot
+    to columns. Fan-out is a fixed ×36 on the deduped user-day grain
+    (not events), so the plan is two hash shuffles at any corpus size;
+    no per-row distinct-set window state anywhere. Stickiness rounded
+    6dp; report days clipped to the observed span (no lead-in ramp)."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "user_id"
+    )
+    obs = e.distinct()
+    span = obs.agg(F.max("day").alias("mx")).select("mx")
+    windows = F.array(
+        *[F.lit(w) for w in (1, WAU_WINDOW, MAU_WINDOW)]
+    )
+    reported = (
+        obs.select("user_id", "day", F.explode(windows).alias("win"))
+        .select(
+            "user_id",
+            "win",
+            F.explode(
+                F.sequence(F.col("day"), F.date_add("day", F.col("win") - 1))
+            ).alias("report_day"),
+        )
+        .crossJoin(F.broadcast(span))
+        .filter(F.col("report_day") <= F.col("mx"))
+    )
+    counts = reported.groupBy("report_day").agg(
+        F.count_distinct(F.when(F.col("win") == 1, F.col("user_id"))).alias("dau"),
+        F.count_distinct(
+            F.when(F.col("win") == WAU_WINDOW, F.col("user_id"))
+        ).alias("wau"),
+        F.count_distinct(
+            F.when(F.col("win") == MAU_WINDOW, F.col("user_id"))
+        ).alias("mau"),
+    )
+    return counts.select(
+        "report_day",
+        "dau",
+        "wau",
+        "mau",
+        stable_round(F.col("dau").cast("double") / F.col("mau"), 6).alias(
+            "stickiness"
+        ),
+    )
+
+
+USER_STICKINESS_SQL = f"""
+WITH obs AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), span AS (
+  SELECT MAX(day) AS mx FROM obs
+), reported AS (
+  SELECT user_id, w.win,
+         CAST(UNNEST(generate_series(CAST(day AS TIMESTAMP),
+                                     CAST(day + (w.win - 1) * INTERVAL 1 DAY AS TIMESTAMP),
+                                     INTERVAL 1 DAY)) AS DATE) AS report_day
+  FROM obs CROSS JOIN (VALUES (1), ({WAU_WINDOW}), ({MAU_WINDOW})) AS w(win)
+), counts AS (
+  SELECT report_day,
+         COUNT(DISTINCT CASE WHEN win = 1 THEN user_id END) AS dau,
+         COUNT(DISTINCT CASE WHEN win = {WAU_WINDOW} THEN user_id END) AS wau,
+         COUNT(DISTINCT CASE WHEN win = {MAU_WINDOW} THEN user_id END) AS mau
+  FROM reported, span
+  WHERE report_day <= mx
+  GROUP BY 1
+)
+SELECT report_day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+       CAST(mau AS BIGINT) AS mau,
+       ROUND(CAST(dau AS DOUBLE) / mau * 1e6) / 1e6 AS stickiness
+FROM counts
+"""
+
+
 SAMPLE_K = 100
 
 
@@ -972,5 +1054,10 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "rolling_active_users": QueryDef(
         rolling_active_users, ROLLING_WAU_SQL, "ops: rolling 7-day distinct users (WAU)"
+    ),
+    "user_stickiness": QueryDef(
+        user_stickiness,
+        USER_STICKINESS_SQL,
+        "ops: DAU/WAU/MAU + stickiness from one replicated user-day agg",
     ),
 }

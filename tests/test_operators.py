@@ -971,3 +971,23 @@ def test_growth_accounting_identity(spark):
             assert r.n_churned == dau[prev] - r.n_retained, r.day
             checked += 1
     assert checked > 0
+
+
+def test_user_stickiness_monotone_and_consistent_with_wau(spark):
+    """Stickiness invariants: DAU <= WAU <= MAU per day, stickiness =
+    DAU/MAU in (0,1], and the WAU column equals the standalone
+    rolling_active_users curve (same idiom, one fused plan)."""
+    from mlb_win_predictor_spark.queries.ops import (
+        rolling_active_users,
+        user_stickiness,
+    )
+
+    rows = user_stickiness(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.dau <= r.wau <= r.mau, r
+        assert 0.0 < r.stickiness <= 1.0
+        assert abs(r.stickiness - round(r.dau / r.mau, 6)) < 1e-9
+    wau = {r.report_day: r.active_users for r in rolling_active_users(spark, SF).collect()}
+    for r in rows:
+        assert r.wau == wau[r.report_day], r.report_day
