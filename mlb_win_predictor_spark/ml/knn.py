@@ -129,11 +129,20 @@ def knn_select_k(
         leaderboard = []
         for k in sorted(set(k_grid)):
             pred = _vote(ranked.filter(F.col("rn") <= k))
+            # LEFT-join predictions onto the FULL validation truth set: a
+            # val row with zero LSH bucket collisions gets no prediction
+            # and must count as INCORRECT (same denominator as the
+            # GridSearchCV full-validation accuracy this mirrors), not be
+            # dropped — which also keeps avg non-NULL when no val row has
+            # any candidate.
             acc_row = (
-                pred.join(truth, "test_id")
+                truth.join(pred, "test_id", "left")
                 .agg(
                     F.avg(
-                        (F.col("prediction") == F.col("_truth")).cast("double")
+                        F.coalesce(
+                            (F.col("prediction") == F.col("_truth")).cast("double"),
+                            F.lit(0.0),
+                        )
                     ).alias("acc")
                 )
                 .first()

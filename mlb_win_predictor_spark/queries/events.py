@@ -510,9 +510,14 @@ def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     valid_from date ranges; the predicate shape is unchanged."""
     hist = scd2_history_rebuild(spark, sf_dir)
     e = load_table(spark, sf_dir, "events")
+    # INTEGER midpoint: min + (max - min) DIV 2 keeps both engines exact
+    # by construction — (min+max)/2 via double would TRUNCATE on Spark's
+    # cast-to-long but ROUND on DuckDB's CAST AS BIGINT when the sum is
+    # odd, a 1-microsecond oracle-parity flake.
     t = e.agg(
         (
-            (F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / F.lit(2)
+            F.min(F.unix_micros("ts"))
+            + F.floor((F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / F.lit(2))
         )
         .cast("long")
         .alias("t_us")
@@ -541,7 +546,7 @@ WITH seq AS (
          LEAD(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to_us
   FROM vers
 ), t AS (
-  SELECT CAST((MIN(epoch_us(ts)) + MAX(epoch_us(ts))) / 2 AS BIGINT) AS t_us
+  SELECT CAST(MIN(epoch_us(ts)) + FLOOR((MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 2) AS BIGINT) AS t_us
   FROM events
 )
 SELECT event_type,
@@ -598,13 +603,19 @@ def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Identity (pinned by the oracle): for consecutive days,
     ``DAU(d) = new + retained + resurrected`` and
-    ``churned(d) = DAU(d-1) − retained(d)``. Plan: one distinct
+    ``churned(d) = DAU(d-1) − retained(d)``. Churn rows are CLIPPED to
+    days <= the last observed corpus day: users active on the final day
+    are right-censored (their next state is unknowable), not churned —
+    without the clip the report grows a phantom day beyond the corpus
+    span where every final-day user appears churned. Plan: one distinct
     (user, day) agg, ONE user-partitioned window producing both lag and
     lead, then two tiny branches (state rows + churn rows shifted one
-    day) unioned into a per-day conditional agg — the fact table is
-    scanned once, every later stage is user-day-bounded."""
+    day, bounded by a broadcast 1-row max-day agg) unioned into a
+    per-day conditional agg — the fact table is scanned once, every
+    later stage is user-day-bounded."""
     e = load_table(spark, sf_dir, "events")
     ud = e.select("user_id", F.to_date("ts").alias("day")).distinct()
+    max_day = ud.agg(F.max("day").alias("max_day"))
     w = W.partitionBy("user_id").orderBy("day")
     marked = ud.select(
         "user_id",
@@ -619,9 +630,15 @@ def growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("resurrected")
         .alias("kind"),
     )
-    churn = marked.filter(
-        F.col("next_day").isNull() | (F.col("next_day") > F.date_add("day", 1))
-    ).select(F.date_add("day", 1).alias("day"), F.lit("churned").alias("kind"))
+    churn = (
+        marked.filter(
+            F.col("next_day").isNull() | (F.col("next_day") > F.date_add("day", 1))
+        )
+        .select(F.date_add("day", 1).alias("day"), F.lit("churned").alias("kind"))
+        .crossJoin(F.broadcast(max_day))
+        .filter(F.col("day") <= F.col("max_day"))
+        .select("day", "kind")
+    )
     return (
         state.unionByName(churn)
         .groupBy("day")
@@ -657,7 +674,8 @@ WITH ud AS (
   UNION ALL
   SELECT CAST(day + INTERVAL 1 DAY AS DATE) AS day, 'churned' AS kind
   FROM marked
-  WHERE next_day IS NULL OR next_day > day + INTERVAL 1 DAY
+  WHERE (next_day IS NULL OR next_day > day + INTERVAL 1 DAY)
+    AND CAST(day + INTERVAL 1 DAY AS DATE) <= (SELECT MAX(day) FROM ud)
 )
 SELECT day,
        CAST(COUNT(*) FILTER (WHERE kind = 'new') AS BIGINT) AS n_new,

@@ -399,12 +399,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shingles = d.select(
         "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("toks") - (NGRAM_N - 1), F.lit(0))),
-                lambda i: F.concat_ws(" ", F.slice("toks", i, NGRAM_N)),
-            )
-        ).alias("shingles"),
+        F.array_distinct(_word_ngrams(F.col("toks"), NGRAM_N)).alias("shingles"),
     ).filter(F.size("shingles") > 0)
     sizes = shingles.select("doc_id", F.size("shingles").alias("n_sh"))
     exploded = shingles.select("doc_id", F.explode("shingles").alias("sh"))
@@ -484,12 +479,7 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     shingles = d.select(
         "doc_id",
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size("toks") - (NGRAM_N - 1), F.lit(0))),
-                lambda i: F.concat_ws(" ", F.slice("toks", i, NGRAM_N)),
-            )
-        ).alias("shingles"),
+        F.array_distinct(_word_ngrams(F.col("toks"), NGRAM_N)).alias("shingles"),
     ).filter(F.size("shingles") > 0)
     sizes = shingles.select("doc_id", F.size("shingles").alias("n_sh"))
     exploded = shingles.select("doc_id", F.explode("shingles").alias("sh"))
@@ -1844,13 +1834,19 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pairs — the span-dedup family's 8-byte-key discipline (collision
     # probability ~(n_bigrams)²/2⁶⁵, vanishing and deterministic). The
     # context key rides along so c_ctx never needs the strings either.
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.struct(
-            F.xxhash64(F.element_at(toks, i), F.element_at(toks, i + 1)).alias("bi"),
-            F.xxhash64(F.element_at(toks, i)).alias("ctx"),
+    # Guard: a 1-token doc would make sequence(1, 0) count DOWN ([1,0])
+    # and element_at(toks, 0) throw; DuckDB's generate_series(1, 0) is
+    # empty, so an empty array keeps the engines aligned (doc drops out).
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.xxhash64(F.element_at(toks, i), F.element_at(toks, i + 1)).alias("bi"),
+                F.xxhash64(F.element_at(toks, i)).alias("ctx"),
+            ),
         ),
-    )
+    ).otherwise(F.array().cast("array<struct<bi:bigint,ctx:bigint>>"))
     doc_bi = (
         toked.select("doc_id", F.explode(bigrams).alias("b"))
         .select("doc_id", F.col("b.bi").alias("bi"), F.col("b.ctx").alias("ctx"))

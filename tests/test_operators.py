@@ -971,6 +971,14 @@ def test_growth_accounting_identity(spark):
             assert r.n_churned == dau[prev] - r.n_retained, r.day
             checked += 1
     assert checked > 0
+    # Right-censor clip (r5 advice): no phantom report day beyond the
+    # last OBSERVED day — final-day users are censored, not churned.
+    max_event_day = (
+        load_table(spark, SF, "events").agg(F.max(F.to_date("ts"))).first()[0]
+    )
+    assert max(r.day for r in rows) <= max_event_day
+    # the final observed day still appears (with its new/retained rows)
+    assert any(r.day == max_event_day for r in rows)
 
 
 def test_user_stickiness_monotone_and_consistent_with_wau(spark):

@@ -179,3 +179,79 @@ def test_ngram_containment_bounds_and_detects_planted_subset(spark, tmp_path):
     assert pair is not None, "planted subset pair not detected"
     assert pair.containment_b_in_a == 1.0  # the quote is fully inside
     assert pair.containment_a_in_b < 0.25  # and Jaccard-style symmetry fails
+
+
+def _docs_only_con(parquet_path):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{parquet_path}')"
+    )
+    return con
+
+
+def test_ngram_pairs_survive_sub_ngram_docs(spark, tmp_path):
+    """Regression (r5 advice): docs with fewer than NGRAM_N tokens made
+    sequence(1, size-2) count DOWN to [1, 0] and slice(toks, 0, 3) throw
+    on Spark, while DuckDB's range() returned an empty list — a runtime
+    crash AND an engine divergence. Both ngram pair entries must now run
+    on a corpus with 0/1/2-token docs and value-match the DuckDB dual."""
+    import pandas as pd
+
+    from mlb_win_predictor_spark.queries.text import (
+        NGRAM_CONTAINMENT_SQL,
+        NGRAM_JACCARD_SQL,
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+    from tests.oracle import compare
+
+    base = load_table(spark, SF, "documents").toPandas()
+    shorts = pd.DataFrame(
+        {
+            "doc_id": [190, 191, 192, 193],
+            "text": ["", "one", "two tokens", "now three tokens"],
+            "lang": ["en"] * 4,
+            "source": ["t"] * 4,
+            "n_chars": [0, 3, 10, 16],
+        }
+    )
+    planted = pd.concat([base[~base.doc_id.isin(shorts.doc_id)], shorts])
+    p = str(tmp_path / "documents.parquet")
+    planted.to_parquet(p, index=False)
+    con = _docs_only_con(p)
+    compare(ngram_jaccard_pairs(spark, str(tmp_path)), con, NGRAM_JACCARD_SQL)
+    compare(ngram_containment_pairs(spark, str(tmp_path)), con, NGRAM_CONTAINMENT_SQL)
+
+
+def test_bigram_logprob_survives_single_token_docs(spark, tmp_path):
+    """Regression (r5): a 1-token doc must yield no bigrams (and drop from
+    the report) rather than crash the map-side bigram transform; the
+    DuckDB dual (generate_series(1,0) = empty) must still value-match."""
+    import pandas as pd
+
+    from mlb_win_predictor_spark.queries.text import (
+        BIGRAM_LOGPROB_SQL,
+        bigram_logprob_quality,
+    )
+    from tests.oracle import compare
+
+    base = load_table(spark, SF, "documents").toPandas()
+    shorts = pd.DataFrame(
+        {
+            "doc_id": [990001, 990002],
+            "text": ["solo", "pair up"],
+            "lang": ["en"] * 2,
+            "source": ["t"] * 2,
+            "n_chars": [4, 7],
+        }
+    )
+    planted = pd.concat([base, shorts])
+    p = str(tmp_path / "documents.parquet")
+    planted.to_parquet(p, index=False)
+    con = _docs_only_con(p)
+    out = bigram_logprob_quality(spark, str(tmp_path))
+    assert out.filter(F.col("doc_id") == 990001).count() == 0  # no bigrams
+    assert out.filter(F.col("doc_id") == 990002).count() == 1
+    compare(out, con, BIGRAM_LOGPROB_SQL)
