@@ -29,14 +29,18 @@ def ngram_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
     at sf0.1 — see SCALE.md, queries/text.py::_word_ngrams)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     staged = df.withColumn("_toks", toks)
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(
-                F.lit(1), F.greatest(F.size(F.col("_toks")) - (n - 1), F.lit(0))
-            ),
-            lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n)),
-        )
-    )
+    # guard: for docs with < n tokens, sequence(1, size-n+1) would count
+    # DOWN (start > stop steps -1) and slice(toks, 0, n) throws — emit an
+    # empty array instead (the doc is then dropped by the size filter).
+    shingles = F.when(
+        F.size(F.col("_toks")) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(F.col("_toks")) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         staged.withColumn("shingles", shingles)
         .drop("_toks")
@@ -171,6 +175,38 @@ def minhash_banded_pairs(
     # corpus scale; persisting the signature table to storage is the
     # 100 TB pattern).
     sh = sh.persist()
+    cand = band_candidate_pairs(
+        sh, id_col, num_hashes=num_hashes, bands=bands, seed=seed
+    )
+    sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select("id_a", "id_b", (inter / union).alias("jaccard"))
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+
+
+def band_candidate_pairs(
+    sh: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Distinct (id_a, id_b) candidate pairs from classic LSH banding over
+    hashed shingle sets ``sh`` (columns: id, ``shingles`` array<long>) —
+    the candidate-generation half of ``minhash_banded_pairs``, factored
+    out so other re-checks (containment) can ride the same banding."""
+    r = num_hashes // bands
+    if bands * r != num_hashes:
+        raise ValueError("num_hashes must be divisible by bands")
+    # persist: the signature table feeds BOTH sides of the band self-join
+    # (num_docs x num_hashes longs — bounded; same discipline as
+    # minhash_banded_pairs, whose candidate half this is)
     mins = minhash_signatures(sh, id_col, num_hashes=num_hashes, seed=seed).persist()
     band_cols = [
         F.xxhash64(F.array(*[F.col(f"h{j * r + k}") for k in range(r)]))
@@ -180,7 +216,7 @@ def minhash_banded_pairs(
         F.col(id_col),
         F.posexplode(F.array(*band_cols)).alias("band_idx", "band_sig"),
     )
-    cand = (
+    return (
         band_rows.alias("a")
         .join(
             band_rows.alias("b"),
@@ -193,15 +229,98 @@ def minhash_banded_pairs(
         )
         .distinct()
     )
+
+
+def containment_banded_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+    bottom_k: int = 16,
+    max_bucket: int = 64,
+    containment_threshold: float = 0.8,
+) -> DataFrame:
+    """ASYMMETRIC containment dedup at corpus scale — the executed 100 TB
+    path that replaces the exact entry's ``doc_id < cap`` bound
+    (queries/text.py::ngram_containment_pairs names this as its scale
+    path). Candidates come from TWO bounded generators, then one exact
+    containment re-check, so precision is exact and only recall is
+    approximate:
+
+    1. **Banded MinHash** (``band_candidate_pairs``): catches pairs with
+       moderate-to-high Jaccard. Banding alone is NOT enough for
+       containment's motivating case — a short doc quoted inside a long
+       one has containment 1.0 but Jaccard ≈ |A|/|B|, and MinHash
+       band-collision probability collapses with Jaccard.
+    2. **Bottom-k sketch postings**: each doc posts its ``bottom_k``
+       smallest shingle hashes; a candidate is any two docs sharing a
+       posted hash. For A ⊂ B the shared shingles are uniformly ranked
+       within BOTH docs' hash orders, so P(some shared shingle lands in
+       both bottom-k sketches) stays high even when |B| >> |A|
+       (hypergeometric: 1 - C(|B|-|A∩B|, k)/C(|B|, k)-ish — ~0.95 for a
+       10-shingle quote in a 60-shingle doc at k=16). Hot buckets
+       (boilerplate grams posted by > ``max_bucket`` docs) are dropped
+       before the self-join: they carry no containment signal and would
+       make the bucket quadratic — the same high-DF cut every
+       inverted-index join applies (PPJoin's df-ordering, CCNet's
+       hash-range sharding). Shuffle is <= bottom_k rows/doc; join cost
+       tracks collisions, never n².
+
+    Returns the exact entry's schema (doc_a, doc_b, n_shared,
+    containment_a_in_b, containment_b_in_a), pairs kept when EITHER
+    direction >= threshold over the candidate set."""
+    sh = ngram_shingles(docs.select(id_col, text_col), text_col, n).select(
+        id_col,
+        F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
+    )
+    # one corpus-scale projection feeds the signatures, the bottom-k
+    # postings, and both sides of the re-check (persist: measured 3x on
+    # the banded path; the 100 TB pattern is persisting this to storage)
+    sh = sh.persist()
+    cand_band = band_candidate_pairs(
+        sh, id_col, num_hashes=num_hashes, bands=bands, seed=seed
+    )
+    posts = sh.select(
+        F.col(id_col),
+        F.explode(F.slice(F.array_sort("shingles"), 1, bottom_k)).alias("g"),
+    )
+    cold = posts.groupBy("g").agg(F.count(F.lit(1)).alias("df_g")).filter(
+        F.col("df_g") <= max_bucket
+    )
+    posts = posts.join(cold.select("g"), "g")
+    cand_bk = (
+        posts.alias("a")
+        .join(
+            posts.alias("b"),
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+    cand = cand_band.unionByName(cand_bk).distinct()
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
-        .select("id_a", "id_b", (inter / union).alias("jaccard"))
-        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            inter.cast("long").alias("n_shared"),
+            (inter.cast("double") / F.size("sh_a")).alias("containment_a_in_b"),
+            (inter.cast("double") / F.size("sh_b")).alias("containment_b_in_a"),
+        )
+        .filter(
+            (F.col("containment_a_in_b") >= containment_threshold)
+            | (F.col("containment_b_in_a") >= containment_threshold)
+        )
     )
 
 

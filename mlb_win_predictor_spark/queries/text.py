@@ -471,7 +471,9 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-shingle equi-join as ``ngram_jaccard_pairs`` (one plan
     difference: the denominator is per-side, so both directions come
     from the same n_shared agg — no second join). Scale path: the
-    banded-MinHash candidates feed the same containment re-check."""
+    banded-MinHash + bottom-k candidates feed the same containment
+    re-check in ``ngram_containment_banded`` (the executed, uncapped
+    catalog entry — operators/dedup.py::containment_banded_pairs)."""
     d = (
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < NGRAM_DOC_CAP)
@@ -542,6 +544,24 @@ WHERE (ROUND(CAST(n_shared AS DOUBLE) / sa.n_sh * 1e6) / 1e6) >= {CONTAINMENT_TH
 """
 
 
+def ngram_containment_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB containment path, EXECUTED and uncapped: banded-MinHash
+    + bottom-k-sketch candidate pairs fed into the exact containment
+    re-check over the WHOLE documents table — no ``doc_id < cap`` bound
+    (what ``ngram_containment_pairs`` uses to stay exact-oracle-sized).
+    Shuffle is bands + bottom_k rows/doc; every emitted pair is exact at
+    the threshold, banding/sketching only bound recall (gated >= 0.9 on
+    planted containment pairs, tests/test_operators.py). Rows-only entry:
+    xxhash64-seeded MinHash isn't SQL-expressible; the exact capped entry
+    is the value-hashed oracle for the shared containment formula."""
+    from ..operators.dedup import containment_banded_pairs
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    return containment_banded_pairs(
+        d,
+        n=NGRAM_N,
+        containment_threshold=CONTAINMENT_THRESHOLD,
+    )
 
 
 def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1881,6 +1901,152 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+JM_LAMBDA = 0.7
+
+
+def _interpolated_logprob(
+    spark: SparkSession, sf_dir: str, lam: float, split: bool
+) -> DataFrame:
+    """Shared engine for ``interpolated_logprob_quality`` and its
+    reduction property tests (λ=1 → the bigram entry, λ=0 → unigram
+    probabilities over the same transitions). ``split=True`` trains on
+    even doc_ids and scores odd ones (split-half held-out, so unseen
+    bigrams/words actually occur and smoothing + the OOV floor are
+    exercised); ``split=False`` trains and scores on the full corpus
+    (the reduction-test configuration, where every scored event is in
+    the model and the floor provably never binds)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toked = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    train = toked.filter(F.col("doc_id") % 2 == 0) if split else toked
+    score = toked.filter(F.col("doc_id") % 2 == 1) if split else toked
+    toks = F.col("toks")
+    # map-side transition structs, same 8-byte-key discipline as the
+    # bigram entry (bi = hash(u,w), ctx = hash(u)) plus tgt = hash(w)
+    # for the unigram join; guarded for 1-token docs.
+    trans = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.struct(
+                F.xxhash64(F.element_at(toks, i), F.element_at(toks, i + 1)).alias("bi"),
+                F.xxhash64(F.element_at(toks, i)).alias("ctx"),
+                F.xxhash64(F.element_at(toks, i + 1)).alias("tgt"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<bi:bigint,ctx:bigint,tgt:bigint>>"))
+    # model: bigram + context counts from train transitions (context from
+    # the same agg, no rescan), unigram counts from ALL train tokens
+    tr_bi = (
+        train.select(F.explode(trans).alias("t"))
+        .groupBy(F.col("t.bi").alias("bi"))
+        .agg(F.count(F.lit(1)).alias("c_bi"), F.first("t.ctx").alias("ctx"))
+    )
+    c_ctx = tr_bi.groupBy("ctx").agg(F.sum("c_bi").alias("c_ctx"))
+    c_uni = (
+        train.select(
+            F.explode(F.transform(toks, lambda w: F.xxhash64(w))).alias("tgt")
+        )
+        .groupBy("tgt")
+        .agg(F.count(F.lit(1)).alias("c_w"))
+    )
+    tot = c_uni.agg(F.sum("c_w").cast("double").alias("n_total"))
+    doc_bi = (
+        score.select("doc_id", F.explode(trans).alias("t"))
+        .groupBy("doc_id", "t.bi", "t.ctx", "t.tgt")
+        .agg(F.count(F.lit(1)).alias("k"))
+    )
+    # Jelinek-Mercer mix with an OOV floor of 0.5/N: when both terms are
+    # unseen P would be 0 (ln → -inf); the floor is strictly below every
+    # attainable model probability (>= 1/N), so it binds ONLY for true
+    # OOV events and the λ=1 / λ=0 reductions stay exact.
+    p_bi = F.col("c_bi").cast("double") / F.col("c_ctx").cast("double")
+    p_uni = F.col("c_w").cast("double") / F.col("n_total")
+    p = F.greatest(
+        F.lit(lam) * F.coalesce(p_bi, F.lit(0.0))
+        + F.lit(1.0 - lam) * F.coalesce(p_uni, F.lit(0.0)),
+        F.lit(0.5) / F.col("n_total"),
+    )
+    return (
+        doc_bi.join(tr_bi.select("bi", "c_bi"), "bi", "left")
+        .join(c_ctx, "ctx", "left")
+        .join(c_uni, "tgt", "left")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("_nll", F.col("k").cast("double") * -F.log(p))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_bigrams"),
+            stable_round(
+                F.sum("_nll") / F.sum("k").cast("double"), 6
+            ).alias("avg_nll"),
+        )
+    )
+
+
+def interpolated_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolated bigram↔unigram LM quality scoring —
+    the held-out step from ``bigram_logprob_quality`` toward CCNet-style
+    KenLM perplexity filtering: docs are scored against a model built
+    from OTHER documents (train = even doc_ids, score = odd), so unseen
+    bigrams genuinely occur and the smoothing does real work:
+    ``P(w|u) = λ·c_bi(u,w)/c_ctx(u) + (1−λ)·c_w/N`` (λ={lam}), floored
+    at 0.5/N for OOV targets. Per scored doc: transition count and
+    average negative log-prob, rounded 6dp.
+
+    Plan shape is the bigram entry's: map-side transition build (no
+    window/positions shuffle), xxhash64 long keys everywhere, model
+    derived from one train-side agg, three LEFT hash joins back to the
+    scored transitions, one broadcast 1-row total. Property tests pin
+    the reductions: λ=1 on a shared train/score corpus equals the
+    bigram entry exactly; λ=0 equals unigram probabilities over the
+    same transitions (tests/test_properties.py)."""
+    return _interpolated_logprob(spark, sf_dir, JM_LAMBDA, split=True)
+
+
+INTERPOLATED_LOGPROB_SQL = rf"""
+WITH toked AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks
+  FROM documents
+), train_bi AS (
+  SELECT toks[i] AS u, toks[i + 1] AS w
+  FROM toked, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+  WHERE doc_id % 2 = 0
+), c_bi AS (
+  SELECT u, w, COUNT(*) AS c_bi FROM train_bi GROUP BY 1, 2
+), c_ctx AS (
+  SELECT u, SUM(c_bi) AS c_ctx FROM c_bi GROUP BY 1
+), c_uni AS (
+  SELECT w, COUNT(*) AS c_w
+  FROM (SELECT UNNEST(toks) AS w FROM toked WHERE doc_id % 2 = 0)
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(c_w) AS DOUBLE) AS n_total FROM c_uni
+), score_bi AS (
+  SELECT doc_id, toks[i] AS u, toks[i + 1] AS w, COUNT(*) AS k
+  FROM toked, UNNEST(generate_series(1, len(toks) - 1)) AS g(i)
+  WHERE doc_id % 2 = 1 GROUP BY 1, 2, 3
+), scored AS (
+  SELECT doc_id, k,
+         GREATEST(
+           {JM_LAMBDA} * COALESCE(CAST(c_bi AS DOUBLE) / CAST(c_ctx AS DOUBLE), 0)
+           + {1.0 - JM_LAMBDA} * COALESCE(CAST(c_w AS DOUBLE) / n_total, 0),
+           0.5 / n_total
+         ) AS p
+  FROM score_bi
+  LEFT JOIN c_bi USING (u, w)
+  LEFT JOIN c_ctx USING (u)
+  LEFT JOIN c_uni USING (w)
+  CROSS JOIN tot
+)
+SELECT doc_id,
+       CAST(SUM(k) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(CAST(k AS DOUBLE) * -LN(p)) / CAST(SUM(k) AS DOUBLE) * 1e6) / 1e6
+         AS avg_nll
+FROM scored GROUP BY doc_id
+"""
+
+
 BIGRAM_LOGPROB_SQL = r"""
 WITH toked AS (
   SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks
@@ -2118,6 +2284,11 @@ QUERIES: dict[str, QueryDef] = {
         UNIGRAM_LOGPROB_SQL,
         "text: unigram-LM avg negative log-prob (perplexity-proxy filter)",
     ),
+    "interpolated_logprob_quality": QueryDef(
+        interpolated_logprob_quality,
+        INTERPOLATED_LOGPROB_SQL,
+        "text: Jelinek-Mercer bigram/unigram held-out LM scoring (split-half, OOV floor)",
+    ),
     "bigram_logprob_quality": QueryDef(
         bigram_logprob_quality,
         BIGRAM_LOGPROB_SQL,
@@ -2127,6 +2298,11 @@ QUERIES: dict[str, QueryDef] = {
         ngram_containment_pairs,
         NGRAM_CONTAINMENT_SQL,
         "dedup: asymmetric n-gram containment (quote/subset detection)",
+    ),
+    "ngram_containment_banded": QueryDef(
+        ngram_containment_banded,
+        None,
+        "dedup: containment via banded-MinHash + bottom-k candidates (uncapped scale path)",
     ),
     "quality_filter_funnel": QueryDef(
         quality_filter_funnel,

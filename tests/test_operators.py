@@ -108,6 +108,61 @@ def test_minhash_banded_pairs_match_exact_jaccard(spark, docs):
     assert all(abs(v - 1.0) < 1e-9 for k, v in got.items() if k in exact_expected)
 
 
+def test_containment_banded_recall_vs_exact(spark, docs, tmp_path):
+    """r4 verdict item #3: the uncapped scale path (banded MinHash +
+    bottom-k sketch candidates -> exact containment re-check) must find
+    >=90% of the >=-threshold pairs the exact capped entry finds on the
+    same domain — including planted quote-inside-long-doc pairs whose
+    Jaccard is far below any banding threshold (the case symmetric
+    MinHash alone structurally misses), and agree on the containment
+    values for every pair both paths emit."""
+    import pandas as pd
+
+    from mlb_win_predictor_spark.queries.text import (
+        ngram_containment_banded,
+        ngram_containment_pairs,
+    )
+
+    base = docs.toPandas()
+    rows = []
+    for p in range(10):
+        long_text = " ".join(f"p{p}w{i}" for i in range(60))
+        quote = " ".join(f"p{p}w{i}" for i in range(20, 32))  # 12-token excerpt
+        rows.append((100 + 2 * p, long_text))
+        rows.append((101 + 2 * p, quote))
+    planted = pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["t"] * len(rows),
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    )
+    corpus = pd.concat([base[base.doc_id < 100], planted])
+    corpus.to_parquet(str(tmp_path / "documents.parquet"), index=False)
+
+    exact = {
+        (r.doc_a, r.doc_b): (r.containment_a_in_b, r.containment_b_in_a)
+        for r in ngram_containment_pairs(spark, str(tmp_path)).collect()
+    }
+    banded = {
+        (r.doc_a, r.doc_b): (r.containment_a_in_b, r.containment_b_in_a)
+        for r in ngram_containment_banded(spark, str(tmp_path)).collect()
+    }
+    planted_pairs = {(100 + 2 * p, 101 + 2 * p) for p in range(10)}
+    assert planted_pairs <= set(exact), "exact entry must see every planted pair"
+    planted_recall = len(planted_pairs & set(banded)) / len(planted_pairs)
+    assert planted_recall >= 0.9, f"planted containment recall {planted_recall}"
+    overall_recall = len(set(exact) & set(banded)) / len(exact)
+    assert overall_recall >= 0.9, f"recall vs exact {overall_recall}"
+    # precision is exact: values agree wherever both paths emit the pair
+    # (exact entry rounds 6dp; banded is unrounded)
+    for k in set(exact) & set(banded):
+        assert abs(exact[k][0] - banded[k][0]) < 1e-6, k
+        assert abs(exact[k][1] - banded[k][1]) < 1e-6, k
+
+
 def test_minhash_deterministic(spark, docs):
     p1 = minhash_neardup_pairs(docs.limit(100), jaccard_dist_threshold=0.95).collect()
     p2 = minhash_neardup_pairs(docs.limit(100), jaccard_dist_threshold=0.95).collect()
