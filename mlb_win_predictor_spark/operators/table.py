@@ -24,10 +24,18 @@ Invariants (same scheme as ``streaming.jobs._apply_versioned_epoch``):
 - Readers resolve the latest *committed* version at plan time, so a
   long-running read of N is unaffected by N+1 landing mid-query
   (snapshot isolation; parquet files are never mutated in place).
-- Single-writer by assumption: two concurrent writers could both target
-  N+1. Multi-writer needs a compare-and-swap on the marker (object-store
-  conditional put / a lock service) — exactly the piece Delta's
-  transaction log adds; documented as out of scope, like SURVEY §7 notes.
+- **Optimistic concurrency** (the piece Delta's transaction log adds,
+  reduced to a filesystem CAS): each writer stages its snapshot under a
+  UNIQUE ``_staged/`` dir (attempts never clobber each other), then
+  publishes via directory rename + exclusive-create (``open(..., "x")``)
+  of the marker — the commit point. A writer that raced a competing
+  commit for the same version gets ``ConcurrentCommitError`` (retryable:
+  re-read the NEW snapshot, recompute, commit N+2) instead of silently
+  clobbering or interleaving. An orphaned version dir WITHOUT a marker
+  (a writer that crashed between rename and marker) is reclaimed by the
+  next attempt — indistinguishable on a local fs from a live writer in
+  that vanishing window; object stores close it with conditional put,
+  which is exactly where this maps at 100 TB.
 
 Scale: MERGE is one full-outer shuffle join of snapshot x delta on the
 merge key — the same plan Delta executes for a full-table merge. For
@@ -38,6 +46,7 @@ reference's overwrite did too.
 
 from __future__ import annotations
 
+import itertools
 import os
 import shutil
 from functools import reduce
@@ -47,11 +56,19 @@ from pyspark.sql import functions as F
 
 PRESENCE = "_src_present"
 
+_ATTEMPT_COUNTER = itertools.count()
+
+
+class ConcurrentCommitError(RuntimeError):
+    """A competing writer committed this version first. Retryable: re-read
+    the latest snapshot, recompute the merge, and commit the next version."""
+
 
 class VersionedTable:
     def __init__(self, path: str):
         self.path = path
         self._commits = os.path.join(path, "_commits")
+        self._staging = os.path.join(path, "_staged")
 
     # ------------------------------------------------------------- metadata
     def committed_versions(self) -> list[int]:
@@ -77,23 +94,74 @@ class VersionedTable:
         return spark.read.parquet(os.path.join(self.path, f"v={version}"))
 
     # --------------------------------------------------------------- writes
-    def _commit(self, version: int) -> None:
+    def _stage_dir(self, version: int) -> str:
+        """Unique per-attempt staging dir: concurrent writers never write
+        into the same directory, so a losing attempt can't corrupt the
+        winner's published data (the reason Delta writes uniquely-named
+        data files before its log CAS)."""
+        return os.path.join(
+            self._staging, f"v{version}-{os.getpid()}-{next(_ATTEMPT_COUNTER)}"
+        )
+
+    def _publish(self, staged: str, version: int) -> int:
+        """Atomically publish a fully-staged snapshot as ``version``.
+
+        CAS discipline: the marker is created with O_EXCL (``open "x"``) —
+        exactly one writer per version can succeed; every other path
+        raises ``ConcurrentCommitError`` and removes its own staging only.
+        A version dir WITHOUT a marker is a crashed writer's orphan and is
+        reclaimed (rmtree + rename); the pre-rename marker check keeps
+        that reclaim from racing a committed competitor."""
+        final = os.path.join(self.path, f"v={version}")
+        marker = os.path.join(self._commits, str(version))
+
+        def _lose(msg: str) -> ConcurrentCommitError:
+            shutil.rmtree(staged, ignore_errors=True)
+            return ConcurrentCommitError(
+                f"version {version} at {self.path}: {msg}; re-read the new "
+                "snapshot and retry the merge"
+            )
+
+        if os.path.exists(marker):
+            raise _lose("a competing writer committed first")
+        try:
+            os.rename(staged, final)
+        except OSError:
+            # final dir exists: committed competitor, or an orphan from a
+            # crashed writer (data renamed, marker never created)
+            if os.path.exists(marker):
+                raise _lose("a competing writer committed first")
+            shutil.rmtree(final, ignore_errors=True)
+            try:
+                os.rename(staged, final)
+            except OSError:
+                raise _lose("lost the publish race")
         os.makedirs(self._commits, exist_ok=True)
-        tmp = os.path.join(self._commits, f".tmp-{version}")
-        with open(tmp, "w"):
-            pass
-        os.replace(tmp, os.path.join(self._commits, str(version)))
+        try:
+            with open(marker, "x"):
+                pass
+        except FileExistsError:
+            raise _lose("a competing writer committed first")
+        return version
 
     def init(self, df: DataFrame) -> int:
         """Create version 0 from ``df`` (fails if the table exists)."""
         if self.committed_versions():
             raise FileExistsError(f"table already initialized at {self.path}")
-        df.write.mode("overwrite").parquet(os.path.join(self.path, "v=0"))
-        self._commit(0)
+        staged = self._stage_dir(0)
+        df.write.mode("overwrite").parquet(staged)
+        try:
+            self._publish(staged, 0)
+        except ConcurrentCommitError:
+            raise FileExistsError(f"table already initialized at {self.path}")
         return 0
 
     def merge(
-        self, source: DataFrame, keys: list[str], merge_schema: bool = False
+        self,
+        source: DataFrame,
+        keys: list[str],
+        merge_schema: bool = False,
+        expected_base: int | None = None,
     ) -> int:
         """MERGE INTO: rows matching on ``keys`` are replaced by the
         source row (WHEN MATCHED THEN UPDATE SET *), unmatched source
@@ -111,9 +179,22 @@ class VersionedTable:
         schema (nullable); target columns absent from the source keep
         their value on matched/unmatched rows and are null on inserts.
         Old snapshots are immutable files, so time-travel to a
-        pre-evolution version still reads the old schema."""
+        pre-evolution version still reads the old schema.
+
+        ``expected_base`` pins the snapshot this delta was computed
+        against (Delta's read-version in its conflict check): if another
+        writer committed in between, the merge raises
+        ``ConcurrentCommitError`` BEFORE writing anything, and the caller
+        retries against the new snapshot. Without it the merge targets
+        whatever is latest at call time, and only the publish-time marker
+        CAS guards the same-version race."""
         spark = source.sparkSession
         base = self.latest_version()
+        if expected_base is not None and base != expected_base:
+            raise ConcurrentCommitError(
+                f"snapshot moved: expected base {expected_base}, latest is "
+                f"{base} at {self.path}; re-read the new snapshot and retry"
+            )
         if base is None:
             return self.init(source)
         target = self.read(spark, base)
@@ -164,11 +245,12 @@ class VersionedTable:
             *[F.col(f"s.{c}").alias(c) for c in new_cols],
         )
         new = base + 1
-        # data first (overwrite clobbers any orphan from a crashed try),
-        # marker last: the only publish point.
-        merged.write.mode("overwrite").parquet(os.path.join(self.path, f"v={new}"))
-        self._commit(new)
-        return new
+        # data first into a UNIQUE staging dir, then CAS-publish: the only
+        # publish point is the exclusive marker create; a competing commit
+        # of the same version raises ConcurrentCommitError (retryable).
+        staged = self._stage_dir(new)
+        merged.write.mode("overwrite").parquet(staged)
+        return self._publish(staged, new)
 
     def delete_where(self, spark: SparkSession, condition) -> int:
         """DELETE FROM ... WHERE: new version without matching rows."""
@@ -177,21 +259,24 @@ class VersionedTable:
             raise FileNotFoundError(f"no committed version at {self.path}")
         kept = self.read(spark, base).filter(~condition)
         new = base + 1
-        kept.write.mode("overwrite").parquet(os.path.join(self.path, f"v={new}"))
-        self._commit(new)
-        return new
+        staged = self._stage_dir(new)
+        kept.write.mode("overwrite").parquet(staged)
+        return self._publish(staged, new)
 
     # ------------------------------------------------------------- cleanup
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Drop all snapshot dirs except the last ``keep_last`` committed
-        versions (crash-orphaned uncommitted dirs included — single-writer,
-        so nothing can be mid-flight when vacuum runs). Returns the
+        versions (crash-orphaned uncommitted dirs included), plus any
+        leftover ``_staged/`` attempt dirs from crashed or conflicted
+        writers. Vacuum assumes no LIVE writer is mid-flight (the same
+        contract as Delta's VACUUM retention window). Returns the
         versions removed."""
         committed = self.committed_versions()
         keep = set(committed[-keep_last:]) if keep_last > 0 else set()
         removed = []
         if not os.path.isdir(self.path):
             return removed
+        shutil.rmtree(self._staging, ignore_errors=True)
         for d in os.listdir(self.path):
             # mirror committed_versions()'s isdigit filter: a stray
             # `v=1.bak` / editor temp dir must not abort the vacuum

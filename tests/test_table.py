@@ -202,3 +202,92 @@ def test_merge_retry_is_idempotent(spark, tmp_path, base_df):
     t.merge(delta, keys=["k"])  # blind retry
     assert _rows(t.read(spark)) == once
     assert t.committed_versions() == [0, 1, 2]
+
+
+def test_concurrent_merge_loser_raises_and_retry_succeeds(spark, tmp_path, base_df):
+    """r4 verdict item #4 (optimistic concurrency): two writers compute
+    deltas against the SAME snapshot; the second to commit must raise a
+    retryable ConcurrentCommitError instead of silently clobbering, and
+    its retry against the new snapshot must land BOTH writers' changes.
+    Old snapshots still time-travel."""
+    from mlb_win_predictor_spark.operators.table import ConcurrentCommitError
+
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.init(base_df)
+    snap = t.latest_version()
+    delta_a = spark.createDataFrame([(1, 111.0, "A")], "k int, bal double, tag string")
+    delta_b = spark.createDataFrame([(2, 222.0, "B")], "k int, bal double, tag string")
+    # writer A commits first against the shared snapshot
+    assert t.merge(delta_a, keys=["k"], expected_base=snap) == 1
+    # writer B's commit against the now-stale snapshot must LOSE, loudly
+    with pytest.raises(ConcurrentCommitError):
+        t.merge(delta_b, keys=["k"], expected_base=snap)
+    assert t.committed_versions() == [0, 1]  # no torn/phantom version
+    # retry on the new snapshot succeeds and preserves A's write
+    assert t.merge(delta_b, keys=["k"], expected_base=t.latest_version()) == 2
+    assert _rows(t.read(spark)) == [(1, 111.0, "A"), (2, 222.0, "B"), (3, 30.0, "c")]
+    # time travel: both earlier snapshots intact
+    assert _rows(t.read(spark, version=0)) == _rows(base_df)
+    assert _rows(t.read(spark, version=1)) == [
+        (1, 111.0, "A"),
+        (2, 20.0, "b"),
+        (3, 30.0, "c"),
+    ]
+
+
+def test_concurrent_merge_marker_cas_under_true_parallelism(spark, tmp_path, base_df):
+    """Same-version race with REAL thread interleaving: both writers pin
+    the same expected_base and run concurrently; exactly one commit wins
+    the marker CAS, the loser raises, and the table never contains a
+    mix of the two snapshots."""
+    import threading
+
+    from mlb_win_predictor_spark.operators.table import ConcurrentCommitError
+
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.init(base_df)
+    deltas = {
+        "a": spark.createDataFrame([(1, 111.0, "A")], "k int, bal double, tag string"),
+        "b": spark.createDataFrame([(2, 222.0, "B")], "k int, bal double, tag string"),
+    }
+    results: dict[str, object] = {}
+
+    def worker(name):
+        try:
+            results[name] = t.merge(deltas[name], keys=["k"], expected_base=0)
+        except ConcurrentCommitError as e:
+            results[name] = e
+
+    threads = [threading.Thread(target=worker, args=(n,)) for n in deltas]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    winners = [n for n, r in results.items() if isinstance(r, int)]
+    losers = [n for n, r in results.items() if not isinstance(r, int)]
+    assert len(winners) == 1 and len(losers) == 1, results
+    assert results[winners[0]] == 1
+    assert t.committed_versions() == [0, 1]
+    # v1 is EXACTLY base + winner's delta — no interleaved/mixed rows
+    got = _rows(t.read(spark))
+    want = {
+        "a": [(1, 111.0, "A"), (2, 20.0, "b"), (3, 30.0, "c")],
+        "b": [(1, 10.0, "a"), (2, 222.0, "B"), (3, 30.0, "c")],
+    }[winners[0]]
+    assert got == want
+    # loser retries cleanly on the new snapshot
+    assert t.merge(deltas[losers[0]], keys=["k"], expected_base=1) == 2
+    assert _rows(t.read(spark)) == [(1, 111.0, "A"), (2, 222.0, "B"), (3, 30.0, "c")]
+
+
+def test_vacuum_clears_stale_staging(spark, tmp_path, base_df):
+    """Conflicted/crashed attempts leave _staged dirs; vacuum removes
+    them along with old snapshots."""
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.init(base_df)
+    stale = tmp_path / "tbl" / "_staged" / "v1-999-0"
+    os.makedirs(str(stale), exist_ok=True)
+    (stale / "part-junk.parquet").write_text("x")
+    t.vacuum(keep_last=1)
+    assert not os.path.isdir(str(tmp_path / "tbl" / "_staged"))
+    assert t.latest_version() == 0
