@@ -95,13 +95,21 @@ def ml_knn_lsh_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the reference's FULL GridSearchCV grid (modeling/modeling.ipynb:626):
+# n_neighbors = [1, 2, 3, 5, 8, 13, 21, 34, 45, 79]
+REFERENCE_K_GRID = [1, 2, 3, 5, 8, 13, 21, 34, 45, 79]
+
+
 def ml_knn_k_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M6 — the reference's n_neighbors GRID as a leaderboard (GridSearchCV
-    over k ∈ {1,...,79}, modeling/modeling.ipynb:617-635): validation
-    accuracy per k from ``ml.knn.knn_select_k``, which ranks neighbors
-    ONCE at max(k) (one LSH bucket join, cached val×max_k pairs) and
-    derives every k's vote from the same ranking — the whole grid costs
-    one corpus pass + a bounded agg per grid point. Deterministic
+    over its full 10-point grid {1,2,3,5,8,13,21,34,45,79},
+    modeling/modeling.ipynb:617-635): validation accuracy per k from
+    ``ml.knn.knn_select_k``, which ranks neighbors ONCE at max(k)=79
+    (one LSH bucket join, cached val×max_k pairs) and derives every k's
+    vote from the same ranking — the whole grid costs one corpus pass +
+    a bounded agg per grid point, so the 10-point grid is barely
+    costlier than 5 (plan-pinned: tests/test_plans.py asserts the per-k
+    vote reads the cached ranking, not a fresh LSH join). Deterministic
     (seeded LSH, tie-broken votes) ⇒ stable rows; not SQL-expressible
     (iterative model selection), so rows-only."""
     from ..ml.knn import knn_select_k
@@ -109,7 +117,7 @@ def ml_knn_k_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = _emb_features(spark, sf_dir)
     val = df.filter(F.col("vec_id") % 10 == 0)
     train = df.filter(F.col("vec_id") % 10 != 0)
-    best_k, board = knn_select_k(train, val, k_grid=[1, 3, 5, 7, 9])
+    best_k, board = knn_select_k(train, val, k_grid=REFERENCE_K_GRID)
     return spark.createDataFrame(
         [(int(k), float(a), int(k == best_k)) for k, a in board],
         "k int, accuracy double, is_best int",

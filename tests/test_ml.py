@@ -261,17 +261,17 @@ def test_knn_select_k_finds_planted_best_k(spark):
 
 
 def test_knn_select_k_reference_grid_shape(spark):
-    """Reference-grid faithfulness (modeling.ipynb:626 sweeps odd k):
-    an odd grid 1..15 over the embeddings split returns one accuracy per
-    k from ONE ranking, all within [0,1], and best_k is a grid member
-    achieving the max accuracy."""
+    """Reference-grid faithfulness (modeling.ipynb:626): the reference's
+    FULL 10-point grid {1,2,3,5,8,13,21,34,45,79} over the embeddings
+    split returns one accuracy per k from ONE ranking, all within [0,1],
+    and best_k is a grid member achieving the max accuracy."""
     from mlb_win_predictor_spark.ml.knn import knn_select_k
-    from mlb_win_predictor_spark.queries.ml import _emb_features
+    from mlb_win_predictor_spark.queries.ml import REFERENCE_K_GRID, _emb_features
 
     df = _emb_features(spark, "/root/testdata/sf0.001")
     val = df.filter(F.col("vec_id") % 10 == 0)
     train = df.filter(F.col("vec_id") % 10 != 0)
-    grid = list(range(1, 16, 2))
+    grid = REFERENCE_K_GRID
     best_k, board = knn_select_k(train, val, k_grid=grid)
     assert [k for k, _ in board] == grid
     assert all(0.0 <= a <= 1.0 for _, a in board)

@@ -403,3 +403,36 @@ def test_new_entry_plan_shapes(plans):
     assert len(re.findall(r"\(\d+\) Scan parquet\b", plans["duplicated_span_dedup"])) == 1
     # hybrid_search_rrf: pools via distributed top-k, never a global sort
     assert "TakeOrderedAndProject" in plans["hybrid_search_rrf"]
+
+
+def test_knn_grid_vote_reuses_cached_neighbor_join(spark):
+    """r4 verdict item #6: the 10-point reference k-grid must pay for the
+    LSH neighbor join ONCE — each per-k vote's plan reads the cached
+    ranking (InMemoryTableScan), never a fresh parquet scan or LSH
+    bucket join. This mirrors knn_select_k's internals exactly
+    (rank at max(k), cache, filter rn <= k per grid point)."""
+    from pyspark.sql import functions as F
+
+    from mlb_win_predictor_spark.ml.knn import _ranked_neighbors, _vote
+    from mlb_win_predictor_spark.queries.ml import REFERENCE_K_GRID, _emb_features
+
+    df = _emb_features(spark, SF)
+    val = df.filter(F.col("vec_id") % 10 == 0)
+    train = df.filter(F.col("vec_id") % 10 != 0)
+    ranked = _ranked_neighbors(
+        train, val, max(REFERENCE_K_GRID), "features_arr", "label", "vec_id",
+        2.0, 3, 42,
+    ).cache()
+    try:
+        ranked.count()  # populate the cache, as knn_select_k does
+        p = plan_of(_vote(ranked.filter(F.col("rn") <= 5)))
+        assert "InMemoryTableScan" in p, p
+        # formatted explain prints the CACHED BUILD plan nested under
+        # InMemoryRelation — only the nodes ABOVE it are what the vote
+        # actually executes; they must hold no parquet re-scan and no
+        # Generate (the LSH hash-array explode of the bucket join)
+        above_cache = p.split("InMemoryRelation")[0]
+        assert "parquet" not in above_cache.lower(), "vote re-scanned the source"
+        assert "Generate" not in above_cache, "vote re-ran the LSH bucket join"
+    finally:
+        ranked.unpersist()

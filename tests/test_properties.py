@@ -165,3 +165,86 @@ def test_span_family_planted_passage_exact(spark, L, off_a, off_b):
             assert 0 < r.kept_frac <= 1.0 and r.removed_tokens < r.n_tokens
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_interpolated_lm_reduces_to_bigram_at_lambda_one(spark):
+    """JM reduction (r4 verdict item #5): with train == score == full
+    corpus and λ=1, the interpolated scorer must equal the bigram entry
+    EXACTLY (same docs, same n_bigrams, avg_nll to rounding) — every
+    scored bigram is in the model, so the mix collapses to c_bi/c_ctx
+    and the OOV floor provably never binds."""
+    from mlb_win_predictor_spark.queries.text import (
+        _interpolated_logprob,
+        bigram_logprob_quality,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_nll)
+        for r in _interpolated_logprob(spark, sf, 1.0, split=False).collect()
+    }
+    want = {
+        r.doc_id: (r.n_bigrams, r.avg_nll)
+        for r in bigram_logprob_quality(spark, sf).collect()
+    }
+    assert got.keys() == want.keys()
+    for d in want:
+        assert got[d][0] == want[d][0], d
+        assert abs(got[d][1] - want[d][1]) <= 1e-6, (d, got[d], want[d])
+
+
+def test_interpolated_lm_reduces_to_unigram_at_lambda_zero(spark):
+    """With train == score == full corpus and λ=0, every transition is
+    scored by its target's unigram probability. Tied to the unigram
+    ENTRY output algebraically: the unigram entry scores ALL tokens
+    while transitions exclude each doc's first token, so per doc
+    ``avg_nll_uni * n_tokens − avg_nll_jm0 * (n−1) = −ln(c(w1)/N)``."""
+    import duckdb
+    import math
+
+    from mlb_win_predictor_spark.queries.text import (
+        _interpolated_logprob,
+        unigram_logprob_quality,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    jm0 = {
+        r.doc_id: (r.n_bigrams, r.avg_nll)
+        for r in _interpolated_logprob(spark, sf, 0.0, split=False).collect()
+    }
+    uni = {
+        r.doc_id: (r.n_tokens, r.avg_nll)
+        for r in unigram_logprob_quality(spark, sf).collect()
+    }
+    # first-token unigram surprisal per doc, computed independently
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    first = dict(
+        con.execute(
+            r"""
+            WITH toks AS (
+              SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS w
+              FROM documents
+            ), wc AS (SELECT w, COUNT(*) AS c FROM toks GROUP BY 1),
+            tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM wc),
+            f AS (
+              SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+')[1] AS w1
+              FROM documents
+            )
+            SELECT doc_id, -LN(CAST(c AS DOUBLE) / n)
+            FROM f JOIN wc ON w1 = w CROSS JOIN tot
+            """
+        ).fetchall()
+    )
+    checked = 0
+    for d, (n_bi, nll_jm) in jm0.items():
+        n_tok, nll_uni = uni[d]
+        assert n_tok == n_bi + 1, d
+        # both avg_nll values are rounded 6dp; scaling by n_tokens (~500)
+        # amplifies that rounding to ~2.5e-4 per term
+        lhs = nll_uni * n_tok - nll_jm * n_bi
+        assert abs(lhs - first[d]) <= 2e-3, (d, lhs, first[d])
+        checked += 1
+    assert checked > 0

@@ -110,6 +110,7 @@ PORTABLE = [
     "zscore_anomalies",
     "event_transition_matrix",
     "growth_accounting",
+    "scd2_asof_snapshot",  # timestamp-native since r5 — one text, both engines
 ]
 
 
@@ -247,6 +248,39 @@ FROM run GROUP BY source
     # these two oracle texts are ALREADY dialect-common — run them verbatim
     "dedup_exact": None,
     "kl_divergence_slices": None,
+    # r4 verdict item #8: the growth-analytics stickiness entry. The
+    # oracle text day-explodes via DuckDB generate_series; this portable
+    # dual replicates each (user, day) observation through the positions
+    # table instead (join i <= win), with the dialect-common
+    # day + (i-1) * INTERVAL arithmetic growth_accounting already uses.
+    "user_stickiness": """
+WITH pos AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_orderkey) AS INT) AS i
+  FROM orders LIMIT 36
+), obs AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+), span AS (
+  SELECT MAX(day) AS mx FROM obs
+), reported AS (
+  SELECT o.user_id, w.win,
+         CAST(o.day + (p.i - 1) * INTERVAL 1 DAY AS DATE) AS report_day
+  FROM obs o
+  CROSS JOIN (VALUES (1), (7), (28)) AS w(win)
+  JOIN pos p ON p.i <= w.win
+), counts AS (
+  SELECT report_day,
+         COUNT(DISTINCT CASE WHEN win = 1 THEN user_id END) AS dau,
+         COUNT(DISTINCT CASE WHEN win = 7 THEN user_id END) AS wau,
+         COUNT(DISTINCT CASE WHEN win = 28 THEN user_id END) AS mau
+  FROM reported CROSS JOIN span
+  WHERE report_day <= mx
+  GROUP BY report_day
+)
+SELECT report_day, CAST(dau AS BIGINT) AS dau, CAST(wau AS BIGINT) AS wau,
+       CAST(mau AS BIGINT) AS mau,
+       ROUND(CAST(dau AS DOUBLE) / mau * 1e6) / 1e6 AS stickiness
+FROM counts
+""",
 }
 
 
