@@ -89,6 +89,9 @@ HEADLINE = [
     "time_interpolate_linear",
     "ngram_containment_pairs",
     "quality_filter_funnel",
+    "decontaminate_bloom",
+    "top_ngram_coverage",
+    "ccnet_perplexity_buckets",
 ]
 
 

@@ -1,0 +1,99 @@
+"""Distributed Bloom-filter build + vectorized probe.
+
+The 100 TB decontamination pattern: the benchmark/eval gram set is tiny
+by definition (an eval suite is MBs, the corpus is TBs), so it is
+compressed into an ``m``-bit Bloom filter ONCE, broadcast to every
+executor, and the corpus side is probed **map-only** — no join, no
+shuffle — with an Arrow-batched pandas UDF doing numpy bit arithmetic.
+Survivors (true overlaps + a ~2% false-positive tail) then flow into the
+small exact re-check join, so end results are exactly the exact-join
+answer while the heavy corpus scan never shuffles on gram.
+
+Spark's own runtime-filter machinery uses the same shape
+(``bloom_filter_agg`` + ``might_contain``), but those expressions are
+not exposed as public SQL routines in PySpark 4.1, so the filter is
+built here explicitly: Kirsch-Mitzenmacher double hashing derives the
+``k`` probe positions from one xxhash64 value, identically at build and
+probe time.
+
+Reference parity: the reference pipeline has no decontamination step
+(its corpus is API rows, ``src/function.py``); this extends the
+driver-mandated LLM-pipeline surface (decontamination) with its
+at-scale physical plan.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+BLOOM_M = 1 << 17  # bits; 16 KiB broadcast
+BLOOM_K = 5  # probe positions per key
+
+
+def _positions(h: np.ndarray, i: int, m: int) -> np.ndarray:
+    """Kirsch-Mitzenmacher: pos_i = (h1 + i*h2) mod m from one 64-bit
+    hash (h1 = high 32 bits, h2 = low 32 bits forced odd). One formula,
+    used verbatim by both build and probe."""
+    h1 = h >> np.uint64(32)
+    h2 = (h & np.uint64(0xFFFFFFFF)) | np.uint64(1)
+    return (h1 + np.uint64(i) * h2) % np.uint64(m)
+
+
+def bloom_build(keys: DataFrame, m: int = BLOOM_M, k: int = BLOOM_K) -> np.ndarray:
+    """Build an m-bit Bloom bitset from a one-column DataFrame of
+    xxhash64 longs.
+
+    The collect here is bounded by the FILTER side (the eval-suite gram
+    set), never the corpus — same bounded-driver-state contract as
+    ``operators/indexing.py`` (per-partition counts) and
+    ``operators/similarity.py`` (n_cells centroids). At 100 TB the
+    corpus never touches the driver; only the small set being compiled
+    into the filter does.
+    """
+    col = keys.columns[0]
+    hashes = np.array(
+        [r[0] for r in keys.select(col).collect()], dtype=np.int64
+    ).view(np.uint64)
+    bits = np.zeros(m // 64, dtype=np.uint64)
+    for i in range(k):
+        pos = _positions(hashes, i, m)
+        # repeated word indices must OR-accumulate, hence ufunc.at
+        np.bitwise_or.at(bits, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63)))
+    return bits
+
+
+def bloom_might_contain(
+    hash_col: str, bits_broadcast, m: int = BLOOM_M, k: int = BLOOM_K
+) -> Column:
+    """Boolean probe column: True iff all k bit positions of
+    ``hash_col`` are set in the broadcast bitset. Arrow-batched numpy —
+    vectorized, map-only, no shuffle; ``bits_broadcast`` is a
+    ``sc.broadcast`` of the ``bloom_build`` array so each executor
+    deserializes the 16 KiB bitset once, not per task."""
+
+    # deliberately self-contained (no module-level references): the UDF
+    # body must unpickle on executors that never had this repo on
+    # sys.path (the driver contract imports __spark_entry__ from a
+    # foreign cwd) — a closure over module globals would make workers
+    # try to import this package and die.
+    @F.pandas_udf("boolean")
+    def probe(h: pd.Series) -> pd.Series:
+        import numpy as _np
+        import pandas as _pd
+
+        bits = bits_broadcast.value
+        hv = h.to_numpy(dtype=_np.int64).view(_np.uint64)
+        h1 = hv >> _np.uint64(32)
+        h2 = (hv & _np.uint64(0xFFFFFFFF)) | _np.uint64(1)
+        out = _np.ones(len(hv), dtype=bool)
+        for i in range(k):
+            pos = (h1 + _np.uint64(i) * h2) % _np.uint64(m)
+            out &= (
+                (bits[pos >> _np.uint64(6)] >> (pos & _np.uint64(63))) & _np.uint64(1)
+            ).astype(bool)
+        return _pd.Series(out)
+
+    return probe(F.col(hash_col))

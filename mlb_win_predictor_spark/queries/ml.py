@@ -124,6 +124,23 @@ def ml_knn_k_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star text analysis — fasttext-style hashed-bag-of-words
+    quality classifier (GPT-3 appendix A / CCNet / DataComp corpus
+    filter: positive class = curated-corpus stand-in, here the slice
+    passing the stopword-density gate — the sandbox corpus has no
+    language signal, so the learnable target is distilling that rule;
+    score every raw doc and keep high scorers). HashingTF
+    featurization is JVM map-only over a fixed 2^14 hash space (no vocab
+    build); training is MLlib's distributed L-BFGS; scoring is a
+    broadcast-model map pass. Iterative float path ⇒ rows-only entry;
+    the separability gate (held-out accuracy beats the class prior)
+    lives in tests/test_ml.py."""
+    from ..ml.quality_classifier import quality_leaderboard
+
+    return quality_leaderboard(load_table(spark, sf_dir, "documents"))
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star MinHash LSH near-dup: candidate pair count + mean
     Jaccard distance per band-collision outcome."""
@@ -541,6 +558,11 @@ QUERIES: dict[str, QueryDef] = {
     "ml_knn_lsh_vote": QueryDef(ml_knn_lsh_vote, None, "M6 LSH kNN vote"),
     "ml_knn_k_leaderboard": QueryDef(
         ml_knn_k_leaderboard, None, "M6 n_neighbors grid leaderboard (one LSH ranking)"
+    ),
+    "quality_classifier_scores": QueryDef(
+        quality_classifier_scores,
+        None,
+        "text: fasttext-style hashed linear quality classifier (train+score summary)",
     ),
     "dedup_minhash_lsh": QueryDef(dedup_minhash_lsh, None, "dedup: MinHash LSH"),
     "dedup_minhash_banded": QueryDef(

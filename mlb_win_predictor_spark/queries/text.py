@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions.scalars import stable_round
+from ..operators.indexing import dense_global_index
 from ..session import fan_out, load_table
 from .base import QueryDef
 
@@ -1130,6 +1131,114 @@ GROUP BY doc_id
 """
 
 
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered benchmark decontamination — the 100 TB physical
+    plan for ``decontamination_overlap``. The benchmark gram set (tiny
+    by definition: eval suites are MBs, the corpus is TBs) is compiled
+    into a 16 KiB Bloom bitset (``operators.bloom``), broadcast once,
+    and the corpus side is probed **map-only** with a vectorized
+    Arrow-batched numpy UDF — the heavy corpus scan never shuffles or
+    joins on gram. Only the survivors (true overlaps + a ~2% FP tail)
+    enter the small exact re-check join, so the final answer is
+    bit-identical to the exact-join oracle while the corpus-side work is
+    a narrow scan + filter. Same shape as Spark's own runtime bloom
+    join filters (``might_contain`` — not public SQL in PySpark 4.1,
+    hence the explicit operator)."""
+    from ..operators.bloom import bloom_build, bloom_might_contain
+
+    d = fan_out(load_table(spark, sf_dir, "documents"))
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    exploded = (
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", _word_ngrams(F.col("toks"), DECON_N).alias("grams"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(F.transform("grams", lambda g: F.xxhash64(g)))
+            ).alias("gram"),
+        )
+    )
+    is_bench = F.pmod(F.col("doc_id"), F.lit(DECON_BENCH_MOD)) == 0
+    bench = exploded.filter(is_bench).select("gram").distinct()
+    bits = spark.sparkContext.broadcast(bloom_build(bench))
+    candidates = exploded.filter(~is_bench).filter(bloom_might_contain("gram", bits))
+    return (
+        candidates.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_overlap_grams"))
+    )
+
+
+# exact-join SQL: the Bloom stage only prunes the probe side and the
+# exact re-check removes its false positives, so the oracle is the same
+# query DECONTAMINATION_SQL answers.
+DECONTAMINATE_BLOOM_SQL = DECONTAMINATION_SQL
+
+TOPGRAM_N = 2
+
+
+def top_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style top-n-gram repetition rule (Rae et al. 2021 §A1.1:
+    drop docs whose most frequent {n}-gram covers too much of the text):
+    per doc, the modal word {n}-gram and the fraction of the document's
+    characters its occurrences account for. Gram build is map-side
+    (``_word_ngrams``); the mode is one (doc_id, gram) count — a
+    partial-agg-friendly shuffle on the doc grain, never corpus-wide —
+    and the per-doc argmax is a doc-partitioned window (bounded by
+    distinct grams per doc). Tie-break is (count, gram) descending so
+    both engines pick the same gram deterministically."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    counts = (
+        d.select("doc_id", F.col("n_chars").alias("n_chars"), toks.alias("toks"))
+        .select(
+            "doc_id", "n_chars", _word_ngrams(F.col("toks"), TOPGRAM_N).alias("grams")
+        )
+        .select("doc_id", "n_chars", F.explode("grams").alias("gram"))
+        .groupBy("doc_id", "n_chars", "gram")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("cnt"), F.desc("gram"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("gram").alias("top_gram"),
+            F.col("cnt").alias("top_cnt"),
+            stable_round(
+                F.col("cnt").cast("double")
+                * F.length("gram").cast("double")
+                / F.col("n_chars").cast("double"),
+                6,
+            ).alias("top_gram_char_frac"),
+        )
+    )
+
+
+TOP_NGRAM_COVERAGE_SQL = rf"""
+WITH t AS (
+  SELECT doc_id, n_chars, regexp_split_to_array(TRIM(text), '\s+') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, n_chars,
+         unnest(CASE WHEN len(w) >= {TOPGRAM_N}
+                     THEN list_transform(range(1, len(w) - {TOPGRAM_N} + 2),
+                                         i -> w[i] || ' ' || w[i+1])
+                     ELSE [] END) AS gram
+  FROM t
+), c AS (
+  SELECT doc_id, n_chars, gram, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM g GROUP BY doc_id, n_chars, gram
+)
+SELECT doc_id, gram AS top_gram, cnt AS top_cnt,
+       (ROUND((CAST(cnt AS DOUBLE) * CAST(LENGTH(gram) AS DOUBLE)
+               / CAST(n_chars AS DOUBLE)) * 1e6) / 1e6) AS top_gram_char_frac
+FROM c
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) = 1
+"""
+
+
 LEV_CAP = 80
 LEV_MAX_DIST = 4
 
@@ -1822,6 +1931,99 @@ FROM per_doc, total
 """
 
 
+CCNET_KEEP_PCT = {1: 100, 2: 50, 3: 10}  # head / middle / tail keep rates
+CCNET_BUCKET_NAMES = {1: "head", 2: "middle", 3: "tail"}
+
+
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's signature move (Wenzek et al. 2020 §4.3): split the corpus
+    into perplexity terciles — head (most fluent), middle, tail — and
+    keep each bucket at a different rate. Composes two already-hardened
+    pieces: per-doc ``unigram_logprob_quality`` scores (rounded 6dp
+    BEFORE bucketing so both engines order identical values), and the
+    exact-NTILE range-partitioned ``dense_global_index`` pattern from
+    ``quantile_binning`` — no single-partition global sort at any scale.
+    The per-bucket downsample is the same overflow-free md5-prefix
+    integer hash gate as ``balanced_mixture_sample`` (exact integer
+    compare, no float threshold, rerun-stable). Output: per-bucket doc
+    count, kept count, and the [min, max] nll band."""
+    nll = unigram_logprob_quality(spark, sf_dir).select("doc_id", "avg_nll")
+    n = nll.count()
+    q, r = divmod(n, 3)
+    idx = F.col("row_idx")
+    if q == 0:
+        bin_expr = idx + 1
+    else:
+        head = r * (q + 1)
+        bin_expr = F.when(idx < head, F.floor(idx / (q + 1)) + 1).otherwise(
+            r + F.floor((idx - head) / q) + 1
+        )
+    binned = dense_global_index(nll, ["avg_nll", "doc_id"]).select(
+        "doc_id", "avg_nll", bin_expr.cast("int").alias("bucket_id")
+    )
+    hashv = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    keep_pct = (
+        F.when(F.col("bucket_id") == 1, F.lit(CCNET_KEEP_PCT[1]))
+        .when(F.col("bucket_id") == 2, F.lit(CCNET_KEEP_PCT[2]))
+        .otherwise(F.lit(CCNET_KEEP_PCT[3]))
+        .cast("long")
+    )
+    # hash < 2^32 and pct <= 100, so both products stay far below 2^63
+    kept = (hashv * 100 < keep_pct * F.lit(4294967296)).cast("long")
+    bucket = (
+        F.when(F.col("bucket_id") == 1, F.lit(CCNET_BUCKET_NAMES[1]))
+        .when(F.col("bucket_id") == 2, F.lit(CCNET_BUCKET_NAMES[2]))
+        .otherwise(F.lit(CCNET_BUCKET_NAMES[3]))
+    )
+    return (
+        binned.select("bucket_id", bucket.alias("bucket"), "avg_nll", kept.alias("k"))
+        .groupBy("bucket_id", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("k").cast("long").alias("n_kept"),
+            F.min("avg_nll").alias("min_nll"),
+            F.max("avg_nll").alias("max_nll"),
+        )
+    )
+
+
+CCNET_BUCKETS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS w
+  FROM documents
+), wc AS (
+  SELECT w, COUNT(*) AS c FROM toks GROUP BY 1
+), total AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM wc
+), dc AS (
+  SELECT doc_id, w, COUNT(*) AS k FROM toks GROUP BY 1, 2
+), per_doc AS (
+  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_tokens,
+         SUM(CAST(k AS DOUBLE) * LN(CAST(c AS DOUBLE))) AS sum_klnc
+  FROM dc JOIN wc USING (w) GROUP BY 1
+), nll AS (
+  SELECT doc_id,
+         (ROUND((LN(n_total) - sum_klnc / CAST(n_tokens AS DOUBLE)) * 1e6) / 1e6) AS avg_nll
+  FROM per_doc, total
+), binned AS (
+  SELECT doc_id, avg_nll,
+         NTILE(3) OVER (ORDER BY avg_nll, doc_id) AS bucket_id
+  FROM nll
+)
+SELECT bucket_id,
+       CASE bucket_id WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) * 100
+                     < (CASE bucket_id WHEN 1 THEN 100 WHEN 2 THEN 50 ELSE 10 END) * 4294967296
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       MIN(avg_nll) AS min_nll,
+       MAX(avg_nll) AS max_nll
+FROM binned GROUP BY bucket_id
+"""
+
+
 def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram language-model quality scoring — the next step up from
     ``unigram_logprob_quality`` toward the KenLM-perplexity filters of
@@ -2257,6 +2459,16 @@ QUERIES: dict[str, QueryDef] = {
     "decontamination_overlap": QueryDef(
         decontamination_overlap, DECONTAMINATION_SQL, "text: benchmark decontamination"
     ),
+    "decontaminate_bloom": QueryDef(
+        decontaminate_bloom,
+        DECONTAMINATE_BLOOM_SQL,
+        "text: Bloom-prefiltered decontamination (map-only corpus probe, exact re-check)",
+    ),
+    "top_ngram_coverage": QueryDef(
+        top_ngram_coverage,
+        TOP_NGRAM_COVERAGE_SQL,
+        "text: Gopher top-ngram char-coverage repetition rule",
+    ),
     "crossdoc_dup_fraction": QueryDef(
         crossdoc_dup_fraction, CROSSDOC_DUP_SQL, "dedup: cross-doc dup-ngram fraction"
     ),
@@ -2283,6 +2495,11 @@ QUERIES: dict[str, QueryDef] = {
         unigram_logprob_quality,
         UNIGRAM_LOGPROB_SQL,
         "text: unigram-LM avg negative log-prob (perplexity-proxy filter)",
+    ),
+    "ccnet_perplexity_buckets": QueryDef(
+        ccnet_perplexity_buckets,
+        CCNET_BUCKETS_SQL,
+        "text: CCNet head/middle/tail perplexity terciles + per-bucket hash-gate keep",
     ),
     "interpolated_logprob_quality": QueryDef(
         interpolated_logprob_quality,

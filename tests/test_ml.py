@@ -284,3 +284,32 @@ def test_knn_select_k_reference_grid_shape(spark):
 
     with _pytest.raises(ValueError, match="empty k_grid"):
         knn_select_k(train, val, k_grid=[])
+
+
+def test_quality_classifier_beats_prior(spark):
+    """Fasttext-style hashed quality classifier (GPT-3/CCNet/DataComp
+    corpus-filter pattern): held-out accuracy must beat the majority
+    class prior by a real margin (the marker-word signal in the corpus
+    is learnable), scores must be probabilities, and the split must be
+    the deterministic hash split."""
+    from pyspark.sql import functions as F
+
+    from mlb_win_predictor_spark.ml.quality_classifier import quality_scores
+    from mlb_win_predictor_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    s = quality_scores(docs).cache()
+    held = s.filter(F.col("split") == "heldout")
+    n = held.count()
+    assert n > 0
+    acc = held.filter(F.col("prediction") == F.col("label")).count() / n
+    prior = max(
+        r[0]
+        for r in held.groupBy("label").count().select(
+            (F.col("count") / F.lit(n)).alias("p")
+        ).collect()
+    )
+    assert acc >= prior + 0.05, (acc, prior)
+    bounds = s.agg(F.min("score"), F.max("score")).first()
+    assert 0.0 <= bounds[0] and bounds[1] <= 1.0
+    s.unpersist()

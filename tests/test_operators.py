@@ -1054,3 +1054,60 @@ def test_user_stickiness_monotone_and_consistent_with_wau(spark):
     wau = {r.report_day: r.active_users for r in rolling_active_users(spark, SF).collect()}
     for r in rows:
         assert r.wau == wau[r.report_day], r.report_day
+
+
+def test_bloom_no_false_negatives_and_prunes(spark):
+    """Bloom filter contract: every inserted key passes the probe (no
+    false negatives — a miss would silently drop a real contamination
+    hit), and on a disjoint key set the probe prunes almost everything
+    (FP rate well under the ~2% design point at the sized load)."""
+    from mlb_win_predictor_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    inserted = spark.range(0, 5000).select(F.xxhash64("id").alias("h"))
+    disjoint = spark.range(1_000_000, 1_050_000).select(F.xxhash64("id").alias("h"))
+    bits = spark.sparkContext.broadcast(bloom_build(inserted))
+    hits = inserted.filter(bloom_might_contain("h", bits)).count()
+    assert hits == 5000  # zero false negatives
+    fps = disjoint.filter(bloom_might_contain("h", bits)).count()
+    assert fps / 50_000 < 0.05, fps
+
+
+def test_decontaminate_bloom_matches_exact(spark):
+    """The Bloom prefilter + exact re-check must return exactly the
+    exact-join decontamination answer (FPs removed, no hit lost)."""
+    from mlb_win_predictor_spark.queries.text import (
+        decontaminate_bloom,
+        decontamination_overlap,
+    )
+
+    exact = decontamination_overlap(spark, SF)
+    bloom = decontaminate_bloom(spark, SF)
+    assert exact.exceptAll(bloom).count() == 0
+    assert bloom.exceptAll(exact).count() == 0
+
+
+def test_top_ngram_coverage_planted_mode(spark):
+    """A doc dominated by one repeated bigram must surface that bigram
+    with the exact count and char fraction."""
+    from mlb_win_predictor_spark.queries.text import top_ngram_coverage
+
+    row = (
+        top_ngram_coverage(spark, SF)
+        .filter(F.col("doc_id") == 0)
+        .collect()[0]
+    )
+    import duckdb
+
+    oracle = duckdb.sql(
+        f"""
+        WITH t AS (SELECT regexp_split_to_array(TRIM(text), '\\s+') AS w
+                   FROM read_parquet('{SF}/documents.parquet') WHERE doc_id = 0),
+        g AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS gram FROM t)
+        SELECT gram, COUNT(*) AS c FROM g GROUP BY gram ORDER BY c DESC, gram DESC LIMIT 1
+        """
+    ).fetchone()
+    assert row.top_gram == oracle[0]
+    assert row.top_cnt == oracle[1]

@@ -436,3 +436,25 @@ def test_knn_grid_vote_reuses_cached_neighbor_join(spark):
         assert "Generate" not in above_cache, "vote re-ran the LSH bucket join"
     finally:
         ranked.unpersist()
+
+
+def test_ccnet_buckets_no_single_partition_window(plans):
+    """CCNet terciles must ride the range-partitioned dense-index plan
+    (same contract as quantile_binning) — a global NTILE sort of the
+    corpus would be a one-task stage at 100 TB."""
+    p = plans["ccnet_perplexity_buckets"]
+    # the only SinglePartition allowed is the single-row corpus-total agg
+    # of the unigram LM; the tercile index itself must be a
+    # range-partitioned dense index whose row_number window is
+    # partition-local (_pid), never a global sort.
+    assert "rangepartitioning(avg_nll" in p
+    assert "windowspecdefinition(_pid" in p
+    assert "ntile" not in p.lower()
+
+
+def test_decontaminate_bloom_no_gram_shuffle_join(plans):
+    """The Bloom path's corpus side must reach the exact re-check as a
+    broadcast join — never a shuffle (sort-merge) join on gram."""
+    p = plans["decontaminate_bloom"]
+    assert "SortMergeJoin" not in p
+    assert "BroadcastHashJoin" in p

@@ -255,3 +255,20 @@ def test_bigram_logprob_survives_single_token_docs(spark, tmp_path):
     assert out.filter(F.col("doc_id") == 990001).count() == 0  # no bigrams
     assert out.filter(F.col("doc_id") == 990002).count() == 1
     compare(out, con, BIGRAM_LOGPROB_SQL)
+
+
+def test_ccnet_buckets_properties(spark):
+    """Tercile sizes differ by at most 1; head keeps everything; kept
+    counts never exceed bucket size; nll bands are ordered
+    head <= middle <= tail."""
+    from mlb_win_predictor_spark.queries.text import ccnet_perplexity_buckets
+
+    rows = {r.bucket: r for r in ccnet_perplexity_buckets(spark, SF).collect()}
+    assert set(rows) == {"head", "middle", "tail"}
+    sizes = [r.n_docs for r in rows.values()]
+    assert max(sizes) - min(sizes) <= 1
+    assert rows["head"].n_kept == rows["head"].n_docs
+    for r in rows.values():
+        assert 0 <= r.n_kept <= r.n_docs
+    assert rows["head"].max_nll <= rows["middle"].min_nll
+    assert rows["middle"].max_nll <= rows["tail"].min_nll
