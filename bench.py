@@ -92,6 +92,8 @@ HEADLINE = [
     "decontaminate_bloom",
     "top_ngram_coverage",
     "ccnet_perplexity_buckets",
+    "zipf_law_fit",
+    "rfm_segments",
 ]
 
 

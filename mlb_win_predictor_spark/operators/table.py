@@ -47,6 +47,7 @@ reference's overwrite did too.
 from __future__ import annotations
 
 import itertools
+import json
 import os
 import shutil
 from functools import reduce
@@ -55,6 +56,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 PRESENCE = "_src_present"
+
+ZONEMAP = "_zonemap.json"
+# zone-map stats are collected for these leaf types only (min/max is
+# well-ordered and JSON-portable); everything else is unprunable
+_ZONEMAP_TYPES = ("int", "bigint", "smallint", "tinyint", "double", "float", "string")
 
 _ATTEMPT_COUNTER = itertools.count()
 
@@ -92,6 +98,95 @@ class VersionedTable:
                 f"no committed version {'' if version is None else version} at {self.path}"
             )
         return spark.read.parquet(os.path.join(self.path, f"v={version}"))
+
+    # ----------------------------------------------------- zone-map skipping
+    def _write_zonemap(self, spark: SparkSession, staged: str) -> None:
+        """Collect per-file min/max column stats for the staged snapshot
+        and store them INSIDE the staged dir (``_zonemap.json`` — the
+        leading underscore keeps Spark's parquet reader from touching
+        it), so the manifest becomes visible atomically with the
+        snapshot rename: Delta's per-file ``stats`` field, reduced to a
+        sidecar. One extra scan of the staged data, aggregated per file
+        (#files × #cols rows to the driver — at real scale the manifest
+        lives as a metadata TABLE, not driver JSON; same bounded-state
+        caveat as Delta's checkpoint parquet)."""
+        df = spark.read.parquet(staged)
+        cols = [f.name for f in df.schema.fields if f.dataType.simpleString() in _ZONEMAP_TYPES]
+        if not cols:
+            return
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(c).alias(f"min__{c}"))
+            aggs.append(F.max(c).alias(f"max__{c}"))
+        rows = (
+            df.withColumn("_file", F.element_at(F.split(F.input_file_name(), "/"), -1))
+            .groupBy("_file")
+            .agg(*aggs)
+            .collect()
+        )
+        manifest = {
+            r["_file"]: {c: [r[f"min__{c}"], r[f"max__{c}"]] for c in cols}
+            for r in rows
+        }
+        with open(os.path.join(staged, ZONEMAP), "w") as fh:
+            json.dump({"columns": cols, "files": manifest}, fh)
+
+    def pruned_files(
+        self, col: str, lo=None, hi=None, version: int | None = None
+    ) -> tuple[list[str], int]:
+        """(files overlapping [lo, hi] on ``col``, total file count) from
+        the version's zone-map. Files without stats for ``col`` are kept
+        (skipping must never change results). ``None`` bounds are open."""
+        if version is None:
+            version = self.latest_version()
+        vdir = os.path.join(self.path, f"v={version}")
+        zm_path = os.path.join(vdir, ZONEMAP)
+        names = [f for f in os.listdir(vdir) if f.endswith(".parquet")]
+        if not os.path.exists(zm_path):
+            return names, len(names)
+        with open(zm_path) as fh:
+            zm = json.load(fh)
+        kept = []
+        for f in names:
+            stats = zm["files"].get(f, {}).get(col)
+            if not stats or stats[0] is None:
+                kept.append(f)
+                continue
+            mn, mx = stats
+            if (hi is not None and mn > hi) or (lo is not None and mx < lo):
+                continue
+            kept.append(f)
+        return kept, len(names)
+
+    def read_pruned(
+        self,
+        spark: SparkSession,
+        col: str,
+        lo=None,
+        hi=None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Range read with Delta-style data skipping: consult the
+        per-file min/max zone-map, plan the scan over only the files
+        whose [min, max] can overlap [lo, hi], and apply the exact
+        filter on top (the zone-map prunes, the filter decides) —
+        results are identical to ``read().filter(...)`` by construction.
+        At 100 TB this is the difference between listing 1M files and
+        scanning the 30 that a time-range query touches."""
+        if version is None:
+            version = self.latest_version()
+        files, _total = self.pruned_files(col, lo, hi, version)
+        vdir = os.path.join(self.path, f"v={version}")
+        if files:
+            df = spark.read.parquet(*(os.path.join(vdir, f) for f in files))
+        else:
+            schema = spark.read.parquet(vdir).schema
+            df = spark.createDataFrame([], schema)
+        if lo is not None:
+            df = df.filter(F.col(col) >= F.lit(lo))
+        if hi is not None:
+            df = df.filter(F.col(col) <= F.lit(hi))
+        return df
 
     # --------------------------------------------------------------- writes
     def _stage_dir(self, version: int) -> str:
@@ -150,6 +245,7 @@ class VersionedTable:
             raise FileExistsError(f"table already initialized at {self.path}")
         staged = self._stage_dir(0)
         df.write.mode("overwrite").parquet(staged)
+        self._write_zonemap(df.sparkSession, staged)
         try:
             self._publish(staged, 0)
         except ConcurrentCommitError:
@@ -250,6 +346,7 @@ class VersionedTable:
         # of the same version raises ConcurrentCommitError (retryable).
         staged = self._stage_dir(new)
         merged.write.mode("overwrite").parquet(staged)
+        self._write_zonemap(spark, staged)
         return self._publish(staged, new)
 
     def delete_where(self, spark: SparkSession, condition) -> int:
@@ -261,6 +358,7 @@ class VersionedTable:
         new = base + 1
         staged = self._stage_dir(new)
         kept.write.mode("overwrite").parquet(staged)
+        self._write_zonemap(spark, staged)
         return self._publish(staged, new)
 
     # ------------------------------------------------------------- cleanup

@@ -27,7 +27,7 @@ from pyspark.sql.window import Window as W
 from ..functions.scalars import stable_round
 from ..operators.indexing import dense_global_index
 from ..session import load_table
-from .base import QueryDef
+from .base import QueryDef, sround
 
 D2 = "decimal(18,2)"
 
@@ -989,7 +989,117 @@ JOIN (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
 """
 
 
+RFM_BUCKETS = 3
+
+
+def _exact_ntile(df: DataFrame, order_cols: list[str], n: int, name: str) -> DataFrame:
+    """Exact NTILE({k}) bucket over a total order — the range-partitioned
+    dense-index pattern (see ``quantile_binning``), reusable per
+    dimension. ``n`` is the (shared) row count."""
+    q, r = divmod(n, RFM_BUCKETS)
+    idx = F.col("_ridx")
+    if q == 0:
+        b = idx + 1
+    else:
+        head = r * (q + 1)
+        b = F.when(idx < head, F.floor(idx / (q + 1)) + 1).otherwise(
+            r + F.floor((idx - head) / q) + 1
+        )
+    return (
+        dense_global_index(df, order_cols, id_name="_ridx")
+        .withColumn(name, b.cast("int"))
+        .drop("_ridx")
+    )
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (the classic customer-value analytics rollup):
+    per user, Recency = days since last event, Frequency = event count,
+    Monetary = exact-decimal value sum; each dimension scored into
+    terciles (ascending, tie-broken by user_id) and users rolled up per
+    'R#F#M#' segment. The three tercile ranks each ride the
+    range-partitioned ``dense_global_index`` — the user table can be
+    10^8 rows at scale, so no one-task NTILE sort anywhere. Monetary is
+    summed as DECIMAL (associative, partial-agg order-proof) so the
+    rank ORDER is cross-engine identical — ranking on a double sum
+    would let fold order flip near-tied users into different buckets."""
+    e = load_table(spark, sf_dir, "events")
+    mx = e.agg(F.max(F.to_date("ts")).alias("mx"))
+    u = (
+        e.groupBy("user_id")
+        .agg(
+            F.max(F.to_date("ts")).alias("last_day"),
+            F.count(F.lit(1)).alias("freq"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("monetary"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .select(
+            "user_id",
+            F.datediff("mx", "last_day").alias("r_days"),
+            "freq",
+            "monetary",
+        )
+    ).cache()  # user-grain (tiny); 3 tercile indexes + final plan reuse it
+    n = u.count()
+    u = _exact_ntile(u, ["r_days", "user_id"], n, "r_score")
+    u = _exact_ntile(u, ["freq", "user_id"], n, "f_score")
+    u = _exact_ntile(u, ["monetary", "user_id"], n, "m_score")
+    seg = F.concat(
+        F.lit("R"),
+        F.col("r_score").cast("string"),
+        F.lit("F"),
+        F.col("f_score").cast("string"),
+        F.lit("M"),
+        F.col("m_score").cast("string"),
+    )
+    return (
+        u.select(seg.alias("segment"), "r_days", "freq", "monetary")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            stable_round(F.avg(F.col("r_days").cast("double")), 4).alias(
+                "avg_recency_days"
+            ),
+            stable_round(F.avg(F.col("freq").cast("double")), 4).alias(
+                "avg_frequency"
+            ),
+            stable_round(F.sum("monetary").cast("double"), 4).alias("total_monetary"),
+        )
+    )
+
+
+RFM_SEGMENTS_SQL = f"""
+WITH mx AS (
+  SELECT MAX(CAST(ts AS DATE)) AS mx FROM events
+), u AS (
+  SELECT user_id,
+         date_diff('day', MAX(CAST(ts AS DATE)), (SELECT mx FROM mx)) AS r_days,
+         COUNT(*) AS freq,
+         SUM(CAST(value AS DECIMAL(18,4))) AS monetary
+  FROM events GROUP BY user_id
+), scored AS (
+  SELECT r_days, freq, monetary,
+         NTILE({RFM_BUCKETS}) OVER (ORDER BY r_days, user_id) AS r_score,
+         NTILE({RFM_BUCKETS}) OVER (ORDER BY freq, user_id) AS f_score,
+         NTILE({RFM_BUCKETS}) OVER (ORDER BY monetary, user_id) AS m_score
+  FROM u
+)
+SELECT 'R' || CAST(r_score AS VARCHAR) || 'F' || CAST(f_score AS VARCHAR)
+           || 'M' || CAST(m_score AS VARCHAR) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       {sround("AVG(CAST(r_days AS DOUBLE))", 4)} AS avg_recency_days,
+       {sround("AVG(CAST(freq AS DOUBLE))", 4)} AS avg_frequency,
+       {sround("CAST(SUM(monetary) AS DOUBLE)", 4)} AS total_monetary
+FROM scored GROUP BY 1
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "rfm_segments": QueryDef(
+        rfm_segments,
+        RFM_SEGMENTS_SQL,
+        "ops: RFM customer segmentation (3x range-partitioned exact terciles)",
+    ),
     "bitmap_distinct_rollup": QueryDef(
         bitmap_distinct_rollup,
         BITMAP_ROLLUP_SQL,

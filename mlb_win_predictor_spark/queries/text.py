@@ -21,7 +21,7 @@ from pyspark.sql.window import Window as W
 from ..functions.scalars import stable_round
 from ..operators.indexing import dense_global_index
 from ..session import fan_out, load_table
-from .base import QueryDef
+from .base import QueryDef, sround
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 
@@ -1009,13 +1009,22 @@ def _word_ngrams(toks, n: int):
     higher-order functions run interpreted, so an inline subexpression
     referenced in the lambda is re-evaluated PER ELEMENT (~25x slower,
     measured at sf0.1). Empty when the doc has fewer than ``n`` tokens
-    (sequence() would otherwise count DOWN for start > stop)."""
+    (sequence() would otherwise count DOWN for start > stop).
+
+    The gram itself is ``concat_ws`` over ``n`` fixed ``element_at``
+    probes, NOT ``array_join(slice(...))``: slice allocates an n-element
+    array per gram inside the interpreted lambda, and the A/B at sf0.1
+    measures it ~4x slower (bigram build 4.0s -> 1.1s) — same value,
+    direct probes, no per-gram allocation. ``n`` is a plan-time Python
+    int, so the probe list unrolls statically."""
     cnt = F.size(toks)
     return F.when(
         cnt >= n,
         F.transform(
             F.sequence(F.lit(1), cnt - n + 1),
-            lambda i: F.array_join(F.slice(toks, i, n), " "),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(n)]
+            ),
         ),
     ).otherwise(F.array().cast("array<string>"))
 
@@ -1148,6 +1157,9 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.trim(F.col("text")), r"\s+")
+    # cached: the filter-build collect job and the final probe+re-check
+    # job both read the gram table — without the cache each would pay
+    # the shingle build again (8 bytes/gram, ~grams-per-doc × docs rows)
     exploded = (
         d.select("doc_id", toks.alias("toks"))
         .select("doc_id", _word_ngrams(F.col("toks"), DECON_N).alias("grams"))
@@ -1157,7 +1169,7 @@ def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.array_distinct(F.transform("grams", lambda g: F.xxhash64(g)))
             ).alias("gram"),
         )
-    )
+    ).cache()
     is_bench = F.pmod(F.col("doc_id"), F.lit(DECON_BENCH_MOD)) == 0
     bench = exploded.filter(is_bench).select("gram").distinct()
     bits = spark.sparkContext.broadcast(bloom_build(bench))
@@ -1184,35 +1196,41 @@ def top_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     characters its occurrences account for. Gram build is map-side
     (``_word_ngrams``); the mode is one (doc_id, gram) count — a
     partial-agg-friendly shuffle on the doc grain, never corpus-wide —
-    and the per-doc argmax is a doc-partitioned window (bounded by
-    distinct grams per doc). Tie-break is (count, gram) descending so
-    both engines pick the same gram deterministically."""
-    d = load_table(spark, sf_dir, "documents")
+    and the per-doc argmax is ``max(struct(cnt, gram))`` — lexicographic
+    struct order = count desc then gram desc tie-break — a second
+    partial-aggregable groupBy instead of a doc-partitioned window sort
+    (A/B at sf0.1: 0.5s vs 1.4s). Both engines pick the same gram
+    deterministically."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.trim(F.col("text")), r"\s+")
+    # grams are exploded INLINE (explode fuses with the generator); an
+    # intermediate `.select(grams)` projection materializes every gram
+    # array before the Generate and measures ~6x slower in-session at
+    # sf0.1 — the inverse of the toks rule (toks IS staged: the HOF
+    # probes it per element)
     counts = (
         d.select("doc_id", F.col("n_chars").alias("n_chars"), toks.alias("toks"))
         .select(
-            "doc_id", "n_chars", _word_ngrams(F.col("toks"), TOPGRAM_N).alias("grams")
+            "doc_id",
+            "n_chars",
+            F.explode(_word_ngrams(F.col("toks"), TOPGRAM_N)).alias("gram"),
         )
-        .select("doc_id", "n_chars", F.explode("grams").alias("gram"))
         .groupBy("doc_id", "n_chars", "gram")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     )
-    w = W.partitionBy("doc_id").orderBy(F.desc("cnt"), F.desc("gram"))
-    return (
-        counts.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            F.col("gram").alias("top_gram"),
-            F.col("cnt").alias("top_cnt"),
-            stable_round(
-                F.col("cnt").cast("double")
-                * F.length("gram").cast("double")
-                / F.col("n_chars").cast("double"),
-                6,
-            ).alias("top_gram_char_frac"),
-        )
+    top = counts.groupBy("doc_id", "n_chars").agg(
+        F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("m")
+    )
+    return top.select(
+        "doc_id",
+        F.col("m.gram").alias("top_gram"),
+        F.col("m.cnt").alias("top_cnt"),
+        stable_round(
+            F.col("m.cnt").cast("double")
+            * F.length("m.gram").cast("double")
+            / F.col("n_chars").cast("double"),
+            6,
+        ).alias("top_gram_char_frac"),
     )
 
 
@@ -1931,6 +1949,51 @@ FROM per_doc, total
 """
 
 
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the corpus vocabulary (the classic corpus-health
+    statistic: ln freq ≈ α·ln rank + β with α ≈ −1 for natural text;
+    a corpus whose exponent drifts far from −1 is boilerplate-heavy or
+    template-generated). Frequency ranking uses the range-partitioned
+    ``dense_global_index`` on (−count, term) — the vocabulary can be
+    10^8 terms at corpus scale, so no global one-task sort — and the fit
+    is the exact mergeable SQL:2003 moment aggregate ``regr_slope`` /
+    ``regr_r2`` (same one-pass discipline as ``regression_aggregates``;
+    6dp rounding absorbs partial-fold order)."""
+    d = load_table(spark, sf_dir, "documents")
+    wc = (
+        d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ranked = dense_global_index(
+        wc.select("w", "c", (-F.col("c")).alias("neg_c")), ["neg_c", "w"]
+    ).select("c", (F.col("row_idx") + 1).cast("double").alias("rank"))
+    y, x = F.log(F.col("c").cast("double")), F.log("rank")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        stable_round(F.regr_slope(y, x), 6).alias("zipf_exponent"),
+        stable_round(F.regr_intercept(y, x), 6).alias("ln_c_at_rank1"),
+        stable_round(F.regr_r2(y, x), 6).alias("r2"),
+    )
+
+
+ZIPF_LAW_SQL = rf"""
+WITH toks AS (
+  SELECT UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS w FROM documents
+), wc AS (
+  SELECT w, COUNT(*) AS c FROM toks GROUP BY 1
+), ranked AS (
+  SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS DOUBLE) AS rank
+  FROM wc
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       {sround("regr_slope(LN(CAST(c AS DOUBLE)), LN(rank))", 6)} AS zipf_exponent,
+       {sround("regr_intercept(LN(CAST(c AS DOUBLE)), LN(rank))", 6)} AS ln_c_at_rank1,
+       {sround("regr_r2(LN(CAST(c AS DOUBLE)), LN(rank))", 6)} AS r2
+FROM ranked
+"""
+
+
 CCNET_KEEP_PCT = {1: 100, 2: 50, 3: 10}  # head / middle / tail keep rates
 CCNET_BUCKET_NAMES = {1: "head", 2: "middle", 3: "tail"}
 
@@ -1947,7 +2010,10 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer hash gate as ``balanced_mixture_sample`` (exact integer
     compare, no float threshold, rerun-stable). Output: per-bucket doc
     count, kept count, and the [min, max] nll band."""
-    nll = unigram_logprob_quality(spark, sf_dir).select("doc_id", "avg_nll")
+    # doc-grain scores (one row per doc) cached before the tercile index:
+    # the dense index's per-partition-count job and the final plan would
+    # otherwise each recompute the full unigram-LM aggregation
+    nll = unigram_logprob_quality(spark, sf_dir).select("doc_id", "avg_nll").cache()
     n = nll.count()
     q, r = divmod(n, 3)
     idx = F.col("row_idx")
@@ -2495,6 +2561,11 @@ QUERIES: dict[str, QueryDef] = {
         unigram_logprob_quality,
         UNIGRAM_LOGPROB_SQL,
         "text: unigram-LM avg negative log-prob (perplexity-proxy filter)",
+    ),
+    "zipf_law_fit": QueryDef(
+        zipf_law_fit,
+        ZIPF_LAW_SQL,
+        "text: Zipf's-law exponent fit of the vocabulary (range-partitioned rank, moment aggregates)",
     ),
     "ccnet_perplexity_buckets": QueryDef(
         ccnet_perplexity_buckets,

@@ -458,3 +458,11 @@ def test_decontaminate_bloom_no_gram_shuffle_join(plans):
     p = plans["decontaminate_bloom"]
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_zipf_rank_no_single_partition_window(plans):
+    """The vocabulary rank must be the range-partitioned dense index —
+    a 10^8-term vocab cannot ride a one-task ROW_NUMBER sort."""
+    p = plans["zipf_law_fit"]
+    assert "rangepartitioning(neg_c" in p
+    assert "windowspecdefinition(_pid" in p

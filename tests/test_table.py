@@ -291,3 +291,48 @@ def test_vacuum_clears_stale_staging(spark, tmp_path, base_df):
     t.vacuum(keep_last=1)
     assert not os.path.isdir(str(tmp_path / "tbl" / "_staged"))
     assert t.latest_version() == 0
+
+
+def test_zonemap_file_skipping_prunes_and_matches(spark, tmp_path):
+    """Delta-style data skipping: a range-clustered snapshot must prune
+    most files for a narrow range read, and the pruned read must equal
+    the full read + filter exactly."""
+    t = VersionedTable(str(tmp_path / "tbl"))
+    df = (
+        spark.range(0, 10_000)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .repartitionByRange(8, "k")
+    )
+    t.init(df)
+    kept, total = t.pruned_files("k", lo=100, hi=200)
+    assert total == 8
+    assert len(kept) <= 2, (len(kept), total)  # narrow range hits ~1 range file
+    pruned = t.read_pruned(spark, "k", lo=100, hi=200)
+    full = t.read(spark).filter((F.col("k") >= 100) & (F.col("k") <= 200))
+    assert pruned.count() == full.count() == 101
+    assert pruned.exceptAll(full).count() == 0
+
+
+def test_zonemap_survives_merge_and_empty_range(spark, tmp_path):
+    """The zone-map is rewritten with each new version (stats track the
+    merged data), and a range outside the domain reads zero files but
+    still returns a typed empty DataFrame."""
+    t = VersionedTable(str(tmp_path / "tbl"))
+    base = spark.range(0, 1000).select(
+        F.col("id").alias("k"), F.lit("a").alias("s")
+    ).repartitionByRange(4, "k")
+    t.init(base)
+    delta = spark.range(5000, 5010).select(
+        F.col("id").alias("k"), F.lit("b").alias("s")
+    )
+    t.merge(delta, ["k"])
+    kept, total = t.pruned_files("k", lo=5000, hi=5100, version=1)
+    assert kept, "merged rows must be discoverable via the new zone-map"
+    got = t.read_pruned(spark, "k", lo=5000, hi=5100)
+    assert got.count() == 10
+    empty = t.read_pruned(spark, "k", lo=90_000, hi=99_000)
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "s"}
+    # time-travel still prunes against v0's own manifest
+    kept0, total0 = t.pruned_files("k", lo=0, hi=10, version=0)
+    assert len(kept0) <= 2 and total0 == 4
