@@ -94,6 +94,7 @@ HEADLINE = [
     "ccnet_perplexity_buckets",
     "zipf_law_fit",
     "rfm_segments",
+    "benford_digit_distribution",
 ]
 
 

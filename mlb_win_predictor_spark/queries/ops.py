@@ -989,6 +989,55 @@ JOIN (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
 """
 
 
+def benford_digit_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law conformance of ``events.value`` (the fraud/anomaly
+    screen auditors run on transaction amounts): observed first-digit
+    frequency vs the Benford expectation log10(1 + 1/d), with the
+    per-digit chi-square contribution. Digit extraction is EXACT integer
+    arithmetic — value scaled to micro-units (``round(v*1e6)`` as
+    BIGINT, exact for this domain) and the first digit taken from the
+    integer's string form, which is engine-identical (double→string
+    formatting is NOT, and float log10/pow digit extraction can flip at
+    power-of-ten boundaries by one ulp of libm). One map-only
+    projection + a 9-group aggregate + a broadcast total."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    micro = F.round(F.col("value") * F.lit(1e6)).cast("bigint")
+    d = e.select(F.substring(micro.cast("string"), 1, 1).cast("int").alias("digit"))
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    total = counts.agg(F.sum("n").cast("double").alias("n_total"))
+    obs = F.col("n").cast("double") / F.col("n_total")
+    exp = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("double"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "digit",
+        "n",
+        stable_round(obs, 6).alias("obs_freq"),
+        stable_round(exp, 6).alias("benford_freq"),
+        stable_round(
+            (obs - exp) * (obs - exp) / exp * F.col("n_total"), 6
+        ).alias("chi2_term"),
+    )
+
+
+BENFORD_SQL = f"""
+WITH d AS (
+  SELECT CAST(substr(CAST(CAST(ROUND(value * 1e6) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  FROM events WHERE value > 0
+), counts AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
+), total AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS n_total FROM counts
+)
+SELECT digit, n,
+       {sround("CAST(n AS DOUBLE) / n_total", 6)} AS obs_freq,
+       {sround("LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE))", 6)} AS benford_freq,
+       {sround(
+           "(CAST(n AS DOUBLE) / n_total - LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)))"
+           " * (CAST(n AS DOUBLE) / n_total - LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)))"
+           " / LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * n_total", 6)} AS chi2_term
+FROM counts, total
+"""
+
+
 RFM_BUCKETS = 3
 
 
@@ -1099,6 +1148,11 @@ QUERIES: dict[str, QueryDef] = {
         rfm_segments,
         RFM_SEGMENTS_SQL,
         "ops: RFM customer segmentation (3x range-partitioned exact terciles)",
+    ),
+    "benford_digit_distribution": QueryDef(
+        benford_digit_distribution,
+        BENFORD_SQL,
+        "ops: Benford first-digit conformance + chi-square (exact integer digit extraction)",
     ),
     "bitmap_distinct_rollup": QueryDef(
         bitmap_distinct_rollup,
