@@ -402,32 +402,34 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_distinct(_word_ngrams(F.col("toks"), NGRAM_N)).alias("shingles"),
     ).filter(F.size("shingles") > 0)
-    sizes = shingles.select("doc_id", F.size("shingles").alias("n_sh"))
-    exploded = shingles.select("doc_id", F.explode("shingles").alias("sh"))
+    # same shape as ngram_containment_pairs: ONE cached exploded table
+    # carrying n_sh, hashed-long join keys (8-byte discipline, counts
+    # unchanged w.h.p.) — no size-table joins, no string-key shuffle.
+    exploded = shingles.select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("sh"),
+    ).cache()
     a = exploded.alias("a")
     b = exploded.alias("b")
     shared = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-    )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    out = (
-        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            stable_round(
-                F.col("n_shared").cast("double")
-                / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_shared")),
-                6,
-            ).alias("jaccard"),
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.first(F.col("a.n_sh")).alias("n_sh_a"),
+            F.first(F.col("b.n_sh")).alias("n_sh_b"),
         )
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
-    return out
+    return shared.select(
+        "doc_a",
+        "doc_b",
+        stable_round(
+            F.col("n_shared").cast("double")
+            / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_shared")),
+            6,
+        ).alias("jaccard"),
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
 NGRAM_JACCARD_SQL = rf"""
@@ -484,33 +486,38 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.array_distinct(_word_ngrams(F.col("toks"), NGRAM_N)).alias("shingles"),
     ).filter(F.size("shingles") > 0)
-    sizes = shingles.select("doc_id", F.size("shingles").alias("n_sh"))
-    exploded = shingles.select("doc_id", F.explode("shingles").alias("sh"))
+    # one exploded table carries the per-doc size with it, and the join
+    # key is the xxhash64 of the shingle (the span-dedup family's 8-byte
+    # discipline; pair counts unchanged w.h.p.): this removes both
+    # size-table joins AND shrinks the self-join shuffle to long keys.
+    # Cached so the two self-join legs don't rebuild the gram pipeline.
+    exploded = shingles.select(
+        "doc_id",
+        F.size("shingles").alias("n_sh"),
+        F.explode(F.transform("shingles", lambda s: F.xxhash64(s))).alias("sh"),
+    ).cache()
     a = exploded.alias("a")
     b = exploded.alias("b")
     shared = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared"),
+            F.first(F.col("a.n_sh")).alias("n_sh_a"),
+            F.first(F.col("b.n_sh")).alias("n_sh_b"),
+        )
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    cont_a = F.col("n_shared").cast("double") / F.col("sa.n_sh")
-    cont_b = F.col("n_shared").cast("double") / F.col("sb.n_sh")
-    return (
-        shared.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.col("n_shared").cast("long").alias("n_shared"),
-            stable_round(cont_a, 6).alias("containment_a_in_b"),
-            stable_round(cont_b, 6).alias("containment_b_in_a"),
-        )
-        .filter(
-            (F.col("containment_a_in_b") >= CONTAINMENT_THRESHOLD)
-            | (F.col("containment_b_in_a") >= CONTAINMENT_THRESHOLD)
-        )
+    cont_a = F.col("n_shared").cast("double") / F.col("n_sh_a")
+    cont_b = F.col("n_shared").cast("double") / F.col("n_sh_b")
+    return shared.select(
+        "doc_a",
+        "doc_b",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        stable_round(cont_a, 6).alias("containment_a_in_b"),
+        stable_round(cont_b, 6).alias("containment_b_in_a"),
+    ).filter(
+        (F.col("containment_a_in_b") >= CONTAINMENT_THRESHOLD)
+        | (F.col("containment_b_in_a") >= CONTAINMENT_THRESHOLD)
     )
 
 
