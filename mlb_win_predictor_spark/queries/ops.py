@@ -1020,7 +1020,7 @@ def benford_digit_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BENFORD_SQL = f"""
 WITH d AS (
-  SELECT CAST(substr(CAST(CAST(ROUND(value * 1e6) AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+  SELECT CAST(substr(CAST(CAST(ROUND(value * 1e6) AS BIGINT) AS STRING), 1, 1) AS INT) AS digit
   FROM events WHERE value > 0
 ), counts AS (
   SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1

@@ -351,6 +351,73 @@ def incremental_dedup_stream(
     )
 
 
+def decontaminate_stream(
+    new_docs: DataFrame,
+    bits_broadcast,
+    kept_path: str,
+    checkpoint: str,
+    n: int = 5,
+):
+    """Streaming ingest decontamination gate: each micro-batch of
+    documents is screened against the broadcast Bloom bitset of the
+    benchmark gram set (``operators.bloom``) and only docs with ZERO
+    might-contain grams are kept. The probe is entirely batch-local —
+    gram build is map-side, the vectorized probe is map-side, the only
+    per-batch shuffle is the doc-grain hit rollup — so the gate adds no
+    streaming state and scales with batch size only.
+
+    Bloom-only by design (no exact re-check): at ingest time the exact
+    bench gram TABLE may live elsewhere; the cost is the filter's FPR
+    (~2% of clean docs over-dropped at the sized load — a conservative
+    trade for a contamination gate, and no contaminated doc is ever
+    kept: Bloom filters have no false negatives). The batch-side
+    ``decontaminate_bloom`` entry is the exact-answer dual.
+
+    Output is per-epoch directories with overwrite (same replay-safe
+    at-least-once layout as ``incremental_dedup_stream``); readers take
+    ``read_epoch_union``."""
+    from ..operators.bloom import bloom_might_contain
+    from ..queries.text import _word_ngrams
+
+    def gate(batch: DataFrame, epoch_id: int) -> None:
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        grams = batch.select(
+            "doc_id", "text", toks.alias("toks")
+        ).select(
+            "doc_id",
+            "text",
+            F.explode_outer(
+                F.array_distinct(
+                    F.transform(
+                        _word_ngrams(F.col("toks"), n), lambda g: F.xxhash64(g)
+                    )
+                )
+            ).alias("gram"),
+        )
+        hit = (
+            F.when(
+                F.col("gram").isNotNull(),
+                bloom_might_contain("gram", bits_broadcast).cast("int"),
+            )
+            .otherwise(F.lit(0))
+            .alias("hit")
+        )
+        kept = (
+            grams.select("doc_id", "text", hit)
+            .groupBy("doc_id")
+            .agg(F.first("text").alias("text"), F.sum("hit").alias("n_hits"))
+            .filter(F.col("n_hits") == 0)
+            .select("doc_id", "text")
+        )
+        kept.write.mode("overwrite").parquet(f"{kept_path}/epoch={epoch_id}")
+
+    return (
+        new_docs.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
 def enrich_stream_static(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
     """Stream-static broadcast enrichment: the streaming analog of the
     reference's per-row dim lookups (J1/J2, src/function.py:58-69,486) —

@@ -59,6 +59,7 @@ PORTABLE = [
     "asof_prior_stats",
     "bag_set_operations",
     "bitmap_distinct_rollup",
+    "benford_digit_distribution",  # exact-integer digit extraction — dialect-common by design
     "broadcast_dim_join",
     "cdc_apply_changelog",
     "confusion_matrix_metrics",

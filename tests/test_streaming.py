@@ -583,3 +583,59 @@ def test_incremental_bitmap_distinct_matches_batch_and_replay_safe(spark, tmp_pa
         for r in read_bitmap_distinct(spark, str(tmp_path / "bm")).collect()
     }
     assert again == want
+
+
+def test_decontaminate_stream_drops_contaminated_keeps_clean(spark, tmp_path):
+    """Streaming Bloom decontamination gate: every planted contaminated
+    doc (shares a 5-gram with the bench set) must be dropped — Bloom
+    filters have no false negatives — and the FP over-drop on clean docs
+    stays small. Output is replay-safe per-epoch parquet."""
+    from pyspark.sql import functions as F
+
+    from mlb_win_predictor_spark.operators.bloom import bloom_build
+    from mlb_win_predictor_spark.streaming.jobs import (
+        decontaminate_stream,
+        read_epoch_union,
+    )
+
+    bench_sent = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = []
+    for i in range(40):  # clean docs: unique vocab per doc, no bench grams
+        words = " ".join(f"w{i}x{j}" for j in range(12))
+        rows.append((i, words))
+    for i in range(40, 50):  # contaminated: quote the bench sentence
+        rows.append((i, f"pre{i} {bench_sent} post{i}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+
+    # bloom over the bench sentence's word 5-grams (hashed as the gate does)
+    bench = (
+        spark.createDataFrame([(bench_sent,)], "text string")
+        .select(F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - 4),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(
+                            " ",
+                            *[F.element_at(F.col("toks"), i + j) for j in range(5)],
+                        )
+                    ),
+                )
+            ).alias("gram")
+        )
+    )
+    bits = spark.sparkContext.broadcast(bloom_build(bench))
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = decontaminate_stream(
+        stream, bits, str(tmp_path / "kept"), str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+
+    kept = read_epoch_union(spark, str(tmp_path / "kept"), "doc_id long, text string")
+    ids = {r.doc_id for r in kept.collect()}
+    assert not any(i in ids for i in range(40, 50)), "contaminated doc survived"
+    assert len([i for i in range(40) if i in ids]) >= 36  # <=10% FP over-drop
