@@ -183,3 +183,36 @@ def arrow_token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(id_col, text_col).mapInArrow(
         stats, schema=f"{id_col} long, n_bytes long, n_tokens long, mean_token_len double"
     )
+
+
+def compression_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-doc zlib compression ratio (compressed/raw bytes) — the
+    RefinedWeb/Gopher-style repetition-and-boilerplate quality signal:
+    highly repetitive or templated text compresses far below natural
+    prose, random-unique noise barely compresses at all. Byte-level DEFLATE
+    is genuinely Python (no Catalyst dual), so this is an Arrow-batched
+    pandas UDF like the multimodal codecs — the batch crosses the
+    boundary once, the loop is per-string zlib, and the result is a
+    map-only column: scales as a narrow corpus pass.
+
+    Closure is self-contained (imports inside) so it unpickles on
+    executors without this repo on sys.path — the driver-contract
+    lesson from operators/bloom.py."""
+
+    @F.pandas_udf("double")
+    def _ratio(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            if not t:
+                return 1.0
+            raw = t.encode("utf-8")
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(one)
+
+    return df.select(
+        F.col(id_col),
+        F.length(text_col).cast("long").alias("n_chars"),
+        _ratio(F.col(text_col)).alias("compression_ratio"),
+    )

@@ -141,6 +141,19 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_leaderboard(load_table(spark, sf_dir, "documents"))
 
 
+def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star text analysis — zlib compression-ratio quality signal
+    (the RefinedWeb/Gopher repetition heuristic: repetitive/templated
+    text compresses far below natural prose). Rows-only: byte-level
+    DEFLATE has no SQL dual; the UDF is Arrow-batched and map-only
+    (``functions.pandas_fns.compression_ratio``). Deterministic (zlib
+    level 6 is stable), so rows are stable across runs."""
+    from ..functions.pandas_fns import compression_ratio
+
+    d = load_table(spark, sf_dir, "documents")
+    return compression_ratio(d, "doc_id", "text")
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star MinHash LSH near-dup: candidate pair count + mean
     Jaccard distance per band-collision outcome."""
@@ -549,6 +562,11 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "fingerprint_winnowing": QueryDef(
         fingerprint_winnowing, None, "winnowing rolling-hash fingerprints"
+    ),
+    "compression_ratio_quality": QueryDef(
+        compression_ratio_quality,
+        None,
+        "text: zlib compression-ratio quality signal (Arrow-batched, map-only)",
     ),
     "per_group_linear_models": QueryDef(
         per_group_linear_models, None, "per-group numpy linear fits"

@@ -272,3 +272,25 @@ def test_ccnet_buckets_properties(spark):
         assert 0 <= r.n_kept <= r.n_docs
     assert rows["head"].max_nll <= rows["middle"].min_nll
     assert rows["middle"].max_nll <= rows["tail"].min_nll
+
+
+def test_compression_ratio_orders_repetitive_below_random(spark):
+    """The zlib quality signal must rank a highly repetitive doc well
+    below a unique-token doc, sit in (0, ~1.2], and agree with a direct
+    Python zlib computation on a sampled doc."""
+    import zlib
+
+    from mlb_win_predictor_spark.functions.pandas_fns import compression_ratio
+
+    rows = [
+        (0, "spam " * 200),                       # repetitive
+        (1, " ".join(f"u{i}" for i in range(200))),  # unique tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in compression_ratio(df, "doc_id", "text").collect()}
+    assert out[0].compression_ratio < out[1].compression_ratio / 2
+    for r in out.values():
+        assert 0.0 < r.compression_ratio <= 1.2
+    raw = rows[1][1].encode()
+    expect = len(zlib.compress(raw, 6)) / len(raw)
+    assert abs(out[1].compression_ratio - expect) < 1e-12
