@@ -1002,7 +1002,12 @@ def benford_digit_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection + a 9-group aggregate + a broadcast total."""
     e = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
     micro = F.round(F.col("value") * F.lit(1e6)).cast("bigint")
-    d = e.select(F.substring(micro.cast("string"), 1, 1).cast("int").alias("digit"))
+    # micro >= 1 guard: a value below 0.5e-6 would yield digit 0, whose
+    # Benford expectation log10(1 + 1/0) is NULL on Spark (ANSI off)
+    # but inf on DuckDB doubles — excluded identically on both engines
+    d = e.select(micro.alias("micro")).filter(F.col("micro") >= 1).select(
+        F.substring(F.col("micro").cast("string"), 1, 1).cast("int").alias("digit")
+    )
     counts = d.groupBy("digit").agg(F.count(F.lit(1)).cast("long").alias("n"))
     total = counts.agg(F.sum("n").cast("double").alias("n_total"))
     obs = F.col("n").cast("double") / F.col("n_total")
@@ -1019,9 +1024,12 @@ def benford_digit_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BENFORD_SQL = f"""
-WITH d AS (
-  SELECT CAST(substr(CAST(CAST(ROUND(value * 1e6) AS BIGINT) AS STRING), 1, 1) AS INT) AS digit
+WITH m AS (
+  SELECT CAST(ROUND(value * 1e6) AS BIGINT) AS micro
   FROM events WHERE value > 0
+), d AS (
+  SELECT CAST(substr(CAST(micro AS STRING), 1, 1) AS INT) AS digit
+  FROM m WHERE micro >= 1
 ), counts AS (
   SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1
 ), total AS (

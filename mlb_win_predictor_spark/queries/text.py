@@ -1228,14 +1228,20 @@ def top_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = counts.groupBy("doc_id", "n_chars").agg(
         F.max(F.struct(F.col("cnt"), F.col("gram"))).alias("m")
     )
+    # n_chars guard: Spark (ANSI off) yields NULL on x/0 while DuckDB
+    # doubles yield inf — make the zero case NULL on BOTH engines so a
+    # future empty-text doc can't become an oracle-parity flake
     return top.select(
         "doc_id",
         F.col("m.gram").alias("top_gram"),
         F.col("m.cnt").alias("top_cnt"),
         stable_round(
-            F.col("m.cnt").cast("double")
-            * F.length("m.gram").cast("double")
-            / F.col("n_chars").cast("double"),
+            F.when(
+                F.col("n_chars") > 0,
+                F.col("m.cnt").cast("double")
+                * F.length("m.gram").cast("double")
+                / F.col("n_chars").cast("double"),
+            ),
             6,
         ).alias("top_gram_char_frac"),
     )
@@ -1257,8 +1263,10 @@ WITH t AS (
   FROM g GROUP BY doc_id, n_chars, gram
 )
 SELECT doc_id, gram AS top_gram, cnt AS top_cnt,
-       (ROUND((CAST(cnt AS DOUBLE) * CAST(LENGTH(gram) AS DOUBLE)
-               / CAST(n_chars AS DOUBLE)) * 1e6) / 1e6) AS top_gram_char_frac
+       CASE WHEN n_chars > 0 THEN
+         (ROUND((CAST(cnt AS DOUBLE) * CAST(LENGTH(gram) AS DOUBLE)
+                 / CAST(n_chars AS DOUBLE)) * 1e6) / 1e6)
+       END AS top_gram_char_frac
 FROM c
 QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram DESC) = 1
 """
