@@ -26,6 +26,12 @@ def stable_round(col: Column | str, k: int) -> Column:
     exact .5 (common for small-denominator rationals like 27*er/outs).
     ``round(x*10^k)/10^k`` performs the identical IEEE ops on both engines
     — pair with the same idiom in oracle SQL (``queries.base.sround``).
+
+    Domain: |x| < 2^52 / 10^k. Beyond that the scaled value's ulp
+    exceeds 1, so the idiom is neither exact nor idempotent (it is
+    still cross-engine IDENTICAL — the parity guarantee holds at any
+    magnitude; only the mathematical rounding semantics degrade).
+    Catalog uses are ratios, logs, and money magnitudes ≪ the bound.
     """
     scale = F.lit(float(10**k))
     return F.round(_c(col) * scale, 0) / scale

@@ -4,7 +4,7 @@ train a cheap linear model where the positive class is a curated
 reference corpus, score every raw document, keep high scorers).
 
 Spark-first shape: ``HashingTF`` featurization is JVM-side and map-only
-(the feature space is a fixed 2^14-dim hash space — no vocabulary build,
+(the feature space is a fixed 2^12-dim hash space — no vocabulary build,
 no shuffle, unbounded text streams in); ``LogisticRegression`` is
 MLlib's distributed L-BFGS (one treeAggregate per iteration over a
 corpus that never lands on the driver); scoring is a map-only model

@@ -85,7 +85,12 @@ def bloom_might_contain(
         import pandas as _pd
 
         bits = bits_broadcast.value
-        hv = h.to_numpy(dtype=_np.int64).view(_np.uint64)
+        # null-safe: Spark evaluates pandas UDFs in their own
+        # ArrowEvalPython node over EVERY row — an enclosing when()
+        # can't shield the UDF from nulls, and a null would arrive as
+        # NaN and blow up the int64 conversion. Null keys probe False.
+        mask = h.notna().to_numpy()
+        hv = h.fillna(0).to_numpy(dtype=_np.int64).view(_np.uint64)
         h1 = hv >> _np.uint64(32)
         h2 = (hv & _np.uint64(0xFFFFFFFF)) | _np.uint64(1)
         out = _np.ones(len(hv), dtype=bool)
@@ -94,6 +99,7 @@ def bloom_might_contain(
             out &= (
                 (bits[pos >> _np.uint64(6)] >> (pos & _np.uint64(63))) & _np.uint64(1)
             ).astype(bool)
+        out &= mask
         return _pd.Series(out)
 
     return probe(F.col(hash_col))

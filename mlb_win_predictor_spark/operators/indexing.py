@@ -64,3 +64,33 @@ def dense_global_index(
         .withColumn(id_name, (F.col("_offset") + F.col("_rn") - 1).cast("long"))
     )
     return indexed.drop("_pid", "_mid", "_rn", "_offset")
+
+
+def exact_ntile(
+    df: DataFrame,
+    order_cols: list[str],
+    n: int,
+    k: int,
+    name: str,
+) -> DataFrame:
+    """Exact NTILE(k) bucket (1-based) over a total order, built on the
+    range-partitioned ``dense_global_index`` — never a one-task global
+    sort. NTILE(k) over n rows puts q+1 rows in each of the first r
+    buckets and q in the rest (q, r = divmod(n, k)); note floor(idx*k/n)
+    is NOT the same split when k does not divide n. ``n`` is the
+    caller's row count (one count() scan, shared across multiple
+    dimensions when ranking the same table repeatedly)."""
+    q, r = divmod(n, k)
+    idx = F.col("_ntile_idx")
+    if q == 0:  # fewer rows than buckets: everyone lands in bucket idx+1
+        b = idx + 1
+    else:
+        head = r * (q + 1)  # rows covered by the first r (larger) buckets
+        b = F.when(idx < head, F.floor(idx / (q + 1)) + 1).otherwise(
+            r + F.floor((idx - head) / q) + 1
+        )
+    return (
+        dense_global_index(df, order_cols, id_name="_ntile_idx")
+        .withColumn(name, b.cast("int"))
+        .drop("_ntile_idx")
+    )

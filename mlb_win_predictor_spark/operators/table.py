@@ -11,31 +11,37 @@ parquet directories.
 
 Layout::
 
-    <path>/v=<N>/part-*.parquet   -- immutable snapshot N
-    <path>/_commits/<N>           -- zero-byte marker; N is visible iff present
+    <path>/v=<N>-<pid>-<k>/part-*.parquet -- immutable snapshot data (unique name)
+    <path>/_commits/<N>                   -- marker; content = the data dir's
+                                             basename; N is visible iff present
+    (legacy tables: empty marker content resolves to plain ``v=<N>``)
 
 Invariants (same scheme as ``streaming.jobs._apply_versioned_epoch``):
 
-- Writers write the FULL new snapshot to ``v=N+1`` first, then publish it
-  with an atomic marker rename (``os.replace``). A crash anywhere before
-  the marker leaves readers on N — no torn reads, ever.
-- A retried merge recomputes from N (never from the orphaned N+1 data)
-  and overwrites ``v=N+1`` — idempotent, duplicate-free.
-- Readers resolve the latest *committed* version at plan time, so a
-  long-running read of N is unaffected by N+1 landing mid-query
-  (snapshot isolation; parquet files are never mutated in place).
+- Writers write the FULL new snapshot first, then publish it with one
+  exclusive-create of the marker. A crash anywhere before the marker
+  leaves readers on N — no torn reads, ever.
+- A retried merge recomputes from N (never from orphaned data) into a
+  fresh uniquely-named dir — idempotent, duplicate-free.
+- Readers resolve the latest *committed* version at plan time and reach
+  the data THROUGH the marker's pointer, so a long-running read of N is
+  unaffected by N+1 landing mid-query (snapshot isolation; parquet
+  files are never mutated in place).
 - **Optimistic concurrency** (the piece Delta's transaction log adds,
-  reduced to a filesystem CAS): each writer stages its snapshot under a
-  UNIQUE ``_staged/`` dir (attempts never clobber each other), then
-  publishes via directory rename + exclusive-create (``open(..., "x")``)
-  of the marker — the commit point. A writer that raced a competing
-  commit for the same version gets ``ConcurrentCommitError`` (retryable:
-  re-read the NEW snapshot, recompute, commit N+2) instead of silently
-  clobbering or interleaving. An orphaned version dir WITHOUT a marker
-  (a writer that crashed between rename and marker) is reclaimed by the
-  next attempt — indistinguishable on a local fs from a live writer in
-  that vanishing window; object stores close it with conditional put,
-  which is exactly where this maps at 100 TB.
+  reduced to a filesystem CAS): every snapshot dir is uniquely named —
+  writers NEVER contend on a rename target — and the marker, created
+  with ``open(..., "x")`` and holding the winning dir's name, is the
+  single commit point (Delta's log entry as a pointer file). A writer
+  that raced a competing commit for the same version gets
+  ``ConcurrentCommitError`` (retryable: re-read the NEW snapshot,
+  recompute, commit N+2) and removes only its OWN data. A crashed
+  writer leaves an unreferenced dir that ``vacuum`` sweeps; nothing in
+  the publish path ever deletes another writer's files (the earlier
+  shared-``v=N``-rename design had a lost-update window where a live
+  loser could reclaim the winner's just-renamed data — designed out,
+  regression-tested in test_publish_interleaving_cannot_lose_winner_data).
+  On an object store the marker maps to conditional put, which is
+  exactly where this lands at 100 TB.
 
 Scale: MERGE is one full-outer shuffle join of snapshot x delta on the
 merge key — the same plan Delta executes for a full-table merge. For
@@ -88,6 +94,15 @@ class VersionedTable:
         vs = self.committed_versions()
         return vs[-1] if vs else None
 
+    def _snapshot_dir(self, version: int) -> str:
+        """Resolve a committed version's data dir THROUGH its marker
+        (marker content = dir basename); an empty marker is the legacy
+        layout where the dir is plain ``v=<N>``."""
+        marker = os.path.join(self._commits, str(version))
+        with open(marker) as fh:
+            name = fh.read().strip()
+        return os.path.join(self.path, name or f"v={version}")
+
     # ---------------------------------------------------------------- reads
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """Latest committed snapshot, or time-travel to ``version``."""
@@ -97,7 +112,7 @@ class VersionedTable:
             raise FileNotFoundError(
                 f"no committed version {'' if version is None else version} at {self.path}"
             )
-        return spark.read.parquet(os.path.join(self.path, f"v={version}"))
+        return spark.read.parquet(self._snapshot_dir(version))
 
     # ----------------------------------------------------- zone-map skipping
     def _write_zonemap(self, spark: SparkSession, staged: str) -> None:
@@ -139,7 +154,7 @@ class VersionedTable:
         (skipping must never change results). ``None`` bounds are open."""
         if version is None:
             version = self.latest_version()
-        vdir = os.path.join(self.path, f"v={version}")
+        vdir = self._snapshot_dir(version)
         zm_path = os.path.join(vdir, ZONEMAP)
         names = [f for f in os.listdir(vdir) if f.endswith(".parquet")]
         if not os.path.exists(zm_path):
@@ -176,7 +191,7 @@ class VersionedTable:
         if version is None:
             version = self.latest_version()
         files, _total = self.pruned_files(col, lo, hi, version)
-        vdir = os.path.join(self.path, f"v={version}")
+        vdir = self._snapshot_dir(version)
         if files:
             df = spark.read.parquet(*(os.path.join(vdir, f) for f in files))
         else:
@@ -193,25 +208,32 @@ class VersionedTable:
         """Unique per-attempt staging dir: concurrent writers never write
         into the same directory, so a losing attempt can't corrupt the
         winner's published data (the reason Delta writes uniquely-named
-        data files before its log CAS)."""
+        data files before its log CAS). The basename survives publish
+        (the marker points at it), so it carries the ``v=`` prefix."""
         return os.path.join(
-            self._staging, f"v{version}-{os.getpid()}-{next(_ATTEMPT_COUNTER)}"
+            self._staging, f"v={version}-{os.getpid()}-{next(_ATTEMPT_COUNTER)}"
         )
 
     def _publish(self, staged: str, version: int) -> int:
         """Atomically publish a fully-staged snapshot as ``version``.
 
-        CAS discipline: the marker is created with O_EXCL (``open "x"``) —
-        exactly one writer per version can succeed; every other path
-        raises ``ConcurrentCommitError`` and removes its own staging only.
-        A version dir WITHOUT a marker is a crashed writer's orphan and is
-        reclaimed (rmtree + rename); the pre-rename marker check keeps
-        that reclaim from racing a committed competitor."""
-        final = os.path.join(self.path, f"v={version}")
+        Marker-as-pointer CAS (the Delta log entry reduced to a file):
+        the snapshot keeps a UNIQUE dir name (``v=<N>-<pid>-<attempt>``,
+        renamed from staging — never contended), and the marker file —
+        created with O_EXCL (``open "x"``), exactly one winner — holds
+        that dir's basename. Readers resolve the data dir THROUGH the
+        marker, so there is no shared ``v=N`` rename to race on: an
+        earlier design renamed everyone onto ``v=N`` and reclaimed
+        "orphans", which let a live loser rmtree the winner's
+        just-renamed data before the winner's marker landed (lost
+        update). Now a loser only ever removes its own dir; a crashed
+        writer leaves an unreferenced dir that ``vacuum`` sweeps."""
+        final = os.path.join(self.path, os.path.basename(staged))
         marker = os.path.join(self._commits, str(version))
 
         def _lose(msg: str) -> ConcurrentCommitError:
             shutil.rmtree(staged, ignore_errors=True)
+            shutil.rmtree(final, ignore_errors=True)
             return ConcurrentCommitError(
                 f"version {version} at {self.path}: {msg}; re-read the new "
                 "snapshot and retry the merge"
@@ -219,22 +241,11 @@ class VersionedTable:
 
         if os.path.exists(marker):
             raise _lose("a competing writer committed first")
-        try:
-            os.rename(staged, final)
-        except OSError:
-            # final dir exists: committed competitor, or an orphan from a
-            # crashed writer (data renamed, marker never created)
-            if os.path.exists(marker):
-                raise _lose("a competing writer committed first")
-            shutil.rmtree(final, ignore_errors=True)
-            try:
-                os.rename(staged, final)
-            except OSError:
-                raise _lose("lost the publish race")
+        os.rename(staged, final)  # unique target: never contended
         os.makedirs(self._commits, exist_ok=True)
         try:
-            with open(marker, "x"):
-                pass
+            with open(marker, "x") as fh:
+                fh.write(os.path.basename(final))
         except FileExistsError:
             raise _lose("a competing writer committed first")
         return version
@@ -362,31 +373,55 @@ class VersionedTable:
         return self._publish(staged, new)
 
     # ------------------------------------------------------------- cleanup
-    def vacuum(self, keep_last: int = 2) -> list[int]:
-        """Drop all snapshot dirs except the last ``keep_last`` committed
-        versions (crash-orphaned uncommitted dirs included), plus any
-        leftover ``_staged/`` attempt dirs from crashed or conflicted
-        writers. Vacuum assumes no LIVE writer is mid-flight (the same
-        contract as Delta's VACUUM retention window). Returns the
-        versions removed."""
+    def vacuum(self, keep_last: int = 2, staging_ttl_s: float = 3600.0) -> list[int]:
+        """Drop every snapshot dir not referenced by one of the last
+        ``keep_last`` committed markers — which sweeps both old versions
+        and crash-orphaned unreferenced dirs — plus ``_staged/`` attempt
+        dirs OLDER than ``staging_ttl_s`` (a retention window, Delta
+        VACUUM style: a live writer's in-flight staging is younger than
+        the TTL and survives; the earlier delete-all behavior could
+        destroy a concurrent writer's staging mid-merge). A referenced
+        dir name is read from the marker content (legacy empty markers
+        reference ``v=<N>``). Returns the versions whose markers were
+        dropped; unreferenced orphan dirs are removed silently."""
+        import time
+
         committed = self.committed_versions()
-        keep = set(committed[-keep_last:]) if keep_last > 0 else set()
+        keep_versions = set(committed[-keep_last:]) if keep_last > 0 else set()
         removed = []
         if not os.path.isdir(self.path):
             return removed
-        shutil.rmtree(self._staging, ignore_errors=True)
-        for d in os.listdir(self.path):
-            # mirror committed_versions()'s isdigit filter: a stray
-            # `v=1.bak` / editor temp dir must not abort the vacuum
-            # midway with some snapshots already removed
-            if not d.startswith("v=") or not d[2:].isdigit():
+        # staging sweep, TTL-guarded
+        if os.path.isdir(self._staging):
+            now = time.time()
+            for d in os.listdir(self._staging):
+                sd = os.path.join(self._staging, d)
+                try:
+                    age = now - os.path.getmtime(sd)
+                except OSError:
+                    continue
+                if age > staging_ttl_s:
+                    shutil.rmtree(sd, ignore_errors=True)
+        # referenced dirs of kept versions
+        keep_dirs = set()
+        for v in keep_versions:
+            try:
+                keep_dirs.add(os.path.basename(self._snapshot_dir(v)))
+            except OSError:
+                pass
+        # drop markers of unkept versions first (readers stop resolving
+        # them before their data disappears)
+        for v in committed:
+            if v in keep_versions:
                 continue
-            v = int(d[2:])
-            if v in keep:
-                continue
-            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
             marker = os.path.join(self._commits, str(v))
             if os.path.exists(marker):
                 os.remove(marker)
             removed.append(v)
+        # sweep every v=* dir not referenced by a kept marker (old
+        # versions AND crashed-writer orphans); non-v= names untouched
+        for d in os.listdir(self.path):
+            if not d.startswith("v=") or d in keep_dirs:
+                continue
+            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         return sorted(removed)

@@ -517,7 +517,17 @@ def scd2_asof_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle SQL runs verbatim on Spark SQL too (tri-modal, pinned in
     tests/test_sql_surface.py). At 100 TB the production trim is
     partition-pruning the history on valid_from date ranges; the
-    predicate shape is unchanged."""
+    predicate shape is unchanged.
+
+    NOTE: the lag-change-detect + lead-close pipeline below is a
+    DELIBERATE twin of ``scd2_history_rebuild`` in a different time
+    representation (timestamps here so the SQL is verbatim-portable;
+    epoch microseconds there so the rebuild's arithmetic is exact
+    integers). A fix to the versioning logic — e.g. the tie-break
+    ordering — must be applied to BOTH; parameterizing one on the time
+    type was judged worse than the duplication (it would thread the
+    representation through every window expression and both SQL
+    texts)."""
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     seq = e.select(

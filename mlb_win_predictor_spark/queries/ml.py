@@ -131,7 +131,7 @@ def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     passing the stopword-density gate — the sandbox corpus has no
     language signal, so the learnable target is distilling that rule;
     score every raw doc and keep high scorers). HashingTF
-    featurization is JVM map-only over a fixed 2^14 hash space (no vocab
+    featurization is JVM map-only over a fixed 2^12 hash space (no vocab
     build); training is MLlib's distributed L-BFGS; scoring is a
     broadcast-model map pass. Iterative float path ⇒ rows-only entry;
     the separability gate (held-out accuracy beats the class prior)

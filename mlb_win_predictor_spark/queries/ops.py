@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions.scalars import stable_round
-from ..operators.indexing import dense_global_index
+from ..operators.indexing import dense_global_index, exact_ntile
 from ..session import load_table
 from .base import QueryDef, sround
 
@@ -374,18 +374,8 @@ def quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact oracle those sketches are tested against."""
     o = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
     n = o.count()
-    q, r = divmod(n, N_BINS)
-    idx = F.col("row_idx")
-    if q == 0:  # fewer rows than bins: everyone lands in bucket idx+1
-        bin_expr = idx + 1
-    else:
-        head = r * (q + 1)  # rows covered by the first r (larger) buckets
-        bin_expr = (
-            F.when(idx < head, F.floor(idx / (q + 1)) + 1)
-            .otherwise(r + F.floor((idx - head) / q) + 1)
-        )
-    binned = dense_global_index(o, ["o_totalprice", "o_orderkey"]).select(
-        "o_totalprice", bin_expr.cast("bigint").alias("bin")
+    binned = exact_ntile(o, ["o_totalprice", "o_orderkey"], n, N_BINS, "bin_i").select(
+        "o_totalprice", F.col("bin_i").cast("bigint").alias("bin")
     )
     return binned.groupBy("bin").agg(
         F.count(F.lit(1)).alias("n"),
@@ -1049,26 +1039,6 @@ FROM counts, total
 RFM_BUCKETS = 3
 
 
-def _exact_ntile(df: DataFrame, order_cols: list[str], n: int, name: str) -> DataFrame:
-    """Exact NTILE({k}) bucket over a total order — the range-partitioned
-    dense-index pattern (see ``quantile_binning``), reusable per
-    dimension. ``n`` is the (shared) row count."""
-    q, r = divmod(n, RFM_BUCKETS)
-    idx = F.col("_ridx")
-    if q == 0:
-        b = idx + 1
-    else:
-        head = r * (q + 1)
-        b = F.when(idx < head, F.floor(idx / (q + 1)) + 1).otherwise(
-            r + F.floor((idx - head) / q) + 1
-        )
-    return (
-        dense_global_index(df, order_cols, id_name="_ridx")
-        .withColumn(name, b.cast("int"))
-        .drop("_ridx")
-    )
-
-
 def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation (the classic customer-value analytics rollup):
     per user, Recency = days since last event, Frequency = event count,
@@ -1098,9 +1068,9 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).cache()  # user-grain (tiny); 3 tercile indexes + final plan reuse it
     n = u.count()
-    u = _exact_ntile(u, ["r_days", "user_id"], n, "r_score")
-    u = _exact_ntile(u, ["freq", "user_id"], n, "f_score")
-    u = _exact_ntile(u, ["monetary", "user_id"], n, "m_score")
+    u = exact_ntile(u, ["r_days", "user_id"], n, RFM_BUCKETS, "r_score")
+    u = exact_ntile(u, ["freq", "user_id"], n, RFM_BUCKETS, "f_score")
+    u = exact_ntile(u, ["monetary", "user_id"], n, RFM_BUCKETS, "m_score")
     seg = F.concat(
         F.lit("R"),
         F.col("r_score").cast("string"),

@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions.scalars import stable_round
-from ..operators.indexing import dense_global_index
+from ..operators.indexing import dense_global_index, exact_ntile
 from ..session import fan_out, load_table
 from .base import QueryDef, sround
 
@@ -1975,11 +1975,15 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``regr_r2`` (same one-pass discipline as ``regression_aggregates``;
     6dp rounding absorbs partial-fold order)."""
     d = load_table(spark, sf_dir, "documents")
+    # vocab-grain table cached before the dense index: the range-sampling
+    # pass, the per-partition-count collect, and the final regr agg would
+    # otherwise each re-run the corpus token explode (same rule as
+    # ccnet_perplexity_buckets / rfm_segments)
     wc = (
         d.select(F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
-    )
+    ).cache()
     ranked = dense_global_index(
         wc.select("w", "c", (-F.col("c")).alias("neg_c")), ["neg_c", "w"]
     ).select("c", (F.col("row_idx") + 1).cast("double").alias("rank"))
@@ -2030,17 +2034,8 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     # otherwise each recompute the full unigram-LM aggregation
     nll = unigram_logprob_quality(spark, sf_dir).select("doc_id", "avg_nll").cache()
     n = nll.count()
-    q, r = divmod(n, 3)
-    idx = F.col("row_idx")
-    if q == 0:
-        bin_expr = idx + 1
-    else:
-        head = r * (q + 1)
-        bin_expr = F.when(idx < head, F.floor(idx / (q + 1)) + 1).otherwise(
-            r + F.floor((idx - head) / q) + 1
-        )
-    binned = dense_global_index(nll, ["avg_nll", "doc_id"]).select(
-        "doc_id", "avg_nll", bin_expr.cast("int").alias("bucket_id")
+    binned = exact_ntile(nll, ["avg_nll", "doc_id"], n, 3, "bucket_id").select(
+        "doc_id", "avg_nll", "bucket_id"
     )
     hashv = F.conv(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
@@ -2240,16 +2235,23 @@ def _interpolated_logprob(
         .groupBy("doc_id", "t.bi", "t.ctx", "t.tgt")
         .agg(F.count(F.lit(1)).alias("k"))
     )
-    # Jelinek-Mercer mix with an OOV floor of 0.5/N: when both terms are
-    # unseen P would be 0 (ln → -inf); the floor is strictly below every
-    # attainable model probability (>= 1/N), so it binds ONLY for true
-    # OOV events and the λ=1 / λ=0 reductions stay exact.
+    # Jelinek-Mercer mix with an OOV floor: when both terms are unseen P
+    # would be 0 (ln → -inf). The smallest NONZERO model probability is
+    # the hapax-target/unseen-bigram case, (1−λ)·1/N, so the floor is
+    # 0.5·(1−λ)/N — strictly below every attainable model value — and
+    # binds ONLY for true OOV events (a flat 0.5/N would silently
+    # override the JM mix for exactly the rare-vocabulary events the
+    # filter targets). At λ=1 the unigram leg vanishes, so the floor
+    # falls back to 0.5/N purely as the ln(0) guard; the λ=1 reduction
+    # test runs split=False where every scored bigram is in the model
+    # (p_bi ≥ 1/N > 0.5/N), so the reduction stays exact.
+    floor_scale = 0.5 * (1.0 - lam) if lam < 1.0 else 0.5
     p_bi = F.col("c_bi").cast("double") / F.col("c_ctx").cast("double")
     p_uni = F.col("c_w").cast("double") / F.col("n_total")
     p = F.greatest(
         F.lit(lam) * F.coalesce(p_bi, F.lit(0.0))
         + F.lit(1.0 - lam) * F.coalesce(p_uni, F.lit(0.0)),
-        F.lit(0.5) / F.col("n_total"),
+        F.lit(floor_scale) / F.col("n_total"),
     )
     return (
         doc_bi.join(tr_bi.select("bi", "c_bi"), "bi", "left")
@@ -2274,8 +2276,9 @@ def interpolated_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from OTHER documents (train = even doc_ids, score = odd), so unseen
     bigrams genuinely occur and the smoothing does real work:
     ``P(w|u) = λ·c_bi(u,w)/c_ctx(u) + (1−λ)·c_w/N`` (λ={lam}), floored
-    at 0.5/N for OOV targets. Per scored doc: transition count and
-    average negative log-prob, rounded 6dp.
+    at 0.5·(1−λ)/N — strictly below the hapax-target minimum (1−λ)/N, so
+    the floor binds ONLY for true OOV events. Per scored doc: transition
+    count and average negative log-prob, rounded 6dp.
 
     Plan shape is the bigram entry's: map-side transition build (no
     window/positions shuffle), xxhash64 long keys everywhere, model
@@ -2314,7 +2317,7 @@ WITH toked AS (
          GREATEST(
            {JM_LAMBDA} * COALESCE(CAST(c_bi AS DOUBLE) / CAST(c_ctx AS DOUBLE), 0)
            + {1.0 - JM_LAMBDA} * COALESCE(CAST(c_w AS DOUBLE) / n_total, 0),
-           0.5 / n_total
+           {0.5 * (1.0 - JM_LAMBDA)} / n_total
          ) AS p
   FROM score_bi
   LEFT JOIN c_bi USING (u, w)

@@ -381,12 +381,15 @@ def decontaminate_stream(
 
     def gate(batch: DataFrame, epoch_id: int) -> None:
         toks = F.split(F.trim(F.col("text")), r"\s+")
-        grams = batch.select(
-            "doc_id", "text", toks.alias("toks")
-        ).select(
+        # inner explode + left join back, NOT explode_outer through the
+        # probe: Spark evaluates pandas UDFs in a separate
+        # ArrowEvalPython node over every row regardless of an enclosing
+        # when(), so a NULL gram from a sub-n-token doc would reach the
+        # UDF. Docs with no grams have nothing to probe and are kept via
+        # the left join's coalesce.
+        grams = batch.select("doc_id", toks.alias("toks")).select(
             "doc_id",
-            "text",
-            F.explode_outer(
+            F.explode(
                 F.array_distinct(
                     F.transform(
                         _word_ngrams(F.col("toks"), n), lambda g: F.xxhash64(g)
@@ -394,19 +397,14 @@ def decontaminate_stream(
                 )
             ).alias("gram"),
         )
-        hit = (
-            F.when(
-                F.col("gram").isNotNull(),
-                bloom_might_contain("gram", bits_broadcast).cast("int"),
-            )
-            .otherwise(F.lit(0))
-            .alias("hit")
+        hits = (
+            grams.filter(bloom_might_contain("gram", bits_broadcast))
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
         )
         kept = (
-            grams.select("doc_id", "text", hit)
-            .groupBy("doc_id")
-            .agg(F.first("text").alias("text"), F.sum("hit").alias("n_hits"))
-            .filter(F.col("n_hits") == 0)
+            batch.join(hits, "doc_id", "left")
+            .filter(F.coalesce(F.col("n_hits"), F.lit(0)) == 0)
             .select("doc_id", "text")
         )
         kept.write.mode("overwrite").parquet(f"{kept_path}/epoch={epoch_id}")

@@ -449,7 +449,8 @@ def test_ccnet_buckets_no_single_partition_window(plans):
     # partition-local (_pid), never a global sort.
     assert "rangepartitioning(avg_nll" in p
     assert "windowspecdefinition(_pid" in p
-    assert "ntile" not in p.lower()
+    # no NTILE window FUNCTION (the helper's _ntile_idx column is fine)
+    assert "ntile(" not in p.lower()
 
 
 def test_decontaminate_bloom_no_gram_shuffle_join(plans):

@@ -605,6 +605,7 @@ def test_decontaminate_stream_drops_contaminated_keeps_clean(spark, tmp_path):
         rows.append((i, words))
     for i in range(40, 50):  # contaminated: quote the bench sentence
         rows.append((i, f"pre{i} {bench_sent} post{i}"))
+    rows.append((50, "too short doc"))  # < n tokens: no grams, must be kept
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     src = str(tmp_path / "docs")
     docs.write.parquet(src)
@@ -638,4 +639,5 @@ def test_decontaminate_stream_drops_contaminated_keeps_clean(spark, tmp_path):
     kept = read_epoch_union(spark, str(tmp_path / "kept"), "doc_id long, text string")
     ids = {r.doc_id for r in kept.collect()}
     assert not any(i in ids for i in range(40, 50)), "contaminated doc survived"
+    assert 50 in ids, "sub-n-token doc must pass the gate, not crash it"
     assert len([i for i in range(40) if i in ids]) >= 36  # <=10% FP over-drop

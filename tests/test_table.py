@@ -65,7 +65,8 @@ def test_crash_before_marker_is_invisible_and_retry_commits(spark, tmp_path, bas
     delta.write.mode("overwrite").parquet(str(tmp_path / "tbl" / "v=1"))
     assert t.latest_version() == 0
     assert _rows(t.read(spark)) == _rows(base_df)  # torn write invisible
-    # retry recomputes from v0 and overwrites the orphan, then commits
+    # retry recomputes from v0 into its own unique dir and commits;
+    # the legacy orphan is left for vacuum
     assert t.merge(delta, keys=["k"]) == 1
     assert _rows(t.read(spark)) == [(1, 10.0, "a"), (2, 20.0, "b"), (3, 0.0, "X")]
 
@@ -86,15 +87,15 @@ def test_vacuum_drops_old_and_orphans_keeps_head(spark, tmp_path, base_df):
             spark.createDataFrame([(1, float(i), "v")], "k int, bal double, tag string"),
             keys=["k"],
         )
-    # plant an orphan above the head too
-    shutil.copytree(str(tmp_path / "tbl" / "v=0"), str(tmp_path / "tbl" / "v=9"))
+    # plant a crashed-writer orphan: a v=* dir no marker references
+    shutil.copytree(t._snapshot_dir(0), str(tmp_path / "tbl" / "v=9-dead-0"))
     removed = t.vacuum(keep_last=2)
-    assert removed == [0, 1, 9]
+    assert removed == [0, 1]
     assert t.committed_versions() == [2, 3]
     assert _rows(t.read(spark))[0] == (1, 2.0, "v")
     with pytest.raises(FileNotFoundError):
         t.read(spark, version=0)
-    assert not os.path.isdir(str(tmp_path / "tbl" / "v=9"))
+    assert not os.path.isdir(str(tmp_path / "tbl" / "v=9-dead-0"))  # orphan swept
 
 
 def test_merge_rejects_duplicate_source_keys(spark, tmp_path, base_df):
@@ -112,9 +113,15 @@ def test_merge_rejects_duplicate_source_keys(spark, tmp_path, base_df):
     assert _rows(t.read(spark)) == _rows(base_df)
 
 
-def test_vacuum_skips_non_numeric_version_dirs(spark, tmp_path, base_df):
-    """A stray `v=1.bak` (backup / editor temp) must be skipped, not
-    abort the vacuum midway via int('1.bak')."""
+def test_vacuum_sweeps_unreferenced_spares_other_names_and_live_staging(
+    spark, tmp_path, base_df
+):
+    """Marker-as-pointer vacuum semantics: any `v=*` dir no kept marker
+    references is swept (crashed-writer orphans and stray `v=1.bak`
+    backups alike — unreferenced is unreferenced), names NOT starting
+    `v=` are untouched, and `_staged/` dirs YOUNGER than the retention
+    TTL survive (a live writer's in-flight staging must not be
+    destroyed mid-merge)."""
     t = VersionedTable(str(tmp_path / "tbl"))
     t.init(base_df)
     for i in range(2):
@@ -122,10 +129,17 @@ def test_vacuum_skips_non_numeric_version_dirs(spark, tmp_path, base_df):
             spark.createDataFrame([(1, float(i), "v")], "k int, bal double, tag string"),
             keys=["k"],
         )
-    shutil.copytree(str(tmp_path / "tbl" / "v=0"), str(tmp_path / "tbl" / "v=1.bak"))
+    shutil.copytree(t._snapshot_dir(0), str(tmp_path / "tbl" / "v=1.bak"))
+    os.makedirs(str(tmp_path / "tbl" / "notes_dir"))
+    live_staging = str(tmp_path / "tbl" / "_staged" / "v=9-live-0")
+    os.makedirs(live_staging)
     removed = t.vacuum(keep_last=2)
     assert removed == [0]
-    assert os.path.isdir(str(tmp_path / "tbl" / "v=1.bak"))  # untouched
+    assert not os.path.isdir(str(tmp_path / "tbl" / "v=1.bak"))  # unreferenced: swept
+    assert os.path.isdir(str(tmp_path / "tbl" / "notes_dir"))  # non-snapshot: kept
+    assert os.path.isdir(live_staging)  # younger than TTL: kept
+    assert t.vacuum(keep_last=2, staging_ttl_s=0.0) == []
+    assert not os.path.isdir(live_staging)  # past TTL: swept
     assert t.committed_versions() == [1, 2]
 
 
@@ -282,14 +296,17 @@ def test_concurrent_merge_marker_cas_under_true_parallelism(spark, tmp_path, bas
 
 def test_vacuum_clears_stale_staging(spark, tmp_path, base_df):
     """Conflicted/crashed attempts leave _staged dirs; vacuum removes
-    them along with old snapshots."""
+    the ones OLDER than the retention TTL (a fresh dir could be a live
+    writer's in-flight staging)."""
     t = VersionedTable(str(tmp_path / "tbl"))
     t.init(base_df)
-    stale = tmp_path / "tbl" / "_staged" / "v1-999-0"
+    stale = tmp_path / "tbl" / "_staged" / "v=1-999-0"
     os.makedirs(str(stale), exist_ok=True)
     (stale / "part-junk.parquet").write_text("x")
     t.vacuum(keep_last=1)
-    assert not os.path.isdir(str(tmp_path / "tbl" / "_staged"))
+    assert os.path.isdir(str(stale))  # younger than default TTL: kept
+    t.vacuum(keep_last=1, staging_ttl_s=0.0)
+    assert not os.path.isdir(str(stale))  # past TTL: swept
     assert t.latest_version() == 0
 
 
@@ -336,3 +353,42 @@ def test_zonemap_survives_merge_and_empty_range(spark, tmp_path):
     # time-travel still prunes against v0's own manifest
     kept0, total0 = t.pruned_files("k", lo=0, hi=10, version=0)
     assert len(kept0) <= 2 and total0 == 4
+
+
+def test_publish_interleaving_cannot_lose_winner_data(spark, tmp_path, base_df):
+    """Regression for the lost-update race of the shared-dir design:
+    writer A renames its snapshot but hasn't created the marker yet when
+    writer B publishes the same version completely. Under
+    marker-as-pointer, B's marker must reference B's OWN data (never
+    A's), A's late marker attempt must lose loudly, and B's committed
+    data must survive untouched."""
+    from mlb_win_predictor_spark.operators.table import ConcurrentCommitError
+
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.init(base_df)
+    # writer A: stage + rename (the pre-marker crash window), no marker
+    a_staged = t._stage_dir(1)
+    spark.createDataFrame([(1, 111.0, "A")], "k int, bal double, tag string").write.mode(
+        "overwrite"
+    ).parquet(a_staged)
+    a_final = os.path.join(t.path, os.path.basename(a_staged))
+    os.rename(a_staged, a_final)
+    # writer B publishes version 1 completely while A is in the window
+    assert (
+        t.merge(
+            spark.createDataFrame([(2, 222.0, "B")], "k int, bal double, tag string"),
+            keys=["k"],
+        )
+        == 1
+    )
+    assert t._snapshot_dir(1) != a_final  # marker points at B's data
+    # A's late marker attempt loses loudly instead of clobbering
+    with pytest.raises(ConcurrentCommitError):
+        t._publish(a_final, 1)
+    # B's committed rows are intact (A's delta is NOT silently dropped
+    # into v1, and v1 was never replaced by A's data)
+    assert _rows(t.read(spark, version=1)) == [
+        (1, 10.0, "a"),
+        (2, 222.0, "B"),
+        (3, 30.0, "c"),
+    ]
