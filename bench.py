@@ -95,6 +95,7 @@ HEADLINE = [
     "zipf_law_fit",
     "rfm_segments",
     "benford_digit_distribution",
+    "llm_dataset_pipeline",
 ]
 
 

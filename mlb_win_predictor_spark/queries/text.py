@@ -1964,6 +1964,144 @@ FROM per_doc, total
 """
 
 
+LLM_PIPE_BUDGET = 800  # binds at every test SF (same as TOKEN_BUDGET)
+LLM_PIPE_BENCH_MOD = 97  # doc_id % mod == 0 stands in for the eval suite
+
+
+def llm_dataset_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition — a full LLM training-data curation flow
+    as ONE lazy plan with per-source attrition accounting at every
+    stage: quality gate → exact dedup → benchmark decontamination →
+    per-source token budget. Each stage is the same operator its
+    standalone catalog entry pins; composing them declaratively lets
+    Catalyst pipeline the flags instead of materializing stage tables:
+
+    1. quality: >= 20 tokens, stopword ratio < 0.5, type-token > 0.2;
+    2. dedup: keep the lowest doc_id among quality-passing identical
+       texts — ONE unordered min window over text, no row_number sort
+       (``doc_id = min(case when q then doc_id end) over (text)``);
+    3. decontamination: kept docs sharing any word 5-gram with the
+       bench slice (doc_id % {mod} == 0, excluded from the corpus) are
+       dropped — per-doc distinct grams hashed to longs map-side, bench
+       set broadcast (counts hash-invariant w.h.p., the
+       ``decontamination_overlap`` discipline);
+    4. budget: among clean docs, the deterministic md5-hash-ranked
+       prefix whose running token sum stays <= {budget} per source
+       (``token_budget_sample``'s exact-prefix rule; non-clean docs
+       contribute 0 to the running sum so one window serves the flag).
+
+    Shuffles: text window, gram agg + broadcast probe, source window,
+    final rollup — each keyed and partial-agged; no stage materializes.
+    Output: per-source doc counts surviving each stage + final tokens.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select(
+        "doc_id", "source", "text", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+    )
+    is_bench = F.pmod(F.col("doc_id"), F.lit(LLM_PIPE_BENCH_MOD)) == 0
+    corpus = toked.filter(~is_bench)
+    n_tok = F.size("toks")
+    sw_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(F.col("toks"), lambda t: F.array_contains(sw_arr, t)))
+    ttr = F.size(F.array_distinct("toks")).cast("double") / n_tok
+    q = (n_tok >= 20) & (n_stop.cast("double") / n_tok < 0.5) & (ttr > 0.2)
+    flagged = corpus.select(
+        "doc_id", "source", "text", "toks", n_tok.cast("long").alias("n_toks"), q.alias("q")
+    )
+    wt = W.partitionBy("text")
+    flagged = flagged.withColumn(
+        "keep",
+        F.col("q")
+        & (F.col("doc_id") == F.min(F.when(F.col("q"), F.col("doc_id"))).over(wt)),
+    )
+    gram5 = lambda df: df.select(  # noqa: E731
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(_word_ngrams(F.col("toks"), 5), lambda g: F.xxhash64(g))
+            )
+        ).alias("gram"),
+    )
+    bench_grams = gram5(toked.filter(is_bench)).select("gram").distinct()
+    dirty = (
+        gram5(flagged.filter(F.col("keep")))
+        .join(F.broadcast(bench_grams), "gram")
+        .select("doc_id")
+        .distinct()
+        .withColumn("dirty", F.lit(1))
+    )
+    c = flagged.join(dirty, "doc_id", "left").withColumn(
+        "clean", F.col("keep") & F.col("dirty").isNull()
+    )
+    wb = (
+        W.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    b = c.withColumn(
+        "cum", F.sum(F.when(F.col("clean"), F.col("n_toks")).otherwise(F.lit(0))).over(wb)
+    ).withColumn("in_budget", F.col("clean") & (F.col("cum") <= LLM_PIPE_BUDGET))
+    flag = lambda col: F.sum(F.col(col).cast("long")).cast("long")  # noqa: E731
+    return b.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_input"),
+        flag("q").alias("n_quality"),
+        flag("keep").alias("n_dedup"),
+        flag("clean").alias("n_clean"),
+        flag("in_budget").alias("n_final"),
+        F.sum(F.when(F.col("in_budget"), F.col("n_toks")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("tokens_final"),
+    )
+
+
+_LLM_PIPE_GRAM5 = (
+    "list_distinct(list_transform(range(1, len(w) - 3), "
+    "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))"
+)
+
+LLM_PIPELINE_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, source, text, regexp_split_to_array(TRIM(text), '\s+') AS w
+  FROM documents WHERE doc_id % {LLM_PIPE_BENCH_MOD} <> 0
+), qf AS (
+  SELECT doc_id, source, text, w, CAST(len(w) AS BIGINT) AS n_toks,
+         (len(w) >= 20
+          AND CAST(len(list_filter(w, x -> x IN {STOPWORDS})) AS DOUBLE) / len(w) < 0.5
+          AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) > 0.2) AS q
+  FROM base
+), k AS (
+  SELECT *, (q AND doc_id = MIN(CASE WHEN q THEN doc_id END)
+                         OVER (PARTITION BY text)) AS keep
+  FROM qf
+), bench AS (
+  SELECT DISTINCT UNNEST({_LLM_PIPE_GRAM5}) AS gram
+  FROM (SELECT regexp_split_to_array(TRIM(text), '\s+') AS w
+        FROM documents WHERE doc_id % {LLM_PIPE_BENCH_MOD} = 0)
+), kept_grams AS (
+  SELECT doc_id, UNNEST({_LLM_PIPE_GRAM5}) AS gram FROM k WHERE keep
+), dirty AS (
+  SELECT DISTINCT doc_id FROM kept_grams JOIN bench USING (gram)
+), c AS (
+  SELECT k.*, (keep AND dirty.doc_id IS NULL) AS clean
+  FROM k LEFT JOIN dirty ON k.doc_id = dirty.doc_id
+), b AS (
+  SELECT *, SUM(CASE WHEN clean THEN n_toks ELSE 0 END) OVER (
+              PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM c
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_input,
+       CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+       CAST(SUM(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       CAST(SUM(CASE WHEN clean AND cum <= {LLM_PIPE_BUDGET} THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+       CAST(SUM(CASE WHEN clean AND cum <= {LLM_PIPE_BUDGET} THEN n_toks ELSE 0 END) AS BIGINT) AS tokens_final
+FROM b GROUP BY source
+"""
+
+
 def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit of the corpus vocabulary (the classic corpus-health
     statistic: ln freq ≈ α·ln rank + β with α ≈ −1 for natural text;
@@ -2579,6 +2717,11 @@ QUERIES: dict[str, QueryDef] = {
         unigram_logprob_quality,
         UNIGRAM_LOGPROB_SQL,
         "text: unigram-LM avg negative log-prob (perplexity-proxy filter)",
+    ),
+    "llm_dataset_pipeline": QueryDef(
+        llm_dataset_pipeline,
+        LLM_PIPELINE_SQL,
+        "text: composed quality->dedup->decontaminate->budget curation flow, one lazy plan",
     ),
     "zipf_law_fit": QueryDef(
         zipf_law_fit,

@@ -294,3 +294,22 @@ def test_compression_ratio_orders_repetitive_below_random(spark):
     raw = rows[1][1].encode()
     expect = len(zlib.compress(raw, 6)) / len(raw)
     assert abs(out[1].compression_ratio - expect) < 1e-12
+
+
+def test_llm_dataset_pipeline_stage_monotonicity(spark):
+    """The composed curation flow's per-source counts must shrink
+    monotonically through the stages, the budget must bind (tokens_final
+    <= budget, with real attrition somewhere), and the quality stage
+    must actually drop docs (non-vacuity)."""
+    from mlb_win_predictor_spark.queries.text import (
+        LLM_PIPE_BUDGET,
+        llm_dataset_pipeline,
+    )
+
+    rows = llm_dataset_pipeline(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_input >= r.n_quality >= r.n_dedup >= r.n_clean >= r.n_final, r
+        assert r.tokens_final <= LLM_PIPE_BUDGET, r
+    assert sum(r.n_input - r.n_quality for r in rows) > 0, "quality stage vacuous"
+    assert sum(r.n_clean - r.n_final for r in rows) > 0, "budget stage vacuous"
