@@ -85,12 +85,23 @@ def bloom_might_contain(
         import pandas as _pd
 
         bits = bits_broadcast.value
-        # null-safe: Spark evaluates pandas UDFs in their own
-        # ArrowEvalPython node over EVERY row — an enclosing when()
-        # can't shield the UDF from nulls, and a null would arrive as
-        # NaN and blow up the int64 conversion. Null keys probe False.
-        mask = h.notna().to_numpy()
-        hv = h.fillna(0).to_numpy(dtype=_np.int64).view(_np.uint64)
+        # HARD no-null contract: Spark evaluates pandas UDFs in their
+        # own ArrowEvalPython node over EVERY row (an enclosing when()
+        # can't shield them), and a batch containing a null arrives as
+        # FLOAT64 — which silently rounds every int64 hash beyond 2^53
+        # and would produce Bloom FALSE NEGATIVES for the whole batch
+        # (contaminated docs passing the gate). There is no safe
+        # recovery inside the UDF (the bits are already gone at the
+        # Arrow→pandas boundary), so nulls fail loudly and callers
+        # filter them out first (as decontaminate_stream does).
+        if h.isna().any() or str(h.dtype) != "int64":
+            raise ValueError(
+                "bloom_might_contain requires a non-null bigint column: "
+                f"got dtype={h.dtype} with {int(h.isna().sum())} nulls — "
+                "filter nulls before the probe (float64 round-trip would "
+                "corrupt hashes and yield false negatives)"
+            )
+        hv = h.to_numpy(dtype=_np.int64).view(_np.uint64)
         h1 = hv >> _np.uint64(32)
         h2 = (hv & _np.uint64(0xFFFFFFFF)) | _np.uint64(1)
         out = _np.ones(len(hv), dtype=bool)
@@ -99,7 +110,6 @@ def bloom_might_contain(
             out &= (
                 (bits[pos >> _np.uint64(6)] >> (pos & _np.uint64(63))) & _np.uint64(1)
             ).astype(bool)
-        out &= mask
         return _pd.Series(out)
 
     return probe(F.col(hash_col))

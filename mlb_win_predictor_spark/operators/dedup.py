@@ -20,37 +20,21 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..functions.ngrams import word_ngrams
+
 
 def ngram_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
     """Word n-gram shingle sets as a native column expression. The token
     array is materialized in its own projection before the transform()
-    lambda probes it: higher-order functions run interpreted, and a free
-    split() referenced per element re-evaluates per element (~25x slower
-    at sf0.1 — see SCALE.md, queries/text.py::_word_ngrams). The gram
-    itself is concat_ws over n fixed element_at probes, not
-    slice-and-join — the slice form allocates an n-element array per
-    gram and measured ~4x slower (same A/B as _word_ngrams; identical
-    string values either way)."""
+    lambda probes it (see ``functions/ngrams.py::word_ngrams`` — the
+    ONE shared guarded/optimized gram builder; docs with < n tokens
+    yield an empty array and are dropped by the size filter)."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
     staged = df.withColumn("_toks", toks)
-    tcol = F.col("_toks")
-    # guard: for docs with < n tokens, sequence(1, size-n+1) would count
-    # DOWN (start > stop steps -1) and element_at past the end throws —
-    # emit an empty array instead (the doc is then dropped by the size
-    # filter).
-    shingles = F.when(
-        F.size(tcol) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(tcol) - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(tcol, i + j) for j in range(n)]
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
     return (
-        staged.withColumn("shingles", shingles)
+        staged.withColumn(
+            "shingles", F.array_distinct(word_ngrams(F.col("_toks"), n))
+        )
         .drop("_toks")
         .filter(F.size("shingles") > 0)
     )

@@ -209,9 +209,16 @@ class VersionedTable:
         into the same directory, so a losing attempt can't corrupt the
         winner's published data (the reason Delta writes uniquely-named
         data files before its log CAS). The basename survives publish
-        (the marker points at it), so it carries the ``v=`` prefix."""
+        (the marker points at it), so it carries the ``v=`` prefix. A
+        uuid fragment makes the name unique across PROCESS LIFETIMES
+        too: pid + counter alone could collide with a crashed writer's
+        not-yet-vacuumed orphan after pid recycling, turning the
+        "never contended" rename into an ENOTEMPTY surprise."""
+        import uuid
+
         return os.path.join(
-            self._staging, f"v={version}-{os.getpid()}-{next(_ATTEMPT_COUNTER)}"
+            self._staging,
+            f"v={version}-{os.getpid()}-{next(_ATTEMPT_COUNTER)}-{uuid.uuid4().hex[:8]}",
         )
 
     def _publish(self, staged: str, version: int) -> int:
@@ -241,13 +248,23 @@ class VersionedTable:
 
         if os.path.exists(marker):
             raise _lose("a competing writer committed first")
-        os.rename(staged, final)  # unique target: never contended
+        os.rename(staged, final)  # uuid-unique target: never contended
         os.makedirs(self._commits, exist_ok=True)
+        # the marker must appear WITH its pointer content atomically: an
+        # open("x") + write would expose (reader race) or persist (crash
+        # between create and close) an empty marker that mis-resolves to
+        # the legacy v=N dir. So the content is written to a private tmp
+        # file first and os.link() publishes it — link is the CAS (fails
+        # EEXIST if a competitor won) and the marker is born non-empty.
+        tmp = f"{marker}.{os.path.basename(final)}.tmp"
+        with open(tmp, "w") as fh:
+            fh.write(os.path.basename(final))
         try:
-            with open(marker, "x") as fh:
-                fh.write(os.path.basename(final))
+            os.link(tmp, marker)
         except FileExistsError:
             raise _lose("a competing writer committed first")
+        finally:
+            os.unlink(tmp)
         return version
 
     def init(self, df: DataFrame) -> int:
@@ -402,26 +419,44 @@ class VersionedTable:
                     continue
                 if age > staging_ttl_s:
                     shutil.rmtree(sd, ignore_errors=True)
-        # referenced dirs of kept versions
+        # referenced dirs of kept versions. A marker-read failure here
+        # must ABORT (not fall through): treating an unreadable KEPT
+        # marker as no-reference would sweep live committed data.
         keep_dirs = set()
         for v in keep_versions:
-            try:
-                keep_dirs.add(os.path.basename(self._snapshot_dir(v)))
-            except OSError:
-                pass
-        # drop markers of unkept versions first (readers stop resolving
-        # them before their data disappears)
+            keep_dirs.add(os.path.basename(self._snapshot_dir(v)))
+        # resolve the data dirs of versions being DROPPED before their
+        # markers disappear — those sweep unconditionally (the marker is
+        # gone, no live writer can own them)
+        drop_dirs = set()
         for v in committed:
             if v in keep_versions:
                 continue
+            try:
+                drop_dirs.add(os.path.basename(self._snapshot_dir(v)))
+            except OSError:
+                pass  # unreadable unkept marker: its dir falls to the TTL path
             marker = os.path.join(self._commits, str(v))
             if os.path.exists(marker):
                 os.remove(marker)
             removed.append(v)
-        # sweep every v=* dir not referenced by a kept marker (old
-        # versions AND crashed-writer orphans); non-v= names untouched
+        # sweep the rest of the unreferenced v=* dirs (crashed-writer
+        # orphans) only past the retention TTL: a FRESH unreferenced dir
+        # can be a live writer inside the rename→marker window of
+        # _publish, and sweeping it would let that writer commit a
+        # marker pointing at deleted data.
+        now = time.time()
         for d in os.listdir(self.path):
             if not d.startswith("v=") or d in keep_dirs:
                 continue
-            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+            full = os.path.join(self.path, d)
+            if d in drop_dirs:
+                shutil.rmtree(full, ignore_errors=True)
+                continue
+            try:
+                if now - os.path.getmtime(full) <= staging_ttl_s:
+                    continue
+            except OSError:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
         return sorted(removed)

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from ..functions.ngrams import word_ngrams
 from ..functions.scalars import stable_round
 from ..operators.indexing import dense_global_index, exact_ntile
 from ..session import fan_out, load_table
@@ -1009,31 +1010,10 @@ FROM s
 REP_N = 3
 
 
-def _word_ngrams(toks, n: int):
-    """Map-side word n-gram array via transform over an index sequence —
-    no explode, no shuffle. ``toks`` MUST be a materialized array column
-    (its own projection step), never an inline split() expression:
-    higher-order functions run interpreted, so an inline subexpression
-    referenced in the lambda is re-evaluated PER ELEMENT (~25x slower,
-    measured at sf0.1). Empty when the doc has fewer than ``n`` tokens
-    (sequence() would otherwise count DOWN for start > stop).
-
-    The gram itself is ``concat_ws`` over ``n`` fixed ``element_at``
-    probes, NOT ``array_join(slice(...))``: slice allocates an n-element
-    array per gram inside the interpreted lambda, and the A/B at sf0.1
-    measures it ~4x slower (bigram build 4.0s -> 1.1s) — same value,
-    direct probes, no per-gram allocation. ``n`` is a plan-time Python
-    int, so the probe list unrolls statically."""
-    cnt = F.size(toks)
-    return F.when(
-        cnt >= n,
-        F.transform(
-            F.sequence(F.lit(1), cnt - n + 1),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+# shared implementation (functions/ngrams.py) — the `_word_ngrams` name
+# is kept because the text family, tests, and streaming all import it
+# from here; the guard/optimization history lives on the shared helper.
+_word_ngrams = word_ngrams
 
 
 def ngram_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:

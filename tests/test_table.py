@@ -88,14 +88,21 @@ def test_vacuum_drops_old_and_orphans_keeps_head(spark, tmp_path, base_df):
             keys=["k"],
         )
     # plant a crashed-writer orphan: a v=* dir no marker references
-    shutil.copytree(t._snapshot_dir(0), str(tmp_path / "tbl" / "v=9-dead-0"))
+    orphan = str(tmp_path / "tbl" / "v=9-dead-0")
+    old_v0_dir = t._snapshot_dir(0)
+    shutil.copytree(old_v0_dir, orphan)
     removed = t.vacuum(keep_last=2)
     assert removed == [0, 1]
     assert t.committed_versions() == [2, 3]
     assert _rows(t.read(spark))[0] == (1, 2.0, "v")
     with pytest.raises(FileNotFoundError):
         t.read(spark, version=0)
-    assert not os.path.isdir(str(tmp_path / "tbl" / "v=9-dead-0"))  # orphan swept
+    assert not os.path.isdir(old_v0_dir)  # dropped version's data swept
+    # the FRESH unreferenced orphan is TTL-protected (could be a live
+    # writer in the rename->marker window); past the TTL it's swept
+    assert os.path.isdir(orphan)
+    t.vacuum(keep_last=2, staging_ttl_s=0.0)
+    assert not os.path.isdir(orphan)
 
 
 def test_merge_rejects_duplicate_source_keys(spark, tmp_path, base_df):
@@ -135,11 +142,14 @@ def test_vacuum_sweeps_unreferenced_spares_other_names_and_live_staging(
     os.makedirs(live_staging)
     removed = t.vacuum(keep_last=2)
     assert removed == [0]
-    assert not os.path.isdir(str(tmp_path / "tbl" / "v=1.bak"))  # unreferenced: swept
+    # fresh unreferenced names are TTL-protected like in-flight writers
+    assert os.path.isdir(str(tmp_path / "tbl" / "v=1.bak"))
     assert os.path.isdir(str(tmp_path / "tbl" / "notes_dir"))  # non-snapshot: kept
     assert os.path.isdir(live_staging)  # younger than TTL: kept
     assert t.vacuum(keep_last=2, staging_ttl_s=0.0) == []
     assert not os.path.isdir(live_staging)  # past TTL: swept
+    assert not os.path.isdir(str(tmp_path / "tbl" / "v=1.bak"))  # unreferenced: swept
+    assert os.path.isdir(str(tmp_path / "tbl" / "notes_dir"))  # still kept
     assert t.committed_versions() == [1, 2]
 
 
