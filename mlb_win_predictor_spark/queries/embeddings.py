@@ -37,10 +37,6 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _cosine(a: Column, b: Column) -> Column:
-    return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
-
-
 def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline: for each query vector
     (vec_id < {nq}), the {k} nearest candidates by cosine. The query side
@@ -49,7 +45,7 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     # norms computed ONCE per vector before the join (the pairwise loop
     # would otherwise re-fold dot(v,v) per pair — 3x the HOF work);
-    # bit-identical to inline _cosine since the fold ops are the same
+    # bit-identical to the inline dot/sqrt(nrm*nrm) form — same fold ops
     q = e.filter(F.col("vec_id") < TOPK_N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_emb"),
@@ -77,22 +73,7 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_DOT_SQL = """
-  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-         SUM(CAST(qv.v AS DOUBLE) * CAST(cv.v AS DOUBLE)) AS dot,
-         SUM(CAST(qv.v AS DOUBLE) * CAST(qv.v AS DOUBLE)) AS qq,
-         SUM(CAST(cv.v AS DOUBLE) * CAST(cv.v AS DOUBLE)) AS cc
-  FROM (SELECT vec_id, UNNEST(embedding) AS v,
-               generate_subscripts(embedding, 1) AS i
-        FROM embeddings WHERE vec_id {qfilt}) qv
-  JOIN (SELECT vec_id, UNNEST(embedding) AS v,
-               generate_subscripts(embedding, 1) AS i
-        FROM embeddings WHERE vec_id {cfilt}) cv
-    ON qv.i = cv.i {pairfilt}
-  JOIN embeddings q ON q.vec_id = qv.vec_id
-  JOIN embeddings c ON c.vec_id = cv.vec_id
-  GROUP BY 1, 2
-"""
+
 
 COSINE_TOPK_SQL = f"""
 WITH pairs AS (

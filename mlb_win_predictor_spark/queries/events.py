@@ -136,11 +136,17 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TRY_CAST: the dual of Spark's ANSI-off null-on-error cast — a plain
+# CAST would ABORT the oracle on a non-integer k (verified: DuckDB
+# raises Conversion Error where Spark yields NULL). Residual divergence:
+# a decimal-string k ('12.5') TRY_CASTs to 13 on DuckDB but NULL on
+# Spark — currently impossible (generator emits integer k) and would
+# fail parity loudly, not silently corrupt.
 JSON_PROPS_SQL = """
 SELECT event_type,
-       COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))   AS max_k
+       COUNT(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MAX(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT))   AS max_k
 FROM events GROUP BY event_type
 """
 
@@ -167,17 +173,21 @@ def variant_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 VARIANT_PROPS_SQL = """
 SELECT event_type,
-       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       ((TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) % 10) + 10) % 10 AS k_bucket,
        CAST(COUNT(*) AS BIGINT) AS n_events,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
 FROM events GROUP BY 1, 2
 """
 
 
 def dedup_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T4 — rescheduled-game dedup (src/function.py:624-636): keep one row
-    per (user_id, event_type), the earliest by event time — the batch dual
-    of dropDuplicates within a streaming micro-batch."""
+    per (user_id, event_type), the EARLIEST by event time — first-write-
+    wins, the reference's PK-violation semantics (a later duplicate is
+    the one discarded). The name reads "dedup the latest-arriving
+    duplicates AWAY"; for last-write-wins see merge_upsert /
+    cdc_apply_changelog, whose WHEN MATCHED takes the newer row. Batch
+    dual of dropDuplicates within a streaming micro-batch."""
     e = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id", "event_type").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     return (
@@ -207,10 +217,9 @@ def late_outcome_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("event_type").alias("first_event"))
     )
-    wp = W.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     purchases = (
         e.filter(F.col("event_type") == "purchase")
-        .withColumn("rn", F.row_number().over(wp))
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("user_id", F.col("value").alias("outcome_value"))
     )
@@ -253,9 +262,9 @@ def from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 FROM_JSON_SQL = """
 SELECT event_type, COUNT(*) AS n_high_k,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_high_k
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_high_k
 FROM events
-WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+WHERE TRY_CAST(json_extract_string(props, '$.k') AS INT) > 50
 GROUP BY event_type
 """
 
@@ -472,12 +481,11 @@ def scd2_history_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     vers = seq.filter(
         F.col("prev").isNull() | (F.col("event_type") != F.col("prev"))
     )
-    w2 = w
     return vers.select(
         "user_id",
         "event_type",
         F.col("ts_us").alias("valid_from_us"),
-        F.lead("ts_us").over(w2).alias("valid_to_us"),
+        F.lead("ts_us").over(w).alias("valid_to_us"),
     )
 
 

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions.scalars import stable_round
-from ..operators.indexing import dense_global_index, exact_ntile
+from ..operators.indexing import exact_ntile
 from ..session import load_table
 from .base import QueryDef, sround
 
@@ -692,10 +692,26 @@ def ewma_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     claim; that is what makes this entry hash-checkable against the
     oracle with no rounding. One shuffle (window by user); the 16 lags
     share a single sort, and the kernel tail (2^-16) is far below any
-    alerting threshold, so truncation is semantically free."""
+    alerting threshold, so truncation is semantically free.
+
+    The taps run over a DENSE calendar (each user's min..max day grid,
+    gap days at count 0 — the ``time_resample_ffill`` densify idiom):
+    lagging over observed rows only would SKIP decay across idle gaps —
+    a user with one huge day a month ago would still carry a quarter of
+    it, exactly when the alerting smoother must have cooled off."""
     e = load_table(spark, sf_dir, "events").filter(F.col("user_id") < EWMA_USER_CAP)
     daily = e.groupBy("user_id", F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("cnt")
+    )
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("mn"), F.max("day").alias("mx")
+    )
+    grid = spans.select(
+        "user_id",
+        F.explode(F.sequence("mn", "mx", F.expr("interval 1 day"))).alias("day"),
+    )
+    dense = grid.join(daily, ["user_id", "day"], "left").select(
+        "user_id", "day", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
     )
     w = W.partitionBy("user_id").orderBy("day")
     ewma = F.col("cnt").cast("double") * F.lit(0.5)
@@ -703,7 +719,7 @@ def ewma_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ewma = ewma + F.coalesce(F.lag("cnt", k).over(w), F.lit(0)).cast(
             "double"
         ) * F.lit(2.0 ** -(k + 1))
-    return daily.select("user_id", "day", "cnt", ewma.alias("ewma_cnt"))
+    return dense.select("user_id", "day", "cnt", ewma.alias("ewma_cnt"))
 
 
 EWMA_SQL = (
@@ -714,6 +730,14 @@ WITH daily AS (
     + str(EWMA_USER_CAP)
     + """
   GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM daily GROUP BY 1
+), grid AS (
+  SELECT user_id, CAST(UNNEST(generate_series(CAST(mn AS TIMESTAMP), CAST(mx AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+  FROM spans
+), dense AS (
+  SELECT g.user_id, g.day, COALESCE(d.cnt, 0) AS cnt
+  FROM grid g LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
 )
 SELECT user_id, day, cnt,
        cnt * CAST(0.5 AS DOUBLE)
@@ -723,7 +747,7 @@ SELECT user_id, day, cnt,
         for k in range(1, EWMA_TAPS)
     )
     + """       AS ewma_cnt
-FROM daily
+FROM dense
 WINDOW w AS (PARTITION BY user_id ORDER BY day)
 """
 )
