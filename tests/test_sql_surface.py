@@ -75,7 +75,10 @@ PORTABLE = [
     "drop_columns",
     "dropna_funnel",
     "edit_distance_pairs",
-    "ewma_user_activity",
+    # ewma_user_activity removed: its EWMA_SQL densifies the calendar with
+    # DuckDB-only UNNEST(generate_series(...)) — no dialect-common spelling
+    # (Spark uses sequence()/explode). DataFrame<->DuckDB oracle parity for
+    # the entry is still covered by the oracle sweep.
     "first_last_window",
     "first_match_lookup",
     "flagship_asof_funnel",
