@@ -96,6 +96,9 @@ HEADLINE = [
     "rfm_segments",
     "benford_digit_distribution",
     "llm_dataset_pipeline",
+    "llm_dataset_pipeline_neardup",
+    "versioned_zonemap_lookup",
+    "multimodal_decode_png",
 ]
 
 

@@ -205,11 +205,16 @@ def compression_ratio(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
         def one(t):
             if not t:
-                return 1.0
+                return 1.0  # empty string: nothing to compress, neutral
             raw = t.encode("utf-8")
             return len(zlib.compress(raw, 6)) / len(raw)
 
-        return texts.map(one)
+        # null text stays NULL (na_action skips None AND the NaN
+        # object-dtype fallback, which would otherwise hit t.encode()
+        # and fail the whole Arrow batch): a missing document has no
+        # repetition signal and must not masquerade as ratio=1.0 —
+        # downstream quality gates decide how to treat it.
+        return texts.map(one, na_action="ignore")
 
     return df.select(
         F.col(id_col),

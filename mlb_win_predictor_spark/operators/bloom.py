@@ -29,8 +29,13 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-BLOOM_M = 1 << 17  # bits; 16 KiB broadcast
+BLOOM_M = 1 << 17  # bits; 16 KiB — the MINIMUM broadcast size, not a cap
 BLOOM_K = 5  # probe positions per key
+BLOOM_BITS_PER_KEY = 10  # auto-sizing target: ~1% FPR at k=5
+# design ceiling on per-probe fill: fill^k = FPR, 0.55^5 ~= 5% — past this
+# the filter is under-sized for its key count and Bloom-only consumers
+# (decontaminate_stream) would over-drop clean documents.
+BLOOM_MAX_FILL = 0.55
 
 
 def _positions(h: np.ndarray, i: int, m: int) -> np.ndarray:
@@ -42,9 +47,22 @@ def _positions(h: np.ndarray, i: int, m: int) -> np.ndarray:
     return (h1 + np.uint64(i) * h2) % np.uint64(m)
 
 
-def bloom_build(keys: DataFrame, m: int = BLOOM_M, k: int = BLOOM_K) -> np.ndarray:
-    """Build an m-bit Bloom bitset from a one-column DataFrame of
-    xxhash64 longs.
+def bloom_build(keys: DataFrame, m: int | None = None, k: int = BLOOM_K) -> np.ndarray:
+    """Build a Bloom bitset from a one-column DataFrame of xxhash64 longs.
+
+    ``m`` defaults to AUTO: ~``BLOOM_BITS_PER_KEY`` bits per distinct key,
+    rounded up to a power of two, floored at ``BLOOM_M`` — so a 25k-gram
+    eval suite gets the classic 16 KiB filter while a 10M-gram suite gets
+    a still-broadcastable ~16 MiB one instead of a saturated 16 KiB one
+    whose FPR approaches 1 (which would make the Bloom-only streaming
+    gate silently drop nearly everything). Probes never need to know
+    ``m``: ``bloom_might_contain`` derives it from the bitset length, so
+    build and probe cannot disagree.
+
+    An explicitly passed ``m`` is honored but fill-checked: if the
+    post-build fill factor exceeds ``BLOOM_MAX_FILL`` the build raises,
+    because every downstream answer would be wrong-shaped (exact re-check
+    paths merely lose pruning, but Bloom-only paths over-drop).
 
     The collect here is bounded by the FILTER side (the eval-suite gram
     set), never the corpus — same bounded-driver-state contract as
@@ -57,22 +75,37 @@ def bloom_build(keys: DataFrame, m: int = BLOOM_M, k: int = BLOOM_K) -> np.ndarr
     hashes = np.array(
         [r[0] for r in keys.select(col).collect()], dtype=np.int64
     ).view(np.uint64)
+    explicit_m = m is not None
+    if m is None:
+        target = max(BLOOM_M, BLOOM_BITS_PER_KEY * max(len(hashes), 1))
+        m = 1 << (target - 1).bit_length()  # next power of two
     bits = np.zeros(m // 64, dtype=np.uint64)
     for i in range(k):
         pos = _positions(hashes, i, m)
         # repeated word indices must OR-accumulate, hence ufunc.at
         np.bitwise_or.at(bits, pos >> np.uint64(6), np.uint64(1) << (pos & np.uint64(63)))
+    fill = float(np.unpackbits(bits.view(np.uint8)).sum()) / m
+    if fill > BLOOM_MAX_FILL:
+        hint = (
+            "pass a larger m or let bloom_build auto-size"
+            if explicit_m
+            else "internal sizing bug"
+        )
+        raise ValueError(
+            f"bloom filter saturated: fill={fill:.2f} > {BLOOM_MAX_FILL} "
+            f"(m={m} bits for {len(hashes)} keys, FPR~{fill ** k:.1%}) — {hint}"
+        )
     return bits
 
 
-def bloom_might_contain(
-    hash_col: str, bits_broadcast, m: int = BLOOM_M, k: int = BLOOM_K
-) -> Column:
+def bloom_might_contain(hash_col: str, bits_broadcast, k: int = BLOOM_K) -> Column:
     """Boolean probe column: True iff all k bit positions of
     ``hash_col`` are set in the broadcast bitset. Arrow-batched numpy —
     vectorized, map-only, no shuffle; ``bits_broadcast`` is a
     ``sc.broadcast`` of the ``bloom_build`` array so each executor
-    deserializes the 16 KiB bitset once, not per task."""
+    deserializes the bitset once, not per task. ``m`` is derived from
+    the bitset length (``len(bits) * 64``) so it always matches the
+    build-time sizing, including auto-sized filters."""
 
     # deliberately self-contained (no module-level references): the UDF
     # body must unpickle on executors that never had this repo on
@@ -85,6 +118,7 @@ def bloom_might_contain(
         import pandas as _pd
 
         bits = bits_broadcast.value
+        m = bits.shape[0] * 64  # always the build-time m, auto-sized or not
         # HARD no-null contract: Spark evaluates pandas UDFs in their
         # own ArrowEvalPython node over EVERY row (an enclosing when()
         # can't shield them), and a batch containing a null arrives as

@@ -373,6 +373,13 @@ def components_from_pairs(
         labels = new_labels.localCheckpoint(eager=False)
         if changed == 0:
             break
+    # materialize the converged labels, then release the edge cache
+    # (ADVICE r5: caches that outlive their query accumulate across a
+    # long session). The final table is node-grain over CLUSTERED docs
+    # only — bounded by near-dup density — and once checkpointed no
+    # longer depends on the edge lineage.
+    labels = labels.localCheckpoint(eager=True)
+    edges.unpersist()
     return labels
 
 

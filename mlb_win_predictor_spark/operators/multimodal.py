@@ -223,3 +223,222 @@ def decode_media(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL PNG codec — pure Python + numpy over the stdlib zlib, no external
+# codec libraries (none exist in this container). This replaces the stub
+# for image/png: real chunk parse, CRC verification, IDAT inflate, and
+# per-scanline unfilter (all five PNG filter types). Scope honestly
+# gated: bit depth 8, color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA),
+# non-interlaced — palette / 16-bit / Adam7 raise NotImplementedError.
+#
+# Both functions are built inside a factory so their qualnames are
+# `<locals>`-scoped: cloudpickle then serializes them BY VALUE into
+# mapInPandas closures (a module-level function pickles by REFERENCE and
+# fails to unpickle on Python workers that don't have this repo on
+# sys.path — same self-containment discipline as operators/bloom.py).
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_codec():
+    """Build (png_encode, png_decode). See the block comment above for
+    why this is a factory and not two module-level defs."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    SIG = b"\x89PNG\r\n\x1a\n"
+    COLOR_OF_CHANNELS = {1: 0, 2: 4, 3: 2, 4: 6}
+    CHANNELS_OF_COLOR = {0: 1, 4: 2, 2: 3, 6: 4}
+
+    def _chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def _shift_left(line: np.ndarray, bpp: int) -> np.ndarray:
+        """line's left-neighbor pixel (zeros for the first pixel)."""
+        out = np.zeros_like(line)
+        out[bpp:] = line[:-bpp]
+        return out
+
+    def png_encode(pixels, filters=(0,)) -> bytes:
+        """Encode an (h, w) or (h, w, c) uint8 array as a REAL PNG.
+
+        ``filters`` cycles per scanline over PNG filter types 0-4 (None,
+        Sub, Up, Average, Paeth) — the default all-None matches most
+        minimal encoders; passing range(5) exercises every decode path.
+        Filtering is exact per the PNG spec §9: Sub/Average/Paeth
+        predict from RECONSTRUCTED (original) bytes, all arithmetic
+        mod 256; encoding is fully vectorized per scanline."""
+        px = np.asarray(pixels, dtype=np.uint8)
+        if px.ndim == 2:
+            px = px[:, :, None]
+        h, w, c = px.shape
+        if c not in COLOR_OF_CHANNELS:
+            raise ValueError(f"unsupported channel count {c}")
+        bpp = c
+        stride = w * c
+        flat = px.reshape(h, stride).astype(np.int32)
+        prev = np.zeros(stride, dtype=np.int32)
+        parts = []
+        for y in range(h):
+            line = flat[y]
+            ft = filters[y % len(filters)]
+            left = _shift_left(line, bpp)
+            if ft == 0:
+                f = line
+            elif ft == 1:
+                f = (line - left) % 256
+            elif ft == 2:
+                f = (line - prev) % 256
+            elif ft == 3:
+                f = (line - (left + prev) // 2) % 256
+            elif ft == 4:
+                upleft = _shift_left(prev, bpp)
+                p = left + prev - upleft
+                pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+                pred = np.where(
+                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+                )
+                f = (line - pred) % 256
+            else:
+                raise ValueError(f"bad filter type {ft}")
+            parts.append(bytes([ft]) + f.astype(np.uint8).tobytes())
+            prev = line
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, COLOR_OF_CHANNELS[c], 0, 0, 0)
+        idat = zlib.compress(b"".join(parts), 6)
+        return SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
+
+    def png_decode(payload: bytes):
+        """Decode REAL PNG bytes → (width, height, channels, pixels) with
+        ``pixels`` an (h, w, c) uint8 array. Verifies every chunk CRC,
+        concatenates multiple IDATs, inflates, and unfilters per spec
+        §9 (Sub via per-lane cumsum — exactly the mod-256 prefix sum —
+        Up vectorized, Average/Paeth left-to-right per pixel since each
+        reconstruction feeds the next prediction)."""
+        if bytes(payload[:8]) != SIG:
+            raise ValueError("not a PNG (bad signature)")
+        pos, ihdr, idat = 8, None, []
+        while pos + 12 <= len(payload):
+            (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            ctype = bytes(payload[pos + 4 : pos + 8])
+            data = bytes(payload[pos + 8 : pos + 8 + length])
+            (crc,) = struct.unpack(
+                ">I", payload[pos + 8 + length : pos + 12 + length]
+            )
+            if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+                raise ValueError(f"bad CRC in {ctype!r} chunk")
+            if ctype == b"IHDR":
+                ihdr = struct.unpack(">IIBBBBB", data)
+            elif ctype == b"IDAT":
+                idat.append(data)
+            elif ctype == b"IEND":
+                break
+            pos += 12 + length
+        if ihdr is None or not idat:
+            raise ValueError("missing IHDR/IDAT")
+        w, h, depth, color, comp, filt, interlace = ihdr
+        if depth != 8 or interlace != 0 or color not in CHANNELS_OF_COLOR:
+            raise NotImplementedError(
+                f"unsupported PNG (depth={depth}, color={color}, "
+                f"interlace={interlace}): only 8-bit non-interlaced "
+                "gray/RGB/gray+alpha/RGBA"
+            )
+        c = CHANNELS_OF_COLOR[color]
+        bpp, stride = c, w * c
+        raw = zlib.decompress(b"".join(idat))
+        if len(raw) != h * (stride + 1):
+            raise ValueError("IDAT length mismatch")
+        recon = np.zeros((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(h):
+            off = y * (stride + 1)
+            ft = raw[off]
+            line = np.frombuffer(raw, np.uint8, stride, off + 1).astype(np.int32)
+            if ft == 0:
+                cur = line
+            elif ft == 1:
+                cur = (
+                    np.cumsum(line.reshape(-1, bpp), axis=0, dtype=np.int64) % 256
+                ).astype(np.int32).reshape(-1)
+            elif ft == 2:
+                cur = (line + prev) % 256
+            elif ft == 3:
+                cur = np.empty(stride, dtype=np.int32)
+                zero = np.zeros(bpp, dtype=np.int32)
+                for x in range(0, stride, bpp):
+                    left = cur[x - bpp : x] if x else zero
+                    cur[x : x + bpp] = (
+                        line[x : x + bpp] + (left + prev[x : x + bpp]) // 2
+                    ) % 256
+            elif ft == 4:
+                cur = np.empty(stride, dtype=np.int32)
+                zero = np.zeros(bpp, dtype=np.int32)
+                for x in range(0, stride, bpp):
+                    a = cur[x - bpp : x] if x else zero
+                    b = prev[x : x + bpp]
+                    cc = prev[x - bpp : x] if x else zero
+                    p = a + b - cc
+                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - cc)
+                    pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, cc))
+                    cur[x : x + bpp] = (line[x : x + bpp] + pred) % 256
+            else:
+                raise ValueError(f"bad filter type {ft} on scanline {y}")
+            recon[y] = cur.astype(np.uint8)
+            prev = cur
+        return w, h, c, recon.reshape(h, w, c)
+
+    return png_encode, png_decode
+
+
+png_encode, png_decode = _png_codec()
+
+PNG_DECODED_SCHEMA = (
+    "doc_id long, width int, height int, n_channels int, mean_px double, std_px double"
+)
+
+
+def decode_png_media(media: DataFrame) -> DataFrame:
+    """REAL decode over the multimodal payload column: rows whose mime is
+    ``image/png`` are parsed with the full pure-Python codec (CRC check,
+    inflate, unfilter) into dimensions + pixel statistics; non-PNG rows
+    are dropped (a production pipeline unions per-mime decoders, each
+    map-only). Arrow-batched mapInPandas, 1:1 on PNG rows, no shuffle;
+    the codec travels by value inside the closure (see ``_png_codec``)."""
+    decode = png_decode
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, ws, hs, cs, means, stds = [], [], [], [], [], []
+            for doc_id, mime, payload in zip(pdf["doc_id"], pdf["mime"], pdf["payload"]):
+                if mime != "image/png":
+                    continue
+                w, h, c, px = decode(bytes(payload))
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                cs.append(c)
+                means.append(float(px.mean()))
+                stds.append(float(px.std()))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "n_channels": cs,
+                    "mean_px": means,
+                    "std_px": stds,
+                }
+            )
+
+    return media.mapInPandas(decode_batches, schema=PNG_DECODED_SCHEMA)

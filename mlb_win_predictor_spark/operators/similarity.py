@@ -259,6 +259,84 @@ def ann_topk_lsh(
     return pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+def sq8_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    pool: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scalar-quantized (int8) coarse scan + exact re-rank as a reusable,
+    parameterized operator — the core of
+    ``queries.embeddings.similarity_sq8_rerank`` generalized to arbitrary
+    query/corpus frames so the ANN frontier (``ml.ann_eval``) can sweep
+    ``pool``, the recall/latency knob: per-dimension corpus min/max
+    define a linear int8 code, coarse cosine over the DEQUANTIZED codes
+    keeps the top-``pool`` per query, exact float cosine re-ranks the
+    pool. Deterministic (no hash seeds). Scale shape: one 64-group
+    stats agg, map-only coarse scan against broadcast queries, score
+    rows only through the window shuffle, pool-bounded exact re-join."""
+    stats = (
+        corpus.select(F.posexplode(vec_col).alias("i", "v"))
+        .groupBy("i")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mn"))), lambda s: s["mn"]
+            ).alias("mn_arr"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("i", "mx"))), lambda s: s["mx"]
+            ).alias("mx_arr"),
+        )
+    )
+    rng = F.zip_with(
+        F.col("mx_arr"), F.col("mn_arr"), lambda a, b: a.cast("double") - b.cast("double")
+    )
+
+    def dequantized(col: Column) -> Column:
+        shifted = F.zip_with(
+            col, F.col("mn_arr"), lambda v, m: v.cast("double") - m.cast("double")
+        )
+        code = F.zip_with(shifted, rng, lambda d, r: F.round(d / r * 255) - 128)
+        return F.zip_with(
+            F.zip_with(code, rng, lambda cd, r: (cd + 128) / 255.0 * r),
+            F.col("mn_arr"),
+            lambda t, m: m.cast("double") + t,
+        )
+
+    qd = queries.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col).alias("query_id"), dequantized(F.col(vec_col)).alias("q_deq")
+    )
+    qd = qd.select("query_id", "q_deq", _dot(F.col("q_deq"), F.col("q_deq")).alias("q_n"))
+    cd = corpus.crossJoin(F.broadcast(stats)).select(
+        F.col(id_col).alias("cand_id"), dequantized(F.col(vec_col)).alias("c_deq")
+    )
+    cd = cd.select("cand_id", "c_deq", _dot(F.col("c_deq"), F.col("c_deq")).alias("c_n"))
+    coarse = cd.join(F.broadcast(qd)).filter(F.col("query_id") != F.col("cand_id")).select(
+        "query_id",
+        "cand_id",
+        (_dot(F.col("q_deq"), F.col("c_deq")) / F.sqrt(F.col("q_n") * F.col("c_n"))).alias(
+            "sq8_cos"
+        ),
+    )
+    wp = W.partitionBy("query_id").orderBy(F.col("sq8_cos").desc(), F.col("cand_id").asc())
+    shortlist = (
+        coarse.withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= pool)
+        .select("query_id", "cand_id")
+    )
+    qv = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cv = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    rescored = (
+        shortlist.join(F.broadcast(qv), "query_id")
+        .join(cv, "cand_id")
+        .select("query_id", "cand_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
+    return rescored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
 def semantic_dedup(
     corpus: DataFrame,
     threshold: float = 0.97,

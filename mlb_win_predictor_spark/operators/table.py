@@ -400,7 +400,23 @@ class VersionedTable:
         destroy a concurrent writer's staging mid-merge). A referenced
         dir name is read from the marker content (legacy empty markers
         reference ``v=<N>``). Returns the versions whose markers were
-        dropped; unreferenced orphan dirs are removed silently."""
+        dropped; unreferenced orphan dirs are removed silently.
+
+        ``staging_ttl_s`` CONTRACT (Delta's retention-vs-transaction
+        rule, LOG.md "Data retention" in delta-io): it must exceed the
+        maximum stage-to-commit latency of any live writer — the time
+        from a writer's first staged parquet byte (or its post-rename
+        unreferenced ``v=*`` dir) to its marker landing. The liveness
+        heuristic is the dir's top-level mtime, so a writer that stalls
+        longer than the TTL between finishing its parquet write and
+        linking its marker (GC pause, slow zone-map scan) can have its
+        dir swept and would then commit a marker pointing at deleted
+        data. The 1h default dwarfs any realistic single-commit latency;
+        lower it only in tests or pair it with an external writer fence.
+        Stale ``_commits/*.tmp`` pointer files (leaked when a writer
+        crashes between writing the tmp and the finally-unlink in
+        ``_publish``) are swept past the same TTL — they are never
+        referenced by readers but would otherwise accumulate forever."""
         import time
 
         committed = self.committed_versions()
@@ -419,6 +435,23 @@ class VersionedTable:
                     continue
                 if age > staging_ttl_s:
                     shutil.rmtree(sd, ignore_errors=True)
+        # crashed-writer tmp pointer files in _commits (written by
+        # _publish before os.link; leaked if the process dies between
+        # the write and the finally-unlink). committed_versions ignores
+        # them, so this is hygiene, not correctness — but TTL-guarded
+        # anyway: a live writer's tmp exists only for the microseconds
+        # around its link call.
+        if os.path.isdir(self._commits):
+            now = time.time()
+            for name in os.listdir(self._commits):
+                if not name.endswith(".tmp"):
+                    continue
+                tmp = os.path.join(self._commits, name)
+                try:
+                    if now - os.path.getmtime(tmp) > staging_ttl_s:
+                        os.remove(tmp)
+                except OSError:
+                    continue
         # referenced dirs of kept versions. A marker-read failure here
         # must ABORT (not fall through): treating an unreadable KEPT
         # marker as no-reference would sweep live committed data.

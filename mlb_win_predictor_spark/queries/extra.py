@@ -818,7 +818,70 @@ def listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(LISTAGG_SPARK_SQL)
 
 
+ZONEMAP_LOOKUP_LO, ZONEMAP_LOOKUP_HI = 1000, 2999
+
+
+def versioned_zonemap_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 + data skipping — a range lookup served through a committed
+    ``VersionedTable`` snapshot's zone-map (``read_pruned``,
+    operators/table.py): per-file min/max stats prune every file whose
+    key range cannot overlap [lo, hi]; the residual filter decides. By
+    construction the result is identical to a full-scan filter — this
+    entry pins that with a DuckDB oracle over the raw ``orders`` table,
+    while tests/test_table.py pins the files-actually-skipped claim.
+
+    The snapshot is built ONCE per sf_dir into a content-tagged temp
+    location (range-clustered into 16 files on ``o_orderkey`` via
+    repartitionByRange + sortWithinPartitions, so zone ranges are tight
+    and disjoint) and reused by later calls — the entry then times the
+    PRUNED READ, which at 100 TB is the difference between scanning a
+    keyspace slice and scanning the table."""
+    import hashlib
+    import os
+    import tempfile
+
+    from ..operators.table import VersionedTable
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    t = VersionedTable(os.path.join(tempfile.gettempdir(), f"mlbwp_ztab_{tag}"))
+    if t.latest_version() is None:
+        orders = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey", "o_totalprice"
+        )
+        try:
+            t.init(
+                orders.repartitionByRange(16, "o_orderkey").sortWithinPartitions(
+                    "o_orderkey"
+                )
+            )
+        except FileExistsError:
+            pass  # a concurrent builder won the init CAS; read its snapshot
+    df = t.read_pruned(spark, "o_orderkey", ZONEMAP_LOOKUP_LO, ZONEMAP_LOOKUP_HI)
+    return df.agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast(D2)).cast("double").alias("total_price"),
+        F.countDistinct("o_custkey").alias("n_custkeys"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+ZONEMAP_LOOKUP_SQL = f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_custkeys,
+       MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+FROM orders
+WHERE o_orderkey BETWEEN {ZONEMAP_LOOKUP_LO} AND {ZONEMAP_LOOKUP_HI}
+"""
+
+
 QUERIES: dict[str, QueryDef] = {
+    "versioned_zonemap_lookup": QueryDef(
+        versioned_zonemap_lookup,
+        ZONEMAP_LOOKUP_SQL,
+        "S9: zone-map-pruned range read over a VersionedTable snapshot (data skipping)",
+    ),
     "listagg_ordered": QueryDef(
         listagg_ordered,
         LISTAGG_ORACLE_SQL,

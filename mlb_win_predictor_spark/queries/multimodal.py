@@ -111,9 +111,66 @@ def multimodal_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG decode path (non-stub): each document's text bytes become
+    a deterministic small image (dims from doc_id, gray/RGB alternating),
+    encoded to REAL PNG bytes — full signature/IHDR/IDAT/IEND structure,
+    per-chunk CRCs, zlib-deflated scanlines, filters 0-4 cycling — then
+    decoded back by the full parser (``operators.multimodal.png_decode``:
+    CRC verify, inflate, unfilter). Both stages are Arrow-batched
+    map-only mapInPandas; the codec ships by value in the closures.
+
+    Rows-only entry (a codec round-trip has no SQL dual); pixel-exact
+    round-trip, an independent spec-loop unfilter cross-check, and the
+    real-file ``read_binary_files`` path are pinned in
+    tests/test_operators.py."""
+    from ..operators.multimodal import decode_png_media, png_encode
+
+    enc = png_encode
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def encode_batches(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = _np.frombuffer((text or " ").encode("utf-8"), dtype=_np.uint8)
+                w = 4 + int(doc_id) % 13
+                h = 4 + int(doc_id) % 11
+                c = 1 if int(doc_id) % 2 else 3
+                need = w * h * c
+                px = _np.tile(b, need // max(b.size, 1) + 1)[:need].reshape(h, w, c)
+                payloads.append(enc(px, filters=range(5)))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": ["image/png"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(
+        encode_batches, schema="doc_id long, mime string, payload binary"
+    )
+    decoded = decode_png_media(media)
+    return decoded.groupBy("n_channels").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum("width").cast("long").alias("sum_width"),
+        F.sum("height").cast("long").alias("sum_height"),
+        F.round(F.avg("mean_px"), 3).alias("avg_mean_px"),
+    )
+
+
 QUERIES: dict[str, QueryDef] = {
     "multimodal_metadata_stats": QueryDef(
         multimodal_metadata_stats, MULTIMODAL_METADATA_SQL, "multimodal: metadata agg"
+    ),
+    "multimodal_decode_png": QueryDef(
+        multimodal_decode_png,
+        None,
+        "multimodal: REAL PNG encode->decode round-trip (pure-Python codec, CRC+inflate+unfilter)",
     ),
     "multimodal_decode_stub": QueryDef(
         multimodal_decode_stub, None, "multimodal: mapInPandas decode plumbing (stub codec)"

@@ -14,7 +14,7 @@ Scale notes: every query is a narrow scan + one hash aggregation except
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
@@ -1974,6 +1974,17 @@ def llm_dataset_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     final rollup — each keyed and partial-agged; no stage materializes.
     Output: per-source doc counts surviving each stage + final tokens.
     """
+    toked, flagged, is_bench = _llm_pipe_base(spark, sf_dir)
+    return _llm_pipe_finish(
+        toked, flagged, is_bench, "keep", [("n_quality", "q"), ("n_dedup", "keep")]
+    )
+
+
+def _llm_pipe_base(spark: SparkSession, sf_dir: str):
+    """Stages 1-2 of the capstone flow (quality flags + exact-dedup keep),
+    shared verbatim between ``llm_dataset_pipeline`` and the near-dedup
+    variant so "same stage" is true by construction, not by copy.
+    Returns (toked, flagged, is_bench)."""
     d = load_table(spark, sf_dir, "documents")
     toked = d.select(
         "doc_id", "source", "text", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
@@ -1994,6 +2005,21 @@ def llm_dataset_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("q")
         & (F.col("doc_id") == F.min(F.when(F.col("q"), F.col("doc_id"))).over(wt)),
     )
+    return toked, flagged, is_bench
+
+
+def _llm_pipe_finish(
+    toked: DataFrame,
+    flagged: DataFrame,
+    is_bench: Column,
+    keep_col: str,
+    stage_flags: list[tuple[str, str]],
+) -> DataFrame:
+    """Stages 4-5 of the capstone flow (benchmark decontamination over the
+    ``keep_col`` survivors + per-source token budget) and the attrition
+    rollup — ``stage_flags`` is the ordered (output name, flag column)
+    list of upstream stages to count, so variants with extra stages get
+    extra columns without touching the shared shuffle shape."""
     gram5 = lambda df: df.select(  # noqa: E731
         "doc_id",
         F.explode(
@@ -2004,14 +2030,14 @@ def llm_dataset_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     bench_grams = gram5(toked.filter(is_bench)).select("gram").distinct()
     dirty = (
-        gram5(flagged.filter(F.col("keep")))
+        gram5(flagged.filter(F.col(keep_col)))
         .join(F.broadcast(bench_grams), "gram")
         .select("doc_id")
         .distinct()
         .withColumn("dirty", F.lit(1))
     )
     c = flagged.join(dirty, "doc_id", "left").withColumn(
-        "clean", F.col("keep") & F.col("dirty").isNull()
+        "clean", F.col(keep_col) & F.col("dirty").isNull()
     )
     wb = (
         W.partitionBy("source")
@@ -2024,13 +2050,61 @@ def llm_dataset_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag = lambda col: F.sum(F.col(col).cast("long")).cast("long")  # noqa: E731
     return b.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_input"),
-        flag("q").alias("n_quality"),
-        flag("keep").alias("n_dedup"),
+        *[flag(col).alias(name) for name, col in stage_flags],
         flag("clean").alias("n_clean"),
         flag("in_budget").alias("n_final"),
         F.sum(F.when(F.col("in_budget"), F.col("n_toks")).otherwise(F.lit(0)))
         .cast("long")
         .alias("tokens_final"),
+    )
+
+
+def llm_dataset_pipeline_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone v2 — the curation flow with the NEAR-dedup stage the
+    reference's LLM-pipeline flow treats as the core dedup operator
+    (SURVEY §2.10; reference pipeline analog: the schedule→stats→train
+    composition in src/main.py, here over documents): quality gate →
+    exact dedup → near-dedup → benchmark decontamination → per-source
+    token budget, per-source attrition counted at EVERY stage.
+
+    Stages 1-2 and 4-5 are ``llm_dataset_pipeline``'s own code
+    (`_llm_pipe_base` / `_llm_pipe_finish` — shared by call, not copy).
+    Stage 3 runs ``operators.dedup.minhash_banded_pairs`` over the
+    exact-dedup SURVIVORS only (candidate generation never touches docs
+    a cheaper stage already dropped), groups candidates with
+    ``components_from_pairs`` and keeps the min doc_id per component —
+    ``keep_canonical_per_component``'s rule expressed as a left-anti
+    flag so the attrition rollup stays one plan.
+
+    Iterative connected components ⇒ rows-only catalog entry (no SQL
+    dual); tests/test_quality.py pins that a planted paraphrase the
+    exact stage provably misses (different text bytes, Jaccard ≥ 0.5)
+    is removed here, plus full stage monotonicity
+    n_input ≥ n_quality ≥ n_dedup ≥ n_neardup ≥ n_clean ≥ n_final.
+
+    Scale shape on top of v1's windows: one map-only MinHash signature
+    projection over survivors, a banded self-join whose cost tracks
+    actual collisions (never n²), and a component loop over the EDGE
+    set only (near-dup density, not corpus size).
+    """
+    from ..operators.dedup import components_from_pairs, minhash_banded_pairs
+
+    toked, flagged, is_bench = _llm_pipe_base(spark, sf_dir)
+    survivors = flagged.filter(F.col("keep")).select("doc_id", "text")
+    pairs = minhash_banded_pairs(survivors, jaccard_threshold=0.5)
+    comps = components_from_pairs(pairs)
+    near_drop = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id"), F.lit(1).alias("near_dup")
+    )
+    f2 = flagged.join(near_drop, "doc_id", "left").withColumn(
+        "nkeep", F.col("keep") & F.col("near_dup").isNull()
+    )
+    return _llm_pipe_finish(
+        toked,
+        f2,
+        is_bench,
+        "nkeep",
+        [("n_quality", "q"), ("n_dedup", "keep"), ("n_neardup", "nkeep")],
     )
 
 
@@ -2702,6 +2776,11 @@ QUERIES: dict[str, QueryDef] = {
         llm_dataset_pipeline,
         LLM_PIPELINE_SQL,
         "text: composed quality->dedup->decontaminate->budget curation flow, one lazy plan",
+    ),
+    "llm_dataset_pipeline_neardup": QueryDef(
+        llm_dataset_pipeline_neardup,
+        None,
+        "text: capstone v2 with banded-MinHash near-dedup stage (components, canonical keep)",
     ),
     "zipf_law_fit": QueryDef(
         zipf_law_fit,

