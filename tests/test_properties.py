@@ -252,3 +252,25 @@ def test_interpolated_lm_reduces_to_unigram_at_lambda_zero(spark):
         assert abs(lhs - first[d]) <= 2e-3, (d, lhs, first[d])
         checked += 1
     assert checked > 0
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=12),       # width
+    st.integers(min_value=1, max_value=12),       # height
+    st.sampled_from([1, 2, 3, 4]),                # channels
+    st.lists(st.sampled_from([0, 1, 2, 3, 4]), min_size=1, max_size=5),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_png_roundtrip_property(w, h, c, filters, seed):
+    """PNG codec totality: for ANY dims/channels/per-scanline filter
+    sequence and ANY pixel content, encode->decode is pixel-exact and
+    reports the true (w, h, c). Pure-Python codec — no Spark job."""
+    import numpy as np
+
+    from mlb_win_predictor_spark.operators.multimodal import png_decode, png_encode
+
+    px = np.random.default_rng(seed).integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    ww, hh, cc, out = png_decode(png_encode(px, filters=filters))
+    assert (ww, hh, cc) == (w, h, c)
+    assert np.array_equal(out, px)
