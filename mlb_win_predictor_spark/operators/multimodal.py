@@ -401,6 +401,180 @@ def _png_codec():
 
 png_encode, png_decode = _png_codec()
 
+
+def _wav_codec():
+    """Build (wav_encode, wav_decode) — REAL RIFF/WAVE PCM16 codec, pure
+    Python + numpy over struct. Same factory-for-by-value-pickling
+    discipline as ``_png_codec``. Scope honestly gated: PCM (format
+    code 1), 16-bit samples — float/ADPCM/extensible raise
+    NotImplementedError."""
+    import struct
+
+    import numpy as np
+
+    def wav_encode(samples, sample_rate: int = 16000) -> bytes:
+        """Encode an (n,) or (n, channels) int16 array as a REAL WAV
+        file: RIFF container, canonical 16-byte PCM ``fmt `` chunk,
+        interleaved little-endian ``data`` chunk."""
+        s = np.asarray(samples, dtype="<i2")
+        if s.ndim == 1:
+            s = s[:, None]
+        n, c = s.shape
+        data = s.reshape(-1).tobytes()
+        block = c * 2
+        fmt = struct.pack("<HHIIHH", 1, c, sample_rate, sample_rate * block, block, 16)
+        body = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    def wav_decode(payload: bytes):
+        """Decode REAL WAV bytes → (sample_rate, channels, samples) with
+        ``samples`` an (n, channels) int16 array. Walks RIFF sub-chunks
+        (word-aligned per spec, unknown chunks skipped), validates the
+        declared sizes, requires PCM16."""
+        b = bytes(payload)
+        if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            raise ValueError("not a WAV (bad RIFF/WAVE header)")
+        (riff_size,) = struct.unpack("<I", b[4:8])
+        if riff_size + 8 > len(b):
+            raise ValueError("truncated WAV (RIFF size exceeds payload)")
+        pos, fmt, data = 12, None, None
+        while pos + 8 <= len(b):
+            cid = b[pos : pos + 4]
+            (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+            chunk = b[pos + 8 : pos + 8 + size]
+            if len(chunk) != size:
+                raise ValueError(f"truncated {cid!r} chunk")
+            if cid == b"fmt ":
+                fmt = struct.unpack("<HHIIHH", chunk[:16])
+            elif cid == b"data":
+                data = chunk
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+        if fmt is None or data is None:
+            raise ValueError("missing fmt/data chunk")
+        code, channels, rate, byte_rate, block, bits = fmt
+        if code != 1 or bits != 16:
+            raise NotImplementedError(
+                f"unsupported WAV (format={code}, bits={bits}): only PCM16"
+            )
+        if block != channels * 2 or byte_rate != rate * block:
+            raise ValueError("inconsistent fmt chunk")
+        if len(data) % block:
+            raise ValueError("data chunk not a whole number of frames")
+        samples = np.frombuffer(data, dtype="<i2").reshape(-1, channels)
+        return rate, channels, samples
+
+    return wav_encode, wav_decode
+
+
+wav_encode, wav_decode = _wav_codec()
+
+
+def _sniffer():
+    """Build ``sniff_header(payload) -> dict`` — container-format
+    detection + dimensions/rate from HEADER BYTES ONLY (no inflate, no
+    sample read): the cheap metadata pass a 100 TB media lake runs over
+    everything before deciding what to fully decode. Real parsers for
+    PNG (IHDR), JPEG (marker walk to SOF0/1/2), GIF (logical screen
+    descriptor), WAV (fmt chunk). Unknown formats classify as
+    ``unknown`` rather than raising — a sniff must be total. Same
+    by-value factory discipline as the codecs."""
+    import struct
+
+    def sniff_header(payload: bytes) -> dict:
+        b = bytes(payload[:4096])
+        out = {
+            "detected": "unknown",
+            "width": None,
+            "height": None,
+            "n_channels": None,
+            "sample_rate": None,
+        }
+        try:
+            if b[:8] == b"\x89PNG\r\n\x1a\n" and b[12:16] == b"IHDR":
+                w, h, depth, color = struct.unpack(">IIBB", b[16:26])
+                out.update(
+                    detected="png",
+                    width=w,
+                    height=h,
+                    n_channels={0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color),
+                )
+            elif b[:2] == b"\xff\xd8":  # JPEG SOI; walk markers to a SOF
+                pos = 2
+                while pos + 4 <= len(b):
+                    if b[pos] != 0xFF:
+                        break
+                    marker = b[pos + 1]
+                    if marker in (0xC0, 0xC1, 0xC2):  # baseline/ext/progressive SOF
+                        h, w = struct.unpack(">HH", b[pos + 5 : pos + 9])
+                        out.update(
+                            detected="jpeg", width=w, height=h, n_channels=b[pos + 9]
+                        )
+                        break
+                    if marker == 0xD9 or marker == 0xDA:  # EOI / scan data begins
+                        break
+                    (seg,) = struct.unpack(">H", b[pos + 2 : pos + 4])
+                    pos += 2 + seg
+            elif b[:6] in (b"GIF87a", b"GIF89a"):
+                w, h = struct.unpack("<HH", b[6:10])
+                out.update(detected="gif", width=w, height=h)
+            elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+                pos = 12
+                while pos + 8 <= len(b):
+                    cid = b[pos : pos + 4]
+                    (size,) = struct.unpack("<I", b[pos + 4 : pos + 8])
+                    if cid == b"fmt " and size >= 16:
+                        _, ch, rate = struct.unpack("<HHI", b[pos + 8 : pos + 16])
+                        out.update(detected="wav", n_channels=ch, sample_rate=rate)
+                        break
+                    pos += 8 + size + (size & 1)
+        except (struct.error, IndexError):
+            pass  # truncated header: whatever was parsed so far stands
+        return out
+
+    return sniff_header
+
+
+sniff_header = _sniffer()
+
+SNIFFED_SCHEMA = (
+    "doc_id long, detected string, width int, height int, "
+    "n_channels int, sample_rate int"
+)
+
+
+def sniff_media(media: DataFrame) -> DataFrame:
+    """Header-only metadata extraction over the payload column — one row
+    per input row regardless of format (``detected='unknown'`` for
+    unparseable bytes, so downstream routing is a plain filter). Reads
+    at most 4 KiB per payload; map-only mapInPandas, no shuffle."""
+    sniff = sniff_header
+
+    def sniff_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            metas = [sniff(bytes(p)) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "detected": [m["detected"] for m in metas],
+                    "width": _pd.array([m["width"] for m in metas], dtype="Int32"),
+                    "height": _pd.array([m["height"] for m in metas], dtype="Int32"),
+                    "n_channels": _pd.array(
+                        [m["n_channels"] for m in metas], dtype="Int32"
+                    ),
+                    "sample_rate": _pd.array(
+                        [m["sample_rate"] for m in metas], dtype="Int32"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(sniff_batches, schema=SNIFFED_SCHEMA)
+
 PNG_DECODED_SCHEMA = (
     "doc_id long, width int, height int, n_channels int, mean_px double, std_px double"
 )
@@ -442,3 +616,51 @@ def decode_png_media(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(decode_batches, schema=PNG_DECODED_SCHEMA)
+
+
+WAV_DECODED_SCHEMA = (
+    "doc_id long, sample_rate int, n_channels int, n_samples long, "
+    "duration_s double, rms double"
+)
+
+
+def decode_wav_media(media: DataFrame) -> DataFrame:
+    """REAL decode over the multimodal payload column for ``audio/wav``
+    rows: full RIFF parse into rate/channels/length plus signal stats
+    (duration, RMS amplitude — the audio analog of the PNG pixel stats).
+    Non-WAV rows are dropped; Arrow-batched map-only mapInPandas, codec
+    shipped by value (see ``_wav_codec``)."""
+    decode = wav_decode
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, rates, chans, ns, durs, rmss = [], [], [], [], [], []
+            for doc_id, mime, payload in zip(pdf["doc_id"], pdf["mime"], pdf["payload"]):
+                if mime != "audio/wav":
+                    continue
+                rate, c, samples = decode(bytes(payload))
+                ids.append(doc_id)
+                rates.append(rate)
+                chans.append(c)
+                ns.append(samples.shape[0])
+                durs.append(samples.shape[0] / rate)
+                rmss.append(
+                    float(_np.sqrt(_np.mean(samples.astype(_np.float64) ** 2)))
+                    if samples.size
+                    else 0.0
+                )
+            yield _pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "sample_rate": rates,
+                    "n_channels": chans,
+                    "n_samples": ns,
+                    "duration_s": durs,
+                    "rms": rmss,
+                }
+            )
+
+    return media.mapInPandas(decode_batches, schema=WAV_DECODED_SCHEMA)

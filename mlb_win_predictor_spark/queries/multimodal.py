@@ -163,9 +163,132 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV decode path (non-stub, the audio sibling of
+    ``multimodal_decode_png``): each document's text bytes become a
+    deterministic PCM16 signal (rate cycling 8/16/44.1 kHz, mono/stereo
+    alternating), encoded to REAL RIFF/WAVE bytes and decoded back by
+    the full parser (``operators.multimodal.wav_decode``: chunk walk,
+    fmt validation, frame alignment). Both stages Arrow-batched map-only
+    mapInPandas; codec ships by value. Rows-only entry; sample-exact
+    round-trip, spec gating, and the ``binaryFile`` real-file path are
+    pinned in tests/test_operators.py."""
+    from ..operators.multimodal import decode_wav_media, wav_encode
+
+    enc = wav_encode
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def encode_batches(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        rates = (8000, 16000, 44100)
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = _np.frombuffer((text or " ").encode("utf-8"), dtype=_np.uint8)
+                c = 1 if int(doc_id) % 2 else 2
+                n = (64 + int(doc_id) % 101) * c
+                sig = (
+                    (_np.tile(b, n // max(b.size, 1) + 1)[:n].astype(_np.int16) - 128)
+                    * 256
+                ).reshape(-1, c)
+                payloads.append(enc(sig, sample_rate=rates[int(doc_id) % 3]))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": ["audio/wav"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(
+        encode_batches, schema="doc_id long, mime string, payload binary"
+    )
+    decoded = decode_wav_media(media)
+    return decoded.groupBy("sample_rate", "n_channels").agg(
+        F.count(F.lit(1)).alias("n_audio"),
+        F.sum("n_samples").cast("long").alias("sum_samples"),
+        F.round(F.sum("duration_s"), 4).alias("total_duration_s"),
+        F.round(F.avg("rms"), 3).alias("avg_rms"),
+    )
+
+
+def multimodal_sniff_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-only media triage (``operators.multimodal.sniff_media``):
+    each document becomes one of five payload kinds — REAL PNG (full
+    encoder), REAL WAV (full encoder), a spec-correct GIF logical screen
+    descriptor, a spec-correct JPEG SOI→APP0→SOF0 marker sequence, or
+    plain text bytes — and the sniffer classifies + extracts
+    dims/rate from the first 4 KiB WITHOUT decoding. The per-format
+    routing report (counts + dimension sums) is what a media lake
+    consults before spending decode cycles. Map-only; rows-only entry
+    (binary container construction has no SQL dual); per-format
+    correctness incl. truncation totality pinned in
+    tests/test_operators.py."""
+    import struct
+
+    from ..operators.multimodal import png_encode, sniff_media, wav_encode
+
+    enc_png, enc_wav = png_encode, wav_encode
+    pack = struct.pack
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def build_batches(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        def gif(w, h):
+            return b"GIF89a" + pack("<HH", w, h) + b"\x00\x00\x00"
+
+        def jpeg(w, h, c):
+            sof = b"\xff\xc0" + pack(">H", 8 + 3 * c) + b"\x08" + pack(">HH", h, w) + bytes([c])
+            return b"\xff\xd8" + b"\xff\xe0" + pack(">H", 4) + b"\x00\x00" + sof + b"\xff\xd9"
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                i = int(doc_id)
+                w, h, c = 2 + i % 9, 3 + i % 7, (1, 3)[i % 2]
+                kind = i % 5
+                if kind == 0:
+                    raw = _np.frombuffer((text or " ").encode(), dtype=_np.uint8)
+                    px = _np.tile(raw, (w * h * c) // max(raw.size, 1) + 1)[: w * h * c]
+                    payloads.append(enc_png(px.reshape(h, w, c)))
+                elif kind == 1:
+                    sig = (_np.arange(32 * c, dtype=_np.int16) * 100).reshape(-1, c)
+                    payloads.append(enc_wav(sig, sample_rate=(8000, 16000)[i % 2]))
+                elif kind == 2:
+                    payloads.append(gif(w, h))
+                elif kind == 3:
+                    payloads.append(jpeg(w, h, c))
+                else:
+                    payloads.append((text or " ").encode("utf-8"))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    media = docs.mapInPandas(build_batches, schema="doc_id long, payload binary")
+    sniffed = sniff_media(media)
+    return sniffed.groupBy("detected").agg(
+        F.count(F.lit(1)).alias("n_objects"),
+        F.sum("width").cast("long").alias("sum_width"),
+        F.sum("height").cast("long").alias("sum_height"),
+        F.countDistinct("sample_rate").alias("n_rates"),
+    )
+
+
 QUERIES: dict[str, QueryDef] = {
     "multimodal_metadata_stats": QueryDef(
         multimodal_metadata_stats, MULTIMODAL_METADATA_SQL, "multimodal: metadata agg"
+    ),
+    "multimodal_sniff_headers": QueryDef(
+        multimodal_sniff_headers,
+        None,
+        "multimodal: header-only format triage (PNG/JPEG/GIF/WAV sniff, no decode)",
+    ),
+    "multimodal_decode_wav": QueryDef(
+        multimodal_decode_wav,
+        None,
+        "multimodal: REAL WAV encode->decode round-trip (RIFF/PCM16 parser, signal stats)",
     ),
     "multimodal_decode_png": QueryDef(
         multimodal_decode_png,

@@ -416,6 +416,58 @@ def decontaminate_stream(
     )
 
 
+def media_decode_stream(
+    spark,
+    media_path: str,
+    out_path: str,
+    checkpoint: str,
+    glob: str = "*.png",
+    max_files_per_trigger: int = 64,
+):
+    """Streaming multimodal ingest — the object-store drop-zone pattern:
+    a ``binaryFile`` FILE-STREAM source discovers newly landed media
+    files, each micro-batch is decoded by the REAL PNG codec
+    (``operators.multimodal.decode_png_media``: CRC verify, inflate,
+    unfilter → dims + pixel stats), and results land in the EXACTLY-ONCE
+    parquet streaming sink (``_spark_metadata`` commit log — restarts
+    reprocess nothing, readers never see a torn epoch; stronger than the
+    foreachBatch epoch-dir pattern the dedup/decontamination gates use,
+    available here because decode is a pure 1:1 map).
+
+    Zero streaming state: decode is map-only mapInPandas on the stream,
+    so throughput scales with files per batch only;
+    ``maxFilesPerTrigger`` bounds batch memory under ingest spikes (at
+    100 TB the same query runs continuously, discovering files from the
+    store listing, executors decoding in parallel). ``doc_id`` is the
+    xxhash64 of the file path — stable across replays by construction.
+    Returns the DataStreamWriter; callers ``.start().awaitTermination()``
+    (availableNow drains the backlog and stops)."""
+    from ..operators.multimodal import decode_png_media
+
+    files = (
+        spark.readStream.format("binaryFile")
+        # binaryFile's schema is FIXED by the format, but streaming
+        # sources refuse inference — spell it out
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(media_path)
+    )
+    media = files.select(
+        F.xxhash64("path").alias("doc_id"),
+        F.lit("image/png").alias("mime"),
+        F.col("content").alias("payload"),
+    )
+    decoded = decode_png_media(media)
+    return (
+        decoded.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+    )
+
+
 def enrich_stream_static(events: DataFrame, dim: DataFrame, on: str = "user_id") -> DataFrame:
     """Stream-static broadcast enrichment: the streaming analog of the
     reference's per-row dim lookups (J1/J2, src/function.py:58-69,486) —

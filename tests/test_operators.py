@@ -355,6 +355,144 @@ def test_png_fixtures_through_binary_files_source(spark, tmp_path):
         assert abs(r.mean_px - mean) < 1e-9, i
 
 
+def test_wav_roundtrip_exact_and_gates():
+    """REAL WAV codec: encode→decode sample-exact for mono/stereo at
+    several rates; word-aligned unknown chunks are skipped per the RIFF
+    spec; float-format and corrupt containers fail loudly."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from mlb_win_predictor_spark.operators.multimodal import wav_decode, wav_encode
+
+    rng = np.random.default_rng(5)
+    for c, rate in [(1, 8000), (2, 16000), (1, 44100), (2, 44100)]:
+        s = rng.integers(-32768, 32768, size=(37, c), dtype=np.int16)
+        r2, c2, out = wav_decode(wav_encode(s, sample_rate=rate))
+        assert (r2, c2) == (rate, c)
+        assert np.array_equal(out, s)
+    # odd-sized unknown chunk before data: must skip with pad byte
+    s = rng.integers(-32768, 32768, size=(5, 1), dtype=np.int16)
+    blob = wav_encode(s, sample_rate=8000)
+    junk = b"LIST" + struct.pack("<I", 3) + b"abc" + b"\x00"  # 3 bytes + pad
+    patched = blob[:12] + junk + blob[12:]
+    patched = b"RIFF" + struct.pack("<I", len(patched) - 8) + patched[8:]
+    r2, c2, out = wav_decode(patched)
+    assert np.array_equal(out, s) and r2 == 8000
+    # IEEE-float format (code 3) gates, corrupt header raises
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt + b"data" + struct.pack("<I", 0)
+    with _pytest.raises(NotImplementedError):
+        wav_decode(b"RIFF" + struct.pack("<I", len(body)) + body)
+    with _pytest.raises(ValueError, match="RIFF"):
+        wav_decode(b"OggS this is not a wav")
+    with _pytest.raises(ValueError, match="truncated"):
+        wav_decode(blob[:-3])
+
+
+def test_wav_fixtures_through_binary_files_source(spark, tmp_path):
+    """Real-bytes audio ingestion: WAV files on disk → binaryFile source
+    → real decode; rate/channels/duration/RMS must match the generator
+    exactly."""
+    import numpy as np
+
+    from mlb_win_predictor_spark.operators.multimodal import (
+        decode_wav_media,
+        wav_encode,
+    )
+    from mlb_win_predictor_spark.sources import read_binary_files
+
+    rng = np.random.default_rng(9)
+    expected = {}
+    for i in range(4):
+        c, rate, n = (1, 2)[i % 2], (8000, 44100)[i // 2], 50 + 7 * i
+        s = rng.integers(-32768, 32768, size=(n, c), dtype=np.int16)
+        (tmp_path / f"a{i}.wav").write_bytes(wav_encode(s, sample_rate=rate))
+        expected[i] = (rate, c, n, float(np.sqrt(np.mean(s.astype(np.float64) ** 2))))
+    files = read_binary_files(spark, str(tmp_path), glob="*.wav")
+    media = files.select(
+        F.regexp_extract("path", r"a(\d+)\.wav", 1).cast("long").alias("doc_id"),
+        F.lit("audio/wav").alias("mime"),
+        F.col("content").alias("payload"),
+    )
+    rows = {r.doc_id: r for r in decode_wav_media(media).collect()}
+    assert len(rows) == 4
+    for i, (rate, c, n, rms) in expected.items():
+        r = rows[i]
+        assert (r.sample_rate, r.n_channels, r.n_samples) == (rate, c, n), i
+        assert abs(r.duration_s - n / rate) < 1e-12
+        assert abs(r.rms - rms) < 1e-9, i
+
+
+def test_sniff_header_formats_and_totality():
+    """Header sniffing: real PNG/WAV bytes and spec-crafted JPEG
+    (baseline AND progressive, APP segments before SOF) / GIF headers
+    classify with exact dims/rate; garbage and truncated headers return
+    'unknown' or partial fields but NEVER raise (a sniff is total)."""
+    import struct
+
+    import numpy as np
+
+    from mlb_win_predictor_spark.operators.multimodal import (
+        png_encode,
+        sniff_header,
+        wav_encode,
+    )
+
+    png = sniff_header(png_encode(np.zeros((5, 7, 3), dtype=np.uint8)))
+    assert (png["detected"], png["width"], png["height"], png["n_channels"]) == (
+        "png", 7, 5, 3,
+    )
+    wav = sniff_header(wav_encode(np.zeros((10, 2), dtype=np.int16), sample_rate=22050))
+    assert (wav["detected"], wav["n_channels"], wav["sample_rate"]) == ("wav", 2, 22050)
+    gif = sniff_header(b"GIF87a" + struct.pack("<HH", 640, 480) + b"\x00" * 5)
+    assert (gif["detected"], gif["width"], gif["height"]) == ("gif", 640, 480)
+    for sof_marker in (b"\xff\xc0", b"\xff\xc2"):  # baseline + progressive
+        jpg = (
+            b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 8) + b"JFIF\x00\x00"  # APP0 first
+            + b"\xff\xe1" + struct.pack(">H", 4) + b"ab"            # APP1 too
+            + sof_marker + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", 33, 44)
+            + b"\x03"
+            + b"\xff\xd9"
+        )
+        j = sniff_header(jpg)
+        assert (j["detected"], j["width"], j["height"], j["n_channels"]) == (
+            "jpeg", 44, 33, 3,
+        )
+    assert sniff_header(b"plain old text bytes")["detected"] == "unknown"
+    assert sniff_header(b"")["detected"] == "unknown"
+    # truncated mid-header: total, no raise
+    assert sniff_header(b"\x89PNG\r\n\x1a\n\x00\x00")["detected"] == "unknown"
+    assert sniff_header(b"RIFF\x10\x00\x00\x00WAVEfm")["detected"] == "unknown"
+
+
+def test_sniff_media_routes_mixed_corpus(spark):
+    """The mapInPandas sniff over a mixed binary column: every row
+    classified, unknowns preserved (1:1 totality), dims exact."""
+    import numpy as np
+    import pandas as pd
+
+    from mlb_win_predictor_spark.operators.multimodal import (
+        png_encode,
+        sniff_media,
+        wav_encode,
+    )
+
+    rows = [
+        (0, png_encode(np.zeros((4, 6, 1), dtype=np.uint8))),
+        (1, wav_encode(np.zeros((8, 1), dtype=np.int16), sample_rate=8000)),
+        (2, b"not media at all"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "payload"]))
+    out = {r.doc_id: r for r in sniff_media(df).collect()}
+    assert len(out) == 3
+    assert (out[0].detected, out[0].width, out[0].height) == ("png", 6, 4)
+    assert (out[1].detected, out[1].sample_rate) == ("wav", 8000)
+    assert out[2].detected == "unknown" and out[2].width is None
+
+
 def test_resize_media_hits_target_and_recomputes_metadata(spark, docs):
     from mlb_win_predictor_spark.operators.multimodal import (
         resize_media,

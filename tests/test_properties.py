@@ -274,3 +274,23 @@ def test_png_roundtrip_property(w, h, c, filters, seed):
     ww, hh, cc, out = png_decode(png_encode(px, filters=filters))
     assert (ww, hh, cc) == (w, h, c)
     assert np.array_equal(out, px)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=200),      # frames
+    st.sampled_from([1, 2]),                      # channels
+    st.sampled_from([8000, 16000, 22050, 44100]),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_wav_roundtrip_property(n, c, rate, seed):
+    """WAV codec totality: any PCM16 signal round-trips sample-exact
+    with the true rate/channels. Pure-Python codec — no Spark job."""
+    import numpy as np
+
+    from mlb_win_predictor_spark.operators.multimodal import wav_decode, wav_encode
+
+    s = np.random.default_rng(seed).integers(-32768, 32768, size=(n, c), dtype=np.int16)
+    r2, c2, out = wav_decode(wav_encode(s, sample_rate=rate))
+    assert (r2, c2) == (rate, c)
+    assert np.array_equal(out, s)

@@ -641,3 +641,43 @@ def test_decontaminate_stream_drops_contaminated_keeps_clean(spark, tmp_path):
     assert not any(i in ids for i in range(40, 50)), "contaminated doc survived"
     assert 50 in ids, "sub-n-token doc must pass the gate, not crash it"
     assert len([i for i in range(40) if i in ids]) >= 36  # <=10% FP over-drop
+
+
+def test_media_decode_stream_exactly_once_incremental(spark, tmp_path):
+    """The drop-zone multimodal ingest: PNG files landed before run 1 are
+    decoded once into the exactly-once parquet sink; a second availableNow
+    run over the SAME checkpoint decodes ONLY the newly landed files (no
+    reprocessing, no duplicates); decoded dims match the generator."""
+    import numpy as np
+
+    from mlb_win_predictor_spark.operators.multimodal import png_encode
+    from mlb_win_predictor_spark.streaming import media_decode_stream
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    rng = np.random.default_rng(21)
+    expected = {}
+
+    def land(i):
+        w, h, c = 3 + i, 4 + i, (1, 3)[i % 2]
+        px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        (drop / f"m{i}.png").write_bytes(png_encode(px, filters=range(5)))
+        expected[f"m{i}.png"] = (w, h, c)
+
+    for i in range(4):
+        land(i)
+    out, ckpt = str(tmp_path / "decoded"), str(tmp_path / "ckpt")
+    media_decode_stream(spark, str(drop), out, ckpt).start().awaitTermination(120)
+    assert spark.read.parquet(out).count() == 4
+    # two more files land; same checkpoint → only the delta is processed
+    land(4)
+    land(5)
+    media_decode_stream(spark, str(drop), out, ckpt).start().awaitTermination(120)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 6  # exactly-once: 4 old NOT re-emitted
+    assert len({r.doc_id for r in rows}) == 6
+    # decoded dims match the generator (each file has unique w x h)
+    got_dims = {(r.width, r.height): r.n_channels for r in rows}
+    assert len(got_dims) == 6
+    for name, (w, h, c) in expected.items():
+        assert got_dims[(w, h)] == c, name
