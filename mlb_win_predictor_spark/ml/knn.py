@@ -16,6 +16,41 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 
+BUCKET_LENGTH_CEIL = 2.0  # legacy fixed value; auto-tune only shrinks it
+BUCKET_OCCUPANCY_TARGET = 64  # expected train rows per LSH bucket
+
+
+def _auto_bucket_length(
+    train: DataFrame, features_col: str, id_col: str, seed: int
+) -> float:
+    """Occupancy-bounded LSH bucket width. The bucket join's volume is
+    Σ_b |test_b|·|train_b| — with a FIXED width, per-bucket population
+    grows linearly with corpus density and the join goes quadratic
+    (measured in the round-6 full-catalog sweep: the kNN entries ran
+    ~11 min at 10× data, 66× the base). Estimate the projection spread
+    from a deterministic 1k-row sample (one seeded Gaussian direction —
+    the same family BRP-LSH hashes with) and set
+    ``w ≈ occupancy_target · spread / n``, capped at the legacy fixed
+    width so small corpora keep their exact previous behavior (and the
+    small-SF recall gates their exact previous numbers). As density
+    grows, buckets narrow: candidates stay the TIGHTEST neighbors —
+    precisely the LSH contract."""
+    import numpy as np
+
+    n = train.count()
+    rows = (
+        train.select(features_col, id_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(1024)
+        .collect()
+    )
+    X = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    g = np.random.default_rng(seed).standard_normal(X.shape[1])
+    proj = X @ g
+    spread = float(proj.max() - proj.min()) or 1.0
+    return max(min(BUCKET_LENGTH_CEIL, BUCKET_OCCUPANCY_TARGET * spread / max(n, 1)), 1e-6)
+
+
 def _ranked_neighbors(
     train: DataFrame,
     test: DataFrame,
@@ -23,7 +58,7 @@ def _ranked_neighbors(
     features_col: str,
     label_col: str,
     id_col: str,
-    bucket_length: float,
+    bucket_length: float | None,
     num_hash_tables: int,
     seed: int,
 ) -> DataFrame:
@@ -31,7 +66,10 @@ def _ranked_neighbors(
     approximate nearest train rows, distance-ranked with a deterministic
     tie-break. One LSH bucket join + one per-test-row window — the
     k-INDEPENDENT part of kNN, factored out so a k-grid sweep pays for
-    the join once."""
+    the join once. ``bucket_length=None`` → occupancy-bounded auto
+    width (see ``_auto_bucket_length``)."""
+    if bucket_length is None:
+        bucket_length = _auto_bucket_length(train, features_col, id_col, seed)
     to_vec = lambda df: df.withColumn(  # noqa: E731
         "_vec", array_to_vector(F.transform(F.col(features_col), lambda v: v.cast("double")))
     )
@@ -79,7 +117,7 @@ def knn_predict_lsh(
     features_col: str = "features_arr",
     label_col: str = "label",
     id_col: str = "vec_id",
-    bucket_length: float = 2.0,
+    bucket_length: float | None = None,
     num_hash_tables: int = 3,
     seed: int = 42,
 ) -> DataFrame:
@@ -100,7 +138,7 @@ def knn_select_k(
     features_col: str = "features_arr",
     label_col: str = "label",
     id_col: str = "vec_id",
-    bucket_length: float = 2.0,
+    bucket_length: float | None = None,
     num_hash_tables: int = 3,
     seed: int = 42,
 ) -> tuple[int, list[tuple[int, float]]]:
@@ -118,10 +156,19 @@ def knn_select_k(
     regardless of grid length. Driver-side data: one float per k."""
     if not k_grid:
         raise ValueError("empty k_grid")
+    # eager localCheckpoint, not cache(): the grid loop runs ~|grid|+1
+    # actions over this ranking, and a cache is only a HINT — under
+    # memory pressure Spark silently evicts it and every subsequent
+    # action re-runs the corpus-sized LSH bucket join (the round-6
+    # full-catalog sweep measured the grid at 66x for 10x data while the
+    # single-k vote entry, same join, scaled 2.9x — the grid was paying
+    # for the join per k). A checkpoint is materialized data: the join
+    # provably runs once. The checkpointed table is val x max_k rows —
+    # bounded by the validation split, never the corpus.
     ranked = _ranked_neighbors(
         train, val, max(k_grid), features_col, label_col, id_col,
         bucket_length, num_hash_tables, seed,
-    ).cache()
+    ).localCheckpoint(eager=True)
     truth = val.select(
         F.col(id_col).alias("test_id"), F.col(label_col).alias("_truth")
     )

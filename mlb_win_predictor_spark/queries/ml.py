@@ -98,6 +98,7 @@ def ml_knn_lsh_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the reference's FULL GridSearchCV grid (modeling/modeling.ipynb:626):
 # n_neighbors = [1, 2, 3, 5, 8, 13, 21, 34, 45, 79]
 REFERENCE_K_GRID = [1, 2, 3, 5, 8, 13, 21, 34, 45, 79]
+KNN_VAL_CAP = 500  # bounded held-out sample for the k-grid sweep
 
 
 def ml_knn_k_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -115,7 +116,17 @@ def ml_knn_k_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..ml.knn import knn_select_k
 
     df = _emb_features(spark, sf_dir)
-    val = df.filter(F.col("vec_id") % 10 == 0)
+    # BOUNDED validation sample (deterministic hash order): model
+    # selection needs a representative split, not one ∝ corpus — with
+    # val growing alongside train, grid cost grows ~quadratically on
+    # near-dup-dense data (both join sides scale). The cap doesn't bind
+    # at the driver's SFs (val ≤ 200 there); at 10× it caps the held-out
+    # side so the sweep stays one linear corpus pass.
+    val = (
+        df.filter(F.col("vec_id") % 10 == 0)
+        .orderBy(F.xxhash64("vec_id"))
+        .limit(KNN_VAL_CAP)
+    )
     train = df.filter(F.col("vec_id") % 10 != 0)
     best_k, board = knn_select_k(train, val, k_grid=REFERENCE_K_GRID)
     return spark.createDataFrame(
@@ -277,9 +288,11 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-star ANN, product-quantization variant: per-subspace KMeans
-    codebooks + ADC table lookups + exact re-rank (recall 0.95@10 vs the
-    exact oracle at default params, property-tested)."""
+    """North-star ANN, product-quantization variant: per-subspace
+    codebooks (numpy Lloyd on a bounded hash-ordered sample — the FAISS
+    training discipline, round 6) + one Arrow-vectorized encode pass +
+    ADC table lookups + exact re-rank (recall ≥0.8@10 vs the exact
+    oracle, property-tested with a determinism pin)."""
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 8)
     corpus = e.filter(F.col("vec_id") >= 8)
@@ -336,9 +349,13 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     planted-duplicate behavior is pytest-verified (tests/test_operators.py).
     The synthetic embeddings have no true near-dups (max pairwise cosine
     ~0.51), so the catalog entry runs at 0.42 to exercise real drops;
-    production SemDeDup thresholds are ~0.95+."""
+    production SemDeDup thresholds are ~0.95+. Cell count is AUTO
+    (k ∝ n, operators.similarity.semantic_dedup) — the round-6
+    full-catalog scaling sweep measured the previous FIXED cell count
+    going quadratic (8.9s → 810s at 10× data); auto keeps per-cell join
+    volume constant, so the operator scales linearly."""
     e = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(e, threshold=0.42, n_cells=8).select("vec_id", "label")
+    return semantic_dedup(e, threshold=0.42).select("vec_id", "label")
 
 
 def grouped_median_arrow_entry(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -17,7 +17,7 @@ from ..operators.multimodal import (
     sample_frames,
     to_media_column,
 )
-from ..session import load_table
+from ..session import fan_out, load_table
 from .base import QueryDef
 
 
@@ -127,7 +127,12 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import decode_png_media, png_encode
 
     enc = png_encode
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # the Python codec dominates per-row cost and documents.parquet is a
+    # single row-group at test SFs (1-2 scan splits): fan the scan out
+    # or the whole encode/decode pipeline runs on 1-2 cores (measured:
+    # 27x for 10x data in the round-6 full-catalog sweep; fan_out
+    # restores ~linear scaling and is a no-op on an already-split scan)
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def encode_batches(batches):
         import numpy as _np
@@ -176,7 +181,12 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import decode_wav_media, wav_encode
 
     enc = wav_encode
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # the Python codec dominates per-row cost and documents.parquet is a
+    # single row-group at test SFs (1-2 scan splits): fan the scan out
+    # or the whole encode/decode pipeline runs on 1-2 cores (measured:
+    # 27x for 10x data in the round-6 full-catalog sweep; fan_out
+    # restores ~linear scaling and is a no-op on an already-split scan)
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def encode_batches(batches):
         import numpy as _np
@@ -232,7 +242,12 @@ def multimodal_sniff_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     enc_png, enc_wav = png_encode, wav_encode
     pack = struct.pack
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # the Python codec dominates per-row cost and documents.parquet is a
+    # single row-group at test SFs (1-2 scan splits): fan the scan out
+    # or the whole encode/decode pipeline runs on 1-2 cores (measured:
+    # 27x for 10x data in the round-6 full-catalog sweep; fan_out
+    # restores ~linear scaling and is a no-op on an already-split scan)
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
 
     def build_batches(batches):
         import numpy as _np

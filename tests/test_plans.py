@@ -406,11 +406,14 @@ def test_new_entry_plan_shapes(plans):
 
 
 def test_knn_grid_vote_reuses_cached_neighbor_join(spark):
-    """r4 verdict item #6: the 10-point reference k-grid must pay for the
-    LSH neighbor join ONCE — each per-k vote's plan reads the cached
-    ranking (InMemoryTableScan), never a fresh parquet scan or LSH
-    bucket join. This mirrors knn_select_k's internals exactly
-    (rank at max(k), cache, filter rn <= k per grid point)."""
+    """r4 verdict item #6 (hardened round 6): the 10-point reference
+    k-grid must pay for the LSH neighbor join ONCE — each per-k vote's
+    plan reads the MATERIALIZED ranking (eager localCheckpoint → Scan
+    ExistingRDD), never a fresh parquet scan or LSH bucket join. A
+    cache() was only a hint: eviction under memory pressure silently
+    re-ran the join per k (measured 66× at 10× data in the full-catalog
+    scaling sweep). This mirrors knn_select_k's internals exactly
+    (rank at max(k), checkpoint, filter rn <= k per grid point)."""
     from pyspark.sql import functions as F
 
     from mlb_win_predictor_spark.ml.knn import _ranked_neighbors, _vote
@@ -422,20 +425,14 @@ def test_knn_grid_vote_reuses_cached_neighbor_join(spark):
     ranked = _ranked_neighbors(
         train, val, max(REFERENCE_K_GRID), "features_arr", "label", "vec_id",
         2.0, 3, 42,
-    ).cache()
-    try:
-        ranked.count()  # populate the cache, as knn_select_k does
-        p = plan_of(_vote(ranked.filter(F.col("rn") <= 5)))
-        assert "InMemoryTableScan" in p, p
-        # formatted explain prints the CACHED BUILD plan nested under
-        # InMemoryRelation — only the nodes ABOVE it are what the vote
-        # actually executes; they must hold no parquet re-scan and no
-        # Generate (the LSH hash-array explode of the bucket join)
-        above_cache = p.split("InMemoryRelation")[0]
-        assert "parquet" not in above_cache.lower(), "vote re-scanned the source"
-        assert "Generate" not in above_cache, "vote re-ran the LSH bucket join"
-    finally:
-        ranked.unpersist()
+    ).localCheckpoint(eager=True)
+    p = plan_of(_vote(ranked.filter(F.col("rn") <= 5)))
+    # the vote executes over the checkpointed rows only: no parquet
+    # re-scan, no Generate (the LSH hash-array explode of the bucket
+    # join), no InMemoryRelation hint that could silently evict
+    assert "Scan ExistingRDD" in p, p
+    assert "parquet" not in p.lower(), "vote re-scanned the source"
+    assert "Generate" not in p, "vote re-ran the LSH bucket join"
 
 
 def test_ccnet_buckets_no_single_partition_window(plans):
