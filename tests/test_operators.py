@@ -951,6 +951,36 @@ def test_semantic_dedup_drops_planted_near_dups(spark, emb):
     assert again == kept_ids
 
 
+def test_semantic_dedup_two_level_assign(spark, emb):
+    """n_cells > SEMANTIC_DEDUP_FLAT_ASSIGN_MAX_K routes assignment
+    through the coarse centroid level (the FAISS IVF shape). Planted
+    exact copies must still co-assign (identical vectors take identical
+    argmin paths) and drop; the result must be deterministic."""
+    from mlb_win_predictor_spark.operators.similarity import (
+        SEMANTIC_DEDUP_FLAT_ASSIGN_MAX_K,
+        semantic_dedup,
+    )
+
+    base = emb.select("vec_id", "embedding")
+    copies = base.filter(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 10000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(copies)
+    n_cells = 80
+    assert n_cells > SEMANTIC_DEDUP_FLAT_ASSIGN_MAX_K
+    kept = semantic_dedup(corpus, threshold=0.97, n_cells=n_cells, id_col="vec_id")
+    kept_ids = {r.vec_id for r in kept.select("vec_id").collect()}
+    assert not any(i >= 10000 for i in kept_ids), "planted copies must be dropped"
+    assert {0, 1, 2, 3, 4} <= kept_ids, "lowest-id originals must survive"
+    again = {
+        r.vec_id
+        for r in semantic_dedup(
+            corpus, threshold=0.97, n_cells=n_cells, id_col="vec_id"
+        ).select("vec_id").collect()
+    }
+    assert again == kept_ids
+
+
 def test_grouped_median_arrow_matches_pandas_udaf(spark):
     """applyInArrow (raw pyarrow.Table per group, no pandas) must produce
     the same medians as the pandas GROUPED_AGG path and the native

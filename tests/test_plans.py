@@ -405,6 +405,28 @@ def test_new_entry_plan_shapes(plans):
     assert "TakeOrderedAndProject" in plans["hybrid_search_rrf"]
 
 
+def test_shingle_filter_not_reinlined_into_predicate(spark):
+    """PLANS.md 'filter-below-Project re-inlining': the short-doc drop in
+    ngram_shingles must reach the scan as a CHEAP token-count predicate.
+    A `size(shingles) > 0` filter above the gram projection gets pushed
+    below it with the whole interpreted gram transform substituted into
+    the predicate — the text re-splits per element probe per gram per
+    row (measured: the sf1 shingle pass alone was 81.6s; the banded
+    dedup family 106-217s/entry, now 12-31s). Pin: no Filter node may
+    contain the gram builder (concat_ws / element_at)."""
+    from mlb_win_predictor_spark.operators.dedup import ngram_shingles
+    from mlb_win_predictor_spark.session import load_table
+
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    plan = ngram_shingles(docs, "text", 3)._jdf.queryExecution().executedPlan().toString()
+    filter_lines = [l for l in plan.splitlines() if "Filter" in l]
+    assert filter_lines, "short-doc drop disappeared from the plan"
+    for l in filter_lines:
+        assert "concat_ws" not in l and "element_at" not in l, (
+            "gram transform re-inlined into a Filter predicate:\n" + l
+        )
+
+
 def test_knn_grid_vote_reuses_cached_neighbor_join(spark):
     """r4 verdict item #6 (hardened round 6): the 10-point reference
     k-grid must pay for the LSH neighbor join ONCE — each per-k vote's
