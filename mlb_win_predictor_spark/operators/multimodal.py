@@ -664,3 +664,77 @@ def decode_wav_media(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(decode_batches, schema=WAV_DECODED_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, rms double, "
+    "zero_crossing_rate double, spectral_centroid_hz double, "
+    "spectral_bandwidth_hz double, peak_freq_hz double"
+)
+
+
+def audio_features_media(media: DataFrame) -> DataFrame:
+    """REAL audio feature extraction over ``audio/wav`` payloads — the
+    non-stub upgrade of the feature-extract stage (SURVEY §2.10
+    multimodal: decode / feature-extract / resize / frame-sample). Per
+    clip, on the mono mix: RMS, zero-crossing rate (sign flips per
+    second — the classic voiced/unvoiced & noisiness proxy), spectral
+    centroid and bandwidth (magnitude-weighted mean/std of the rfft
+    bins, Hz), and the peak-magnitude frequency. All numpy batch math
+    (one rfft per clip — O(n log n)); Arrow-batched map-only
+    mapInPandas; decoder ships by value. Deterministic: pure functions
+    of the payload. Non-WAV rows are dropped, matching
+    ``decode_wav_media``; a clip shorter than 2 samples yields zeroed
+    spectral features rather than NaN.
+
+    Scale: per-row CPU ∝ clip length; zero shuffle. At 100 TB the only
+    knob that matters is scan split granularity (pair with ``fan_out``
+    on single-row-group inputs, same as the decode entries)."""
+    decode = wav_decode
+
+    def feature_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        rows: dict[str, list] = None  # set per batch
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "sample_rate", "n_samples", "rms",
+                "zero_crossing_rate", "spectral_centroid_hz",
+                "spectral_bandwidth_hz", "peak_freq_hz",
+            )}
+            for doc_id, mime, payload in zip(pdf["doc_id"], pdf["mime"], pdf["payload"]):
+                if mime != "audio/wav":
+                    continue
+                rate, _c, samples = decode(bytes(payload))
+                x = samples.astype(_np.float64).mean(axis=1)  # mono mix
+                n = x.size
+                rms = float(_np.sqrt(_np.mean(x**2))) if n else 0.0
+                if n >= 2:
+                    flips = int(_np.count_nonzero(_np.signbit(x[1:]) != _np.signbit(x[:-1])))
+                    zcr = flips / ((n - 1) / rate)  # crossings per second
+                    mag = _np.abs(_np.fft.rfft(x))
+                    freqs = _np.fft.rfftfreq(n, d=1.0 / rate)
+                    tot = mag.sum()
+                    if tot > 0:
+                        centroid = float((freqs * mag).sum() / tot)
+                        bandwidth = float(
+                            _np.sqrt(((freqs - centroid) ** 2 * mag).sum() / tot)
+                        )
+                        peak = float(freqs[int(mag.argmax())])
+                    else:
+                        centroid = bandwidth = peak = 0.0
+                else:
+                    zcr = centroid = bandwidth = peak = 0.0
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["n_samples"].append(n)
+                rows["rms"].append(rms)
+                rows["zero_crossing_rate"].append(zcr)
+                rows["spectral_centroid_hz"].append(centroid)
+                rows["spectral_bandwidth_hz"].append(bandwidth)
+                rows["peak_freq_hz"].append(peak)
+            yield _pd.DataFrame(rows)
+
+    return media.mapInPandas(feature_batches, schema=AUDIO_FEATURES_SCHEMA)

@@ -224,6 +224,61 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction (the non-stub feature-extract stage):
+    each document becomes a deterministic pure-tone WAV clip (frequency
+    keyed by doc_id, PCM16 via the real encoder), and
+    ``operators.multimodal.audio_features_media`` extracts RMS,
+    zero-crossing rate, spectral centroid/bandwidth and peak frequency
+    from the decoded signal (one numpy rfft per clip). For a pure tone
+    these features are analytically known — peak ≈ tone frequency,
+    ZCR ≈ 2·f — which is exactly what tests/test_operators.py pins.
+    Digest: per peak-frequency band, clip count + mean centroid + mean
+    ZCR. Rows-only (binary payloads + FFT are not SQL-expressible).
+    Both stages Arrow-batched map-only mapInPandas."""
+    from ..operators.multimodal import audio_features_media, wav_encode
+
+    enc = wav_encode
+    # fan out: Python codec + FFT dominate per-row cost; single-row-group
+    # scans otherwise pin the pipeline to 1-2 cores (see decode entries)
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def encode_batches(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        rate = 16000
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                f = 200.0 + (int(doc_id) % 20) * 100.0  # 200..2100 Hz
+                t = _np.arange(1024) / rate
+                sig = (_np.sin(2 * _np.pi * f * t) * 12000).astype(_np.int16)
+                payloads.append(enc(sig, sample_rate=rate))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": ["audio/wav"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(
+        encode_batches, schema="doc_id long, mime string, payload binary"
+    )
+    feats = audio_features_media(media)
+    band = (F.floor(F.col("peak_freq_hz") / 500) * 500).cast("int").alias("peak_band_hz")
+    return (
+        feats.groupBy(band)
+        .agg(
+            F.count(F.lit(1)).alias("n_clips"),
+            F.round(F.avg("spectral_centroid_hz"), 1).alias("avg_centroid_hz"),
+            F.round(F.avg("zero_crossing_rate"), 1).alias("avg_zcr"),
+        )
+        .orderBy("peak_band_hz")
+    )
+
+
 def multimodal_sniff_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header-only media triage (``operators.multimodal.sniff_media``):
     each document becomes one of five payload kinds — REAL PNG (full
@@ -304,6 +359,11 @@ QUERIES: dict[str, QueryDef] = {
         multimodal_decode_wav,
         None,
         "multimodal: REAL WAV encode->decode round-trip (RIFF/PCM16 parser, signal stats)",
+    ),
+    "multimodal_audio_features": QueryDef(
+        multimodal_audio_features,
+        None,
+        "multimodal: REAL audio feature extraction (rfft spectral centroid/bandwidth, ZCR, peak)",
     ),
     "multimodal_decode_png": QueryDef(
         multimodal_decode_png,

@@ -425,6 +425,43 @@ def test_wav_fixtures_through_binary_files_source(spark, tmp_path):
         assert abs(r.rms - rms) < 1e-9, i
 
 
+def test_audio_features_match_dsp_ground_truth(spark):
+    """audio_features_media on pure tones: for a sine at f Hz (whole
+    number of periods in the window so there's no spectral leakage),
+    the peak frequency must be EXACTLY f's rfft bin, the spectral
+    centroid within a bin of f, the zero-crossing rate ≈ 2f, and RMS
+    = amplitude/√2. Also: non-WAV rows dropped, degenerate 1-sample
+    clip yields zeroed spectral features (not NaN)."""
+    import numpy as np
+
+    from mlb_win_predictor_spark.operators.multimodal import (
+        audio_features_media,
+        wav_encode,
+    )
+
+    rate, n = 16000, 1600  # bin width = 10 Hz
+    cases = {1: 200.0, 2: 1000.0, 3: 3000.0}  # all multiples of 10 Hz
+    rows = []
+    for doc_id, f in cases.items():
+        t = np.arange(n) / rate
+        sig = (np.sin(2 * np.pi * f * t) * 16000).astype(np.int16)
+        rows.append((doc_id, "audio/wav", bytearray(wav_encode(sig, sample_rate=rate))))
+    rows.append((4, "image/png", bytearray(b"notaudio")))  # dropped
+    rows.append((5, "audio/wav", bytearray(wav_encode(np.array([7], dtype=np.int16), sample_rate=rate))))
+    media = spark.createDataFrame(rows, "doc_id long, mime string, payload binary")
+    out = {r.doc_id: r for r in audio_features_media(media).collect()}
+    assert set(out) == {1, 2, 3, 5}, "non-WAV row must be dropped"
+    for doc_id, f in cases.items():
+        r = out[doc_id]
+        assert r.peak_freq_hz == f, (doc_id, r.peak_freq_hz)
+        assert abs(r.spectral_centroid_hz - f) < 10.0, (doc_id, r.spectral_centroid_hz)
+        assert abs(r.zero_crossing_rate - 2 * f) < 25.0, (doc_id, r.zero_crossing_rate)
+        assert abs(r.rms - 16000 / np.sqrt(2)) < 60.0, (doc_id, r.rms)
+    deg = out[5]
+    assert (deg.zero_crossing_rate, deg.spectral_centroid_hz, deg.peak_freq_hz) == (0.0, 0.0, 0.0)
+    assert deg.n_samples == 1
+
+
 def test_sniff_header_formats_and_totality():
     """Header sniffing: real PNG/WAV bytes and spec-crafted JPEG
     (baseline AND progressive, APP segments before SOF) / GIF headers
