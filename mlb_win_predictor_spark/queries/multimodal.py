@@ -346,6 +346,170 @@ def multimodal_sniff_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_frame_sample_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL 1:N frame sampling (non-stub upgrade of the frame_sample
+    stub): each document becomes a deterministic ANIMATED GIF — 2-6
+    solid-color frames keyed by doc_id, encoded by the full GIF89a
+    encoder (palette build, variable-width LZW, GCE/descriptor blocks) —
+    and ``operators.multimodal.sample_gif_frames`` decodes (LZW inflate,
+    palette lookup, disposal compositing) and emits every 2nd composited
+    frame as its own row. Digest: per frame-count, clips + sampled rows
+    + mean decoded red channel (analytically known for solid frames —
+    pinned exactly in tests/test_operators.py). Rows-only (binary
+    container round-trip has no SQL dual); both stages Arrow-batched
+    map-only mapInPandas."""
+    from ..operators.multimodal import gif_encode, sample_gif_frames
+
+    enc = gif_encode
+    # Python codec dominates per-row cost; single-row-group scans would
+    # pin the pipeline to 1-2 cores (see the PNG/WAV decode entries)
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id"))
+
+    def encode_batches(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                i = int(doc_id)
+                n_frames = 2 + i % 5
+                w, h = 4 + i % 9, 3 + i % 7
+                frames = [
+                    _np.full((h, w, 3), [(i + 37 * k) % 256, (2 * i + k) % 256, (3 * i + 11 * k) % 256], _np.uint8)
+                    for k in range(n_frames)
+                ]
+                payloads.append(enc(frames, delay_cs=4 + i % 3))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": ["image/gif"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(
+        encode_batches, schema="doc_id long, mime string, payload binary"
+    )
+    frames = sample_gif_frames(media, every_n=2, max_frames=8)
+    return (
+        frames.groupBy("n_frames")
+        .agg(
+            F.countDistinct("doc_id").alias("n_clips"),
+            F.count(F.lit(1)).alias("n_sampled_frames"),
+            F.round(F.avg("mean_r"), 3).alias("avg_mean_r"),
+            F.round(F.avg("delay_cs"), 3).alias("avg_delay_cs"),
+        )
+        .orderBy("n_frames")
+    )
+
+
+def multimodal_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize (non-stub upgrade of the resize stub): documents
+    become real PNGs (same deterministic generator as
+    ``multimodal_decode_png``), are decoded + nearest-neighbor resampled
+    to 16x12 + RE-ENCODED as real PNGs by
+    ``operators.multimodal.resize_png_media``, and the digest re-decodes
+    the new payloads with the full parser — proving the resized bytes
+    are themselves valid PNGs of exactly the target dims. Rows-only;
+    three Arrow-batched map-only stages, zero shuffle until the final
+    digest agg."""
+    from ..operators.multimodal import decode_png_media, png_encode, resize_png_media
+
+    enc = png_encode
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def encode_batches(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = _np.frombuffer((text or " ").encode("utf-8"), dtype=_np.uint8)
+                w = 4 + int(doc_id) % 13
+                h = 4 + int(doc_id) % 11
+                c = 1 if int(doc_id) % 2 else 3
+                need = w * h * c
+                px = _np.tile(b, need // max(b.size, 1) + 1)[:need].reshape(h, w, c)
+                payloads.append(enc(px))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": ["image/png"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(
+        encode_batches, schema="doc_id long, mime string, payload binary"
+    )
+    resized = resize_png_media(media, width=16, height=12)
+    redecoded = decode_png_media(resized.select("doc_id", "mime", "payload"))
+    return redecoded.groupBy("width", "height", "n_channels").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.round(F.avg("mean_px"), 3).alias("avg_mean_px"),
+        F.round(F.avg("std_px"), 3).alias("avg_std_px"),
+    )
+
+
+def multimodal_image_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image feature extraction (non-stub upgrade of the embed
+    stub): real PNGs → ``operators.multimodal.image_features_media``
+    (decode, BT.601 luma, 8x8 patch resample, mean-centered
+    unit-normalized 64-dim embedding) — the content signature that feeds
+    ``operators.similarity`` unchanged. Digest consumes the embedding
+    with NATIVE array expressions (L2 norm via F.aggregate — must be 1.0
+    for any non-constant image) per luma decile. Rows-only; map-only
+    until the digest agg."""
+    from ..operators.multimodal import image_features_media, png_encode
+
+    enc = png_encode
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def encode_batches(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = _np.frombuffer((text or " ").encode("utf-8"), dtype=_np.uint8)
+                w = 6 + int(doc_id) % 17
+                h = 5 + int(doc_id) % 13
+                need = w * h * 3
+                px = _np.tile(b, need // max(b.size, 1) + 1)[:need].reshape(h, w, 3)
+                payloads.append(enc(px))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": ["image/png"] * len(payloads),
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(
+        encode_batches, schema="doc_id long, mime string, payload binary"
+    )
+    emb = image_features_media(media, grid=8)
+    l2 = F.sqrt(
+        F.aggregate(
+            "embedding", F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
+        )
+    )
+    decile = (F.floor(F.col("mean_luma") / 32) * 32).cast("int").alias("luma_band")
+    return (
+        emb.select(decile, l2.alias("l2"), "std_luma")
+        .groupBy("luma_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.round(F.avg("l2"), 6).alias("avg_l2"),
+            F.round(F.avg("std_luma"), 3).alias("avg_std_luma"),
+        )
+        .orderBy("luma_band")
+    )
+
+
 QUERIES: dict[str, QueryDef] = {
     "multimodal_metadata_stats": QueryDef(
         multimodal_metadata_stats, MULTIMODAL_METADATA_SQL, "multimodal: metadata agg"
@@ -369,6 +533,21 @@ QUERIES: dict[str, QueryDef] = {
         multimodal_decode_png,
         None,
         "multimodal: REAL PNG encode->decode round-trip (pure-Python codec, CRC+inflate+unfilter)",
+    ),
+    "multimodal_frame_sample_gif": QueryDef(
+        multimodal_frame_sample_gif,
+        None,
+        "multimodal: REAL animated-GIF 1:N frame sampling (LZW codec, disposal compositing)",
+    ),
+    "multimodal_resize_png": QueryDef(
+        multimodal_resize_png,
+        None,
+        "multimodal: REAL image resize (decode -> nearest-neighbor -> re-encode, re-decoded proof)",
+    ),
+    "multimodal_image_embed": QueryDef(
+        multimodal_image_embed,
+        None,
+        "multimodal: REAL image feature extraction (luma patch embedding, unit-norm pinned)",
     ),
     "multimodal_decode_stub": QueryDef(
         multimodal_decode_stub, None, "multimodal: mapInPandas decode plumbing (stub codec)"
