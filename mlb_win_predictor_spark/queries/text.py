@@ -2701,9 +2701,103 @@ GROUP BY 1, 2
 """
 
 
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge training (``operators.bpe.bpe_train``): the
+    subword-vocabulary learner every LLM tokenizer ships, trained on the
+    documents corpus. ONE corpus-grain pass builds the weighted word
+    vocabulary (alpha tokens of the shared ``BPE_PATTERN`` pre-tokenizer,
+    the same split ``token_count_bpe`` counts with); 12 merge iterations
+    then run entirely at the distinct-word grain — pair explode, weighted
+    pair count, argmax, native-fold apply — with one bounded argmax row
+    to the driver per iteration. Deterministic (lexicographic tie-break),
+    so the merge table is a pure function of the corpus.
+
+    Output: the ordered merge table (rank, left, right, merged,
+    weighted pair count) — the trained artifact. Rows-only entry
+    (iterative argmax training has no SQL dual); exact-match parity
+    against a pure-Python Sennrich-style reference implementation is
+    pinned in tests/test_text.py."""
+    from ..operators.bpe import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+"), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    merges, _ = bpe_train(words, n_merges=12)
+    return spark.createDataFrame(
+        [(i + 1, l, r, m, c) for i, (l, r, m, c) in enumerate(merges)],
+        "merge_rank int, left string, right string, merged string, pair_count long",
+    )
+
+
+def bpe_segmentation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE compression curve: train 12 merges on the corpus vocabulary and
+    report, for checkpoints along the merge sequence (0, 4, 8, 12 merges
+    applied), the corpus-weighted fertility (symbols per word) and the
+    emergent subword vocabulary size — the curve a tokenizer team reads
+    to pick a vocab budget. Same vocabulary-grain training as
+    ``bpe_train_merges``; the stats are native aggregations over the
+    segmented vocab at each checkpoint. Rows-only (iterative)."""
+    from ..operators.bpe import bpe_train, to_symbols
+
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[a-z]+"), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # train ONCE (12 argmax searches), then replay merge PREFIXES for the
+    # intermediate checkpoints — applying a known merge is one narrow
+    # vocab pass, an order cheaper than re-searching
+    from ..operators.bpe import _apply_merge
+
+    merges, _ = bpe_train(words, n_merges=12)
+    checkpoints = [(0, to_symbols(words))]
+    seg = checkpoints[0][1]
+    for i, (l, r, _m, _c) in enumerate(merges, start=1):
+        seg = _apply_merge(seg, l, r).localCheckpoint(eager=True)
+        if i in (4, 8, 12):
+            checkpoints.append((i, seg))
+    rows = []
+    for k, seg in checkpoints:
+        fert, total = seg.agg(
+            (
+                F.sum(F.col("n") * F.size("syms")) / F.sum("n").cast("double")
+            ).alias("fertility"),
+            F.sum("n").alias("total"),
+        ).first()
+        vocab_size = seg.select(F.explode("syms").alias("sym")).distinct().count()
+        rows.append((k, round(float(fert), 6), int(vocab_size), int(total)))
+    return spark.createDataFrame(
+        rows,
+        "n_merges_applied int, weighted_fertility double, "
+        "subword_vocab_size long, total_word_occurrences long",
+    )
+
+
 QUERIES: dict[str, QueryDef] = {
     "token_count": QueryDef(token_count, TOKEN_COUNT_SQL, "text: token counting"),
     "token_count_bpe": QueryDef(token_count_bpe, TOKEN_BPE_SQL, "text: BPE-ish tokenizer"),
+    "bpe_train_merges": QueryDef(
+        bpe_train_merges,
+        None,
+        "text: distributed BPE merge training (vocab-grain, deterministic argmax)",
+    ),
+    "bpe_segmentation_stats": QueryDef(
+        bpe_segmentation_stats,
+        None,
+        "text: BPE compression curve (fertility + subword vocab vs merges applied)",
+    ),
     "text_quality_score": QueryDef(text_quality_score, TEXT_QUALITY_SQL, "text: quality"),
     "lang_id_heuristic": QueryDef(lang_id_heuristic, LANG_ID_SQL, "text: language id"),
     "dedup_exact": QueryDef(dedup_exact, DEDUP_EXACT_SQL, "dedup: exact"),

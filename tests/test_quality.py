@@ -392,3 +392,86 @@ def test_llm_pipeline_neardup_monotone_on_testdata(spark):
             r.n_input >= r.n_quality >= r.n_dedup >= r.n_neardup >= r.n_clean >= r.n_final
         ), r
         assert r.tokens_final <= LLM_PIPE_BUDGET, r
+
+
+def _bpe_reference(word_counts, n_merges):
+    """Pure-Python Sennrich-style BPE trainer — the independent oracle for
+    operators.bpe.bpe_train. Same contract: chars + '</w>' initial
+    segmentation, weighted adjacent-pair counts, argmax with
+    count-desc / (left, right)-lexicographic tie-break, greedy
+    left-to-right merge application."""
+    vocab = {tuple(w) + ("</w>",): n for w, n in word_counts.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for syms, n in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] = pairs.get((a, b), 0) + n
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r, l + r, cnt))
+        new_vocab = {}
+        for syms, n in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + n
+        vocab = new_vocab
+    return merges, vocab
+
+
+def test_bpe_train_matches_pure_python_reference(spark):
+    """The distributed trainer must reproduce the reference BPE merge
+    sequence EXACTLY — merges, order, and weighted pair counts — on a
+    vocabulary with deliberate count ties (exercising the lexicographic
+    tie-break) and overlapping-pair words (exercising greedy
+    left-to-right application: 'aaaa' + (a,a) segments as [aa][aa], so
+    the (a,a) count of 'aaaa' is 3 before merging but [aa,aa] after)."""
+    from mlb_win_predictor_spark.operators.bpe import bpe_train
+
+    counts = {
+        "lower": 5, "lowest": 3, "newer": 6, "wider": 2,
+        "aaaa": 4, "aab": 4, "zz": 7, "zzz": 1,
+    }
+    ref_merges, ref_vocab = _bpe_reference(counts, 8)
+    words = spark.createDataFrame(list(counts.items()), "word string, n long")
+    got_merges, seg = bpe_train(words, n_merges=8)
+    assert got_merges == ref_merges, (got_merges, ref_merges)
+    got_vocab = {
+        tuple(r.syms): r.n for r in seg.select("syms", "n").collect()
+    }
+    assert got_vocab == ref_vocab
+
+
+def test_bpe_greedy_fold_and_stop_conditions(spark):
+    """_apply_merge is greedy left-to-right ('aaa' + (a,a) → [aa, a], not
+    [a, aa]); training stops early once every word is a single symbol;
+    n_merges < 1 is rejected."""
+    import pytest as _pytest
+
+    from mlb_win_predictor_spark.operators.bpe import (
+        _apply_merge,
+        bpe_train,
+        to_symbols,
+    )
+
+    df = to_symbols(
+        spark.createDataFrame([("aaa", 1)], "word string, n long")
+    )
+    out = _apply_merge(df, "a", "a").select("syms").first().syms
+    assert out == ["aa", "a", "</w>"]
+
+    words = spark.createDataFrame([("ab", 2)], "word string, n long")
+    merges, seg = bpe_train(words, n_merges=50)  # far more than needed
+    # 'ab</w>' needs exactly 2 merges to collapse to one symbol
+    assert [m[2] for m in merges] == ["ab", "ab</w>"]
+    assert seg.first().syms == ["ab</w>"]
+
+    with _pytest.raises(ValueError, match="n_merges"):
+        bpe_train(words, n_merges=0)
