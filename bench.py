@@ -99,6 +99,8 @@ HEADLINE = [
     "llm_dataset_pipeline_neardup",
     "versioned_zonemap_lookup",
     "multimodal_decode_png",
+    "multimodal_frame_sample_gif",
+    "bpe_train_merges",
 ]
 
 

@@ -2716,7 +2716,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted pair count) — the trained artifact. Rows-only entry
     (iterative argmax training has no SQL dual); exact-match parity
     against a pure-Python Sennrich-style reference implementation is
-    pinned in tests/test_text.py."""
+    pinned in tests/test_quality.py."""
     from ..operators.bpe import bpe_train
 
     d = load_table(spark, sf_dir, "documents")
