@@ -11,6 +11,8 @@ data (modeling/eda.ipynb cell 7/18 outputs); null patterns reproduce the
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 
 import numpy as np
 import pandas as pd
@@ -178,6 +180,26 @@ def make_game_results(rng: np.random.Generator, games: pd.DataFrame, teams: pd.D
     )
     dups = res.head(5)
     return pd.concat([res, extra, dups], ignore_index=True)
+
+
+def fixtures_dir(base: str | None = None) -> str:
+    """The fixture tables as a CACHED on-disk dataset, shared across
+    processes: the content is a pure function of seed 42, so any process
+    may build it and every later caller reuses the same directory.
+    Build-then-atomic-rename (with a _SUCCESS marker) makes a racing
+    second builder harmless — the loser's temp dir is discarded."""
+    d = base or os.path.join(tempfile.gettempdir(), "mlb_wp_fixtures_seed42")
+    if os.path.exists(os.path.join(d, "_SUCCESS")):
+        return d
+    tmp = f"{d}.build-{os.getpid()}"
+    write_fixtures(tmp)
+    with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:
+        fh.write("seed=42")
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return d
 
 
 def write_fixtures(out_dir: str) -> dict[str, str]:

@@ -171,6 +171,76 @@ def prepare_games(
     return out
 
 
+def prediction_features(games: DataFrame) -> DataFrame:
+    """E2 feature build for INFERENCE — the label-free, key-preserving
+    twin of ``build_features`` (same drop → dropna → guarded-ratio →
+    dropna funnel, same 11 differential features), used by the 2024+
+    production phase that scores *upcoming* games (README.md:24): those
+    rows have no ``winning_team`` yet, so the funnel must not require
+    one, and the keys (game_id, team ids) must survive so predictions
+    can MERGE back. For rows that DO carry a label the two funnels keep
+    exactly the same set (pytest-pinned funnel parity)."""
+    keys = [c for c in ("game_id", "home_team_id", "away_team_id") if c in games.columns]
+    df = games.drop(*[c for c in DROP_COLS if c in games.columns])
+    if "winning_team" in df.columns:
+        df = df.drop("winning_team")
+    df = df.na.drop("any")
+    for side in ("home", "away"):
+        df = df.withColumn(
+            f"{side}_pitcher_k_bb_ratio",
+            S.guarded_div(F.col(f"{side}_pitcher_k_nine"), F.col(f"{side}_pitcher_bb_nine")),
+        )
+    df = df.na.drop("any")
+    diffs = [
+        (F.col(f"away_pitcher_{c}") - F.col(f"home_pitcher_{c}")).alias(f"pitcher_{c}_comp")
+        for c in DIFF_FEATURES
+    ]
+    return df.select(*keys, *diffs)
+
+
+def score_games(games: DataFrame, model) -> DataFrame:
+    """E1 2024+ production phase — score the slate with the selected model
+    and MERGE ``predicted_winner`` back (reference README.md:24: "Use the
+    aforementioned models to try to predict outcomes… show the results
+    live"; the ``predicted_winner`` column of modeling/eda.ipynb cell 7).
+
+    ``model`` is a fitted PipelineModel or a saved-model directory (the
+    output of ``ml.train.save_best_models``) — the load-and-serve half of
+    the train/save/reload loop. Scoring is one broadcast-model map pass
+    over the rows that clear the feature funnel; prediction==1.0 means
+    home win (``functions.scalars.home_win_label``), so the published
+    winner is home_team_id, else away_team_id. MERGE semantics match
+    ``update_games``: matched rows take the fresh prediction, unmatched
+    rows (games the funnel rejected — unknown pitcher, missing stats)
+    keep whatever prediction they had; nothing is dropped or appended.
+
+    Scale shape: the fitted model is a task-closure broadcast; the only
+    wide dependency is the merge join on game_id (and at 100 TB both
+    sides are the same date-partitioned fact, so it co-partitions)."""
+    from pyspark.ml import PipelineModel
+
+    if isinstance(model, str):
+        model = PipelineModel.load(model)
+    feats = prediction_features(games)
+    pred = model.transform(feats)
+    ptype = dict(games.dtypes).get("predicted_winner", "double")
+    winner = (
+        F.when(F.col("prediction") == 1.0, F.col("home_team_id"))
+        .otherwise(F.col("away_team_id"))
+        .cast(ptype)
+    )
+    preds = pred.select("game_id", winner.alias("_fresh_prediction"))
+    merged = games.join(preds, "game_id", "left")
+    old = (
+        F.col("predicted_winner")
+        if "predicted_winner" in games.columns
+        else F.lit(None).cast(ptype)
+    )
+    return merged.withColumn(
+        "predicted_winner", F.coalesce(F.col("_fresh_prediction"), old)
+    ).drop("_fresh_prediction")
+
+
 def build_features(games: DataFrame) -> DataFrame:
     """E2 — the eda.ipynb feature build as one lazy chain
     (modeling/eda.ipynb cells 12→31):

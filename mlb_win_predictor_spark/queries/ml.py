@@ -19,7 +19,6 @@ from ..operators.dedup import (
     components_from_pairs,
     keep_canonical_per_component,
     minhash_banded_pairs,
-    minhash_neardup_pairs,
     simhash_buckets,
 )
 from ..functions.scalars import stable_round
@@ -135,6 +134,52 @@ def ml_knn_k_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ml_score_games_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1 2024+ production loop as ONE catalog entry (reference
+    README.md:24: "Use the aforementioned models to try to predict
+    outcomes… show the results live"): train on decided games → SAVE the
+    PipelineModel → RELOAD it from disk → score the full slate through
+    the label-free inference funnel → MERGE ``predicted_winner`` back
+    (pipeline.games.score_games). Runs over the deterministic seed-42
+    games fixture — the games tables are the reference's private
+    Postgres, not part of the TPC-H testdata, so ``sf_dir`` is unused by
+    design. Digest: pick distribution (home/away/none) over the merged
+    slate. Rows-only (iterative L-BFGS fit is not SQL-expressible); the
+    E2E invariants (every pick ∈ {home_team_id, away_team_id},
+    determinism, funnel parity vs build_features) are pytest-pinned in
+    tests/test_games_pipeline.py."""
+    import os
+    import tempfile
+
+    from pyspark.ml.classification import LogisticRegression
+
+    from ..fixtures import fixtures_dir
+    from ..ml.train import make_pipeline
+    from ..pipeline.games import FEATURE_COLS, LABEL_COL, build_features, score_games
+
+    fdir = fixtures_dir()
+    games = spark.read.parquet(os.path.join(fdir, "games.parquet"))
+    decided = games.filter(F.col("winning_team").isNotNull())
+    feats = (
+        build_features(decided)
+        .withColumn("label", F.col(LABEL_COL).cast("double"))
+        .drop(LABEL_COL)
+    )
+    pipe = make_pipeline(
+        FEATURE_COLS, LogisticRegression(featuresCol="features", labelCol="label")
+    )
+    fitted = pipe.fit(feats)
+    mdir = tempfile.mkdtemp(prefix="mlb_score_model_")
+    fitted.write().overwrite().save(mdir)
+    scored = score_games(games, mdir)  # str -> PipelineModel.load: the serve path
+    pick = (
+        F.when(F.col("predicted_winner").isNull(), F.lit("none"))
+        .when(F.col("predicted_winner") == F.col("home_team_id"), F.lit("home"))
+        .otherwise(F.lit("away"))
+    )
+    return scored.groupBy(pick.alias("pick")).agg(F.count(F.lit(1)).alias("n_games"))
+
+
 def quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star text analysis — fasttext-style hashed-bag-of-words
     quality classifier (GPT-3 appendix A / CCNet / DataComp corpus
@@ -166,13 +211,26 @@ def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-star MinHash LSH near-dup: candidate pair count + mean
-    Jaccard distance per band-collision outcome."""
+    """North-star MinHash LSH near-dup: candidate pair count + min
+    Jaccard distance over the collision set.
+
+    r7: re-routed through the NATIVE banded operator
+    (operators.dedup.minhash_banded_pairs) after the r6 full-catalog
+    scaling sweep measured the MLlib ``approxSimilarityJoin`` path at
+    7.08× wall for 10× data — MLlib explodes one row per hash table per
+    doc and re-fits a CountVectorizer vocabulary (an extra corpus pass),
+    while the banded path is one map-only signature projection + a
+    collision-bounded band self-join. Same semantics: pairs at Jaccard
+    distance ≤ 0.9 (jaccard ≥ 0.1), distances EXACT because every banded
+    candidate passes the exact-Jaccard re-check. The MLlib operator
+    (``minhash_neardup_pairs``) is retained as a recall cross-check in
+    tests/test_operators.py (planted-near-dup recall + agreement with
+    the banded collision set)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_neardup_pairs(docs, jaccard_dist_threshold=0.9)
+    pairs = minhash_banded_pairs(docs, jaccard_threshold=0.1)
     return pairs.agg(
         F.count(F.lit(1)).alias("n_candidate_pairs"),
-        F.min("jaccard_dist").alias("min_dist"),
+        F.min(F.lit(1.0) - F.col("jaccard")).alias("min_dist"),
     )
 
 
@@ -594,6 +652,11 @@ QUERIES: dict[str, QueryDef] = {
         per_group_linear_models, None, "per-group numpy linear fits"
     ),
     "ml_logreg_leaderboard": QueryDef(ml_logreg_leaderboard, None, "M1-M3/M8 LR pipeline"),
+    "ml_score_games_merge": QueryDef(
+        ml_score_games_merge,
+        None,
+        "E1 2024+ inference: train→save→reload→score→MERGE predicted_winner",
+    ),
     "ml_nearest_centroid": QueryDef(ml_nearest_centroid, None, "M5 NearestCentroid"),
     "ml_knn_lsh_vote": QueryDef(ml_knn_lsh_vote, None, "M6 LSH kNN vote"),
     "ml_knn_k_leaderboard": QueryDef(

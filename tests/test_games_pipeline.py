@@ -11,6 +11,8 @@ from mlb_win_predictor_spark.fixtures import write_fixtures
 from mlb_win_predictor_spark.pipeline import (
     asof_pitcher_stats,
     build_features,
+    prediction_features,
+    score_games,
     update_games,
 )
 from mlb_win_predictor_spark.queries.base import QueryDef  # noqa: F401  (import check)
@@ -151,6 +153,81 @@ def test_asof_pitcher_stats_duckdb_parity(spark, fixture_dir, fcon):
     FROM c
     """
     compare(out, fcon, sql)
+
+
+def test_prediction_features_funnel_parity(spark, fixture_dir):
+    """The inference funnel keeps EXACTLY the labeled funnel's rows when
+    restricted to decided games (same drop/dropna/ratio gates), and keeps
+    strictly more rows over the full slate (label no longer required)."""
+    from pyspark.sql import functions as F
+
+    games = load(spark, fixture_dir, "games")
+    decided = games.filter(F.col("winning_team").isNotNull())
+    assert prediction_features(decided).count() == build_features(decided).count()
+    assert prediction_features(games).count() >= build_features(games).count()
+    cols = prediction_features(games).columns
+    assert cols[:3] == ["game_id", "home_team_id", "away_team_id"]
+    assert cols[3:] == [f"pitcher_{c}_comp" for c in DIFFS]
+
+
+def test_score_games_e2e_train_save_reload_merge(spark, fixture_dir, tmp_path):
+    """The reference's 2024+ production loop (README.md:24) end-to-end:
+    train on decided games → save → RELOAD from disk → score the slate →
+    MERGE predicted_winner back. Invariants: schema/row preservation,
+    every scored pick ∈ {home_team_id, away_team_id}, funnel-rejected
+    rows keep their old prediction, and the whole loop is deterministic."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.sql import functions as F
+
+    from mlb_win_predictor_spark.ml.train import make_pipeline
+    from mlb_win_predictor_spark.pipeline.games import FEATURE_COLS, LABEL_COL
+
+    games = load(spark, fixture_dir, "games")
+    decided = games.filter(F.col("winning_team").isNotNull())
+    feats = (
+        build_features(decided)
+        .withColumn("label", F.col(LABEL_COL).cast("double"))
+        .drop(LABEL_COL)
+    )
+    pipe = make_pipeline(
+        FEATURE_COLS, LogisticRegression(featuresCol="features", labelCol="label")
+    )
+    mdir = str(tmp_path / "model")
+    pipe.fit(feats).write().overwrite().save(mdir)
+
+    scored = score_games(games, mdir)
+    # MERGE semantics: nothing dropped/appended, schema unchanged
+    assert scored.count() == games.count()
+    assert scored.columns == games.columns
+    # every fresh prediction names one of the two teams playing
+    fresh_ids = prediction_features(games).select("game_id")
+    fresh = scored.join(fresh_ids, "game_id", "left_semi")
+    assert fresh.count() == fresh_ids.count()
+    bad = fresh.filter(
+        F.col("predicted_winner").isNull()
+        | (
+            (F.col("predicted_winner") != F.col("home_team_id"))
+            & (F.col("predicted_winner") != F.col("away_team_id"))
+        )
+    ).count()
+    assert bad == 0
+    # funnel-rejected rows keep their prior prediction verbatim
+    stale = scored.join(fresh_ids, "game_id", "left_anti")
+    orig = games.join(fresh_ids, "game_id", "left_anti")
+    assert (
+        stale.select("game_id", "predicted_winner")
+        .exceptAll(orig.select("game_id", "predicted_winner"))
+        .count()
+        == 0
+    )
+    # deterministic: a second score pass (same saved model) is identical
+    again = score_games(games, mdir)
+    assert (
+        scored.select("game_id", "predicted_winner")
+        .exceptAll(again.select("game_id", "predicted_winner"))
+        .count()
+        == 0
+    )
 
 
 def test_update_games_merge_semantics(spark, fixture_dir):
