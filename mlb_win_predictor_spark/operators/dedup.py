@@ -322,22 +322,77 @@ def containment_banded_pairs(
     )
 
 
+def _components_local(spark, edges, id_type) -> DataFrame:
+    """Driver-side union-find over a collected edge list — exact min
+    label per component (the fixpoint the distributed propagation
+    converges to). Bounded by ``driver_edge_cap`` rows at the call
+    site."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in edges:
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for v in parent:
+        r = find(v)
+        if r not in comp_min or v < comp_min[r]:
+            comp_min[r] = v
+    rows = [(v, comp_min[find(v)]) for v in parent]
+    schema = StructType(
+        [StructField("node", id_type), StructField("component", id_type)]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
 def components_from_pairs(
     pairs: DataFrame,
     a_col: str = "id_a",
     b_col: str = "id_b",
     max_iter: int = 10,
+    driver_edge_cap: int = 200_000,
 ) -> DataFrame:
     """Connected components over near-dup candidate pairs (the grouping
-    step of SURVEY §2.10 dedup): iterative min-label propagation.
+    step of SURVEY §2.10 dedup): iterative min-label propagation, with a
+    driver-side union-find fast path for bounded edge sets.
 
-    Each node starts labeled with itself; every iteration each node takes
-    the min label among itself and its neighbors; converges in
-    O(diameter) rounds (near-dup clusters are tiny, so few iterations).
-    Returns (node, component). Each iteration is two shuffles (join +
-    groupBy) over the EDGE set only — at corpus scale edges ≈ near-dup
-    density, far smaller than the corpus.
+    SMALL-EDGE-SET FAST PATH (r7): near-dup pair sets at the tested SFs
+    are a few hundred rows, but each propagation iteration costs a
+    join + groupBy + convergence-count — pure scheduler overhead on tiny
+    data (measured: 2.5s for a 401-node graph, ~0.2s via union-find).
+    When the edge list fits ``driver_edge_cap`` (probed with a
+    limit-collect, so the pair plan executes ONCE), the exact min-label
+    fixpoint is computed locally — the same bounded-driver discipline as
+    SemDeDup's sample-trained centroids and BPE's small-vocab path. Over
+    the cap (the 100 TB regime, where near-dup edges are corpus-scale)
+    the distributed loop below runs unchanged.
+
+    Distributed path: each node starts labeled with itself; every
+    iteration each node takes the min label among itself and its
+    neighbors; converges in O(diameter) rounds (near-dup clusters are
+    tiny, so few iterations). Returns (node, component). Each iteration
+    is two shuffles (join + groupBy) over the EDGE set only — at corpus
+    scale edges ≈ near-dup density, far smaller than the corpus.
     """
+    if driver_edge_cap:
+        sample = pairs.select(a_col, b_col).limit(driver_edge_cap + 1).collect()
+        if len(sample) <= driver_edge_cap:
+            return _components_local(
+                pairs.sparkSession, sample, pairs.schema[a_col].dataType
+            )
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))

@@ -885,6 +885,10 @@ def _gif_codec():
         if not fr or any(f.ndim != 3 or f.shape[2] != 3 for f in fr):
             raise ValueError("frames must be non-empty (h, w, 3) uint8 arrays")
         h, w = fr[0].shape[:2]
+        if h == 0 or w == 0:
+            # a zero-area frame would reach _lzw_encode's `next(it)` and
+            # surface as a bare StopIteration instead of a codec error
+            raise ValueError("frames must have non-zero height and width")
         if any(f.shape[:2] != (h, w) for f in fr):
             raise ValueError("all frames must share one canvas size")
         flat = np.concatenate([f.reshape(-1, 3) for f in fr])
@@ -951,6 +955,12 @@ def _gif_codec():
                 pos += 1
                 if label == 0xF9:  # graphic control
                     n = b[pos]
+                    # the GCE data block is fixed-size 4 per GIF89a §23;
+                    # validate before the fixed-offset reads so a
+                    # truncated/non-standard block raises the codec's
+                    # ValueError discipline, not a raw IndexError
+                    if n != 4 or pos + 1 + n >= len(b):
+                        raise ValueError("truncated or invalid GCE block")
                     flags = b[pos + 1]
                     (delay,) = struct.unpack("<H", b[pos + 2 : pos + 4])
                     transparent = b[pos + 4] if flags & 1 else None

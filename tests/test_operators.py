@@ -163,6 +163,37 @@ def test_containment_banded_recall_vs_exact(spark, docs, tmp_path):
         assert abs(exact[k][1] - banded[k][1]) < 1e-6, k
 
 
+def test_banded_vs_mllib_recall_crosscheck(spark, docs):
+    """The catalog's dedup_minhash_lsh entry runs the NATIVE banded path
+    (r7 re-route — the MLlib approxSimilarityJoin explodes a row per
+    hash table and scaled 7.08× at 10× data); this pins that the banded
+    collision set recovers ≥0.9 of what the retained MLlib operator
+    finds on planted near-dups, so the re-route loses no recall."""
+    from mlb_win_predictor_spark.operators.dedup import minhash_banded_pairs
+
+    base = docs.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    clones = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    corpus = base.unionByName(clones)
+    mllib = {
+        (r.id_a, r.id_b)
+        for r in minhash_neardup_pairs(
+            corpus, jaccard_dist_threshold=0.5, num_hash_tables=8
+        ).collect()
+    }
+    banded = {
+        (r.id_a, r.id_b)
+        for r in minhash_banded_pairs(corpus, jaccard_threshold=0.5).collect()
+    }
+    if mllib:
+        recall = len(banded & mllib) / len(mllib)
+        assert recall >= 0.9, f"banded recovers {recall:.2f} of MLlib pairs"
+    planted = {(i, i + 100000) for i in range(20)}
+    assert len(banded & planted) / len(planted) >= 0.9
+
+
 def test_minhash_deterministic(spark, docs):
     p1 = minhash_neardup_pairs(docs.limit(100), jaccard_dist_threshold=0.95).collect()
     p2 = minhash_neardup_pairs(docs.limit(100), jaccard_dist_threshold=0.95).collect()
@@ -897,6 +928,29 @@ def test_connected_components_dedup(spark):
     assert sorted(r.doc_id for r in kept.collect()) == [1, 10, 20, 99]
 
 
+def test_connected_components_local_matches_distributed(spark):
+    """The r7 driver-side union-find fast path must produce EXACTLY the
+    distributed propagation's (node, component) table — pinned on a
+    random graph with chains, stars, merged clusters and singleton-free
+    edges (driver_edge_cap=0 forces the distributed loop)."""
+    import random
+
+    from mlb_win_predictor_spark.operators.dedup import components_from_pairs
+
+    rng = random.Random(13)
+    edges = {(rng.randint(0, 80), rng.randint(0, 80)) for _ in range(120)}
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    local = {
+        (r.node, r.component) for r in components_from_pairs(pairs).collect()
+    }
+    dist = {
+        (r.node, r.component)
+        for r in components_from_pairs(pairs, driver_edge_cap=0).collect()
+    }
+    assert local == dist and len(local) > 0
+
+
 def test_python_udtf_shingles(spark, docs):
     """Python UDTF output must agree with the native shingle expression."""
     from mlb_win_predictor_spark.functions.udtfs import shingles_via_udtf
@@ -1516,6 +1570,20 @@ def test_gif_roundtrip_exact_multiframe_and_rollover():
         gif_encode([rng.integers(0, 256, (30, 30, 3), dtype=np.uint8)])
     with pytest.raises(ValueError, match="signature"):
         gif_decode(b"notagif")
+    # zero-area frames are a codec error, not a bare StopIteration
+    with pytest.raises(ValueError, match="non-zero"):
+        gif_encode([np.zeros((0, 5, 3), np.uint8)])
+    with pytest.raises(ValueError, match="non-zero"):
+        gif_encode([np.zeros((5, 0, 3), np.uint8)])
+    # a malformed graphic-control extension (size != 4 / truncated) is a
+    # ValueError, matching the codec's malformed-input discipline
+    gce_at = payload.index(b"\x21\xf9\x04")
+    bad = bytearray(payload)
+    bad[gce_at + 2] = 9  # claim a 9-byte GCE data block
+    with pytest.raises(ValueError, match="GCE"):
+        gif_decode(bytes(bad))
+    with pytest.raises(ValueError, match="GCE"):
+        gif_decode(bytes(payload[: gce_at + 3]))  # truncated mid-GCE
 
 
 def test_gif_decode_disposal_and_transparency_spec_cases():

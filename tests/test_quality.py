@@ -441,12 +441,68 @@ def test_bpe_train_matches_pure_python_reference(spark):
     }
     ref_merges, ref_vocab = _bpe_reference(counts, 8)
     words = spark.createDataFrame(list(counts.items()), "word string, n long")
-    got_merges, seg = bpe_train(words, n_merges=8)
-    assert got_merges == ref_merges, (got_merges, ref_merges)
-    got_vocab = {
-        tuple(r.syms): r.n for r in seg.select("syms", "n").collect()
-    }
-    assert got_vocab == ref_vocab
+    # BOTH trainer paths must tie the reference exactly: the driver-local
+    # fast path (default; taken when the counted vocab fits the budget)
+    # and the distributed batched iterations (driver_vocab_cap=0 forces
+    # them; batch_cap>1 exercises multi-merge batches).
+    for kwargs in (
+        {},
+        {"driver_vocab_cap": 0, "batch_cap": 1},
+        {"driver_vocab_cap": 0, "batch_cap": 48},
+    ):
+        got_merges, seg = bpe_train(words, n_merges=8, **kwargs)
+        assert got_merges == ref_merges, (kwargs, got_merges, ref_merges)
+        got_vocab = {
+            tuple(r.syms): r.n for r in seg.select("syms", "n").collect()
+        }
+        assert got_vocab == ref_vocab, kwargs
+
+
+def test_bpe_batched_matches_sequential_on_tie_heavy_vocab(spark):
+    """The merge-BATCHING rule (operators.bpe._select_merge_batch) must
+    be invisible: on a small-alphabet random vocabulary dense with count
+    ties, overlapping pairs, and batch conflicts, the distributed
+    batched path reproduces the sequential reference merge list exactly,
+    to saturation, at several batch caps."""
+    import random
+
+    from mlb_win_predictor_spark.operators.bpe import bpe_train
+
+    rng = random.Random(7)
+    counts = {}
+    for _ in range(120):
+        w = "".join(rng.choice("abcd") for _ in range(rng.randint(1, 7)))
+        counts[w] = counts.get(w, 0) + rng.randint(1, 4)
+    for w in ("aaaa", "ababab", "abcabc", "aabb"):
+        counts[w] = 5
+    ref_merges, _ = _bpe_reference(counts, 60)
+    words = spark.createDataFrame(list(counts.items()), "word string, n long")
+    for cap in (2, 48):
+        got, _ = bpe_train(
+            words, n_merges=60, driver_vocab_cap=0, batch_cap=cap
+        )
+        assert got == ref_merges, f"cap={cap}: diverged"
+
+
+def test_bpe_checkpoint_storage_bounded(spark):
+    """Each training iteration must release the previous vocabulary
+    checkpoint (ADVICE r6): after training, executor storage holds at
+    most the final segmentation — not one copy per iteration."""
+    from mlb_win_predictor_spark.operators.bpe import bpe_train
+    from mlb_win_predictor_spark.session import (
+        persistent_rdd_count,
+        release_caches,
+    )
+
+    release_caches(spark)
+    counts = {"lower": 5, "newer": 6, "wider": 2, "aaaa": 4}
+    words = spark.createDataFrame(list(counts.items()), "word string, n long")
+    _, seg = bpe_train(words, n_merges=10, driver_vocab_cap=0, batch_cap=1)
+    assert seg.count() >= 1
+    # sequential path ran >= 2 iterations; only the LAST checkpoint may
+    # remain registered
+    assert persistent_rdd_count(spark) <= 1
+    release_caches(spark)
 
 
 def test_bpe_greedy_fold_and_stop_conditions(spark):
