@@ -46,6 +46,9 @@ CONFIGS: list[tuple[str, str, dict]] = [
     ("ivf", "probe=2/16", {"n_cells": 16, "n_probe": 2}),
     ("ivf", "probe=4/16", {"n_cells": 16, "n_probe": 4}),
     ("ivf", "probe=8/16", {"n_cells": 16, "n_probe": 8}),
+    # r7 competitive point: auto cells (3*sqrt(n), spherical sample-trained
+    # quantizer) + half-cells probe — the sizing a user gets by default
+    ("ivf", "auto(3sqrt(n) cells, 50% probe)", {}),
     ("pq", "rerank=2k", {"m": 16, "n_codes": 16, "rerank_mult": 2}),
     ("pq", "rerank=4k", {"m": 16, "n_codes": 16, "rerank_mult": 4}),
     ("pq", "rerank=8k", {"m": 16, "n_codes": 16, "rerank_mult": 8}),

@@ -47,62 +47,130 @@ def exact_topk_cosine(
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 
 
+IVF_TRAIN_PER_CELL = 24
+IVF_AUTO_MAX_CELLS = 4096  # driver-Lloyd trainability bound; beyond this
+# a hierarchical (coarse-then-fine) or distributed fit is the path
+
+
+def _spherical_lloyd(X, k: int, rng, iters: int = 20):
+    """Seeded spherical k-means on unit-norm rows (assign = max dot,
+    centroid = renormalized mean) — the quantizer that matches a COSINE
+    search metric; Euclidean cells on unnormalized data misalign with
+    cosine neighborhoods."""
+    import numpy as np
+
+    cent = X[rng.choice(len(X), size=min(k, len(X)), replace=False)].copy()
+    for _ in range(iters):
+        a = (X @ cent.T).argmax(1)
+        for j in range(len(cent)):
+            m = a == j
+            if m.any():
+                v = X[m].mean(0)
+                nv = np.linalg.norm(v)
+                if nv > 0:
+                    cent[j] = v / nv
+    return cent
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 10,
-    n_cells: int = 16,
-    n_probe: int = 4,
+    n_cells: int | None = None,
+    n_probe: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
 ) -> DataFrame:
-    """IVF (inverted-file) ANN: KMeans partitions the corpus into cells;
-    each query probes only its ``n_probe`` nearest cells and exact-reranks
-    within them. Scan fraction ~ n_probe/n_cells of the corpus — the
-    coarse-quantizer alternative to LSH banding.
+    """IVF (inverted-file) ANN with a SPHERICAL sample-trained coarse
+    quantizer: the corpus partitions into cells; each query probes its
+    ``n_probe`` highest-dot cells and exact-reranks within them. Scan
+    fraction ~ n_probe/n_cells of the corpus.
 
-    Deterministic given the seed. Recall is property-tested vs the exact
-    oracle (tests/test_operators.py).
+    r7 rebuild for a competitive frontier point (the r6 ANN.md showed
+    the MLlib-fit 16-cell IVF dominated at every operating point):
+
+    - **auto sizing**: ``n_cells`` defaults to ~3·√n (clamped [16,
+      IVF_AUTO_MAX_CELLS]); ``n_probe`` to half the cells. Finer cells
+      raise recall per scanned vector — measured on the sf0.1 corpus at
+      a fixed 50% scan: 0.80 recall@10 at 16 cells → ~0.92 at 3·√n≈134.
+      The synthetic embeddings are ISOTROPIC (mean same-label cosine
+      0.005 — no cluster structure, IVF's worst case), so recall here
+      tracks scan fraction; clustered real-world embeddings reach the
+      same recall probing far fewer cells.
+    - **spherical quantizer** (max-dot assign, renormalized-mean
+      centroids) matching the cosine search metric.
+    - **sample-trained, driver-side** (seeded numpy Lloyd on a bounded
+      hash-ordered sample — the FAISS training discipline shared with
+      ``semantic_dedup``/``pq_topk``): the r6 MLlib fit was itself ~half
+      the IVF wall at sf0.1. Assignment is one broadcast + one
+      Arrow-batched map-only pass; at 100 TB it is the only corpus-grain
+      stage before the probe join, and cells partition the index so the
+      probe join prunes to n_probe/n_cells of the files.
+
+    Deterministic given the seed; probing ALL cells reproduces the exact
+    result (cells partition the corpus). Recall property-tested vs the
+    exact oracle (tests/test_operators.py); the frontier point is
+    regenerated in ANN.md.
     """
-    from pyspark.ml.clustering import KMeans
+    import math
 
-    c = corpus.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
-    ).withColumn(
-        "_vec", array_to_vector(F.transform(F.col("c_vec"), lambda v: v.cast("double")))
+    import numpy as np
+
+    spark = corpus.sparkSession
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    if n_cells is None:
+        n = corpus.count()
+        n_cells = int(max(16, min(3 * math.sqrt(max(n, 1)), IVF_AUTO_MAX_CELLS)))
+    if n_probe is None:
+        n_probe = max(1, -(-n_cells // 2))
+
+    sample = (
+        c.select("c_vec", F.xxhash64(F.col("cand_id")).alias("h"))
+        .orderBy("h")
+        .limit(max(4096, IVF_TRAIN_PER_CELL * n_cells))
+        .collect()
     )
-    km = KMeans(k=n_cells, seed=seed, featuresCol="_vec", predictionCol="cell")
-    model = km.fit(c)
-    assigned = model.transform(c).select("cand_id", "c_vec", "cell")
+    X = np.array([list(r.c_vec) for r in sample], dtype=np.float64)
+    X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    cent = _spherical_lloyd(X, n_cells, np.random.default_rng(seed))
+    cent_bc = spark.sparkContext.broadcast(cent)
 
-    # centroid table (tiny) broadcast; per query: n_probe nearest cells
-    cents = [(int(i), [float(x) for x in ctr]) for i, ctr in enumerate(model.clusterCenters())]
-    cent_df = queries.sparkSession.createDataFrame(cents, ["cell", "centroid"])
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _cell_of(vecs: pd.Series) -> pd.Series:
+        import numpy as _np
+        import pandas as _pd
+
+        C = cent_bc.value
+        V = _np.stack([_np.asarray(v, dtype=_np.float64) for v in vecs])
+        V /= _np.maximum(_np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        return _pd.Series((V @ C.T).argmax(1).astype("int32"))
+
+    n_probe_lit = int(n_probe)
+
+    @pandas_udf("array<int>")
+    def _probe_cells(vecs: pd.Series) -> pd.Series:
+        import numpy as _np
+        import pandas as _pd
+
+        C = cent_bc.value
+        V = _np.stack([_np.asarray(v, dtype=_np.float64) for v in vecs])
+        V /= _np.maximum(_np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        dots = V @ C.T
+        top = _np.argsort(-dots, axis=1)[:, :n_probe_lit].astype("int32")
+        return _pd.Series(list(top))
+
+    assigned = c.withColumn("cell", _cell_of(F.col("c_vec")))
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    qc = q.join(F.broadcast(cent_df)).select(
-        "query_id",
-        "q_vec",
-        "cell",
-        F.aggregate(
-            F.zip_with(
-                F.col("q_vec"),
-                F.col("centroid"),
-                lambda x, c_: (x.cast("double") - c_) * (x.cast("double") - c_),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        ).alias("cell_dist"),
+    probes = q.select(
+        "query_id", "q_vec", F.explode(_probe_cells(F.col("q_vec"))).alias("cell")
     )
-    wq = W.partitionBy("query_id").orderBy(F.col("cell_dist").asc(), F.col("cell").asc())
-    probes = qc.withColumn("rn", F.row_number().over(wq)).filter(F.col("rn") <= n_probe)
-
-    cand = probes.select("query_id", "q_vec", "cell").join(assigned, "cell").filter(
-        F.col("query_id") != F.col("cand_id")
-    )
+    cand = probes.join(assigned, "cell").filter(F.col("query_id") != F.col("cand_id"))
     scored = cand.select(
         "query_id", "cand_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos")
-    ).dropDuplicates(["query_id", "cand_id"])
+    )
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 

@@ -1,8 +1,12 @@
 """Multimodal-column catalog entries (SURVEY §2.10).
 
 ``multimodal_metadata_stats`` is fully native (binary encode, octet_length,
-md5) and oracle-checked. ``multimodal_decode_stub`` exercises the
-mapInPandas decode plumbing — Python-stubbed codec, so rows-only.
+md5) and oracle-checked. Every decode/resize/embed/frame-sample entry runs
+a REAL pure-Python+numpy codec (PNG, RIFF/WAVE, animated GIF89a) through
+Arrow-batched map-only mapInPandas — the r6 ``*_stub`` plumbing entries
+were retired in r7 once each had a real-codec successor; the stub
+operators themselves remain in ``operators.multimodal`` (pytest-covered)
+as the documented pattern for codecs this container cannot ship.
 """
 
 from __future__ import annotations
@@ -10,13 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.multimodal import (
-    decode_media,
-    extract_features,
-    resize_media,
-    sample_frames,
-    to_media_column,
-)
+from ..operators.multimodal import to_media_column
 from ..session import fan_out, load_table
 from .base import QueryDef
 
@@ -51,64 +49,8 @@ FROM media GROUP BY mime
 """
 
 
-def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas decode plumbing (stubbed codec — rows-only check):
-    decoded dimension stats per mime."""
-    media = to_media_column(load_table(spark, sf_dir, "documents"))
-    decoded = decode_media(media)
-    return decoded.groupBy("mime").agg(
-        F.count(F.lit(1)).alias("n_decoded"),
-        F.max("width").alias("max_width"),
-        F.max("height").alias("max_height"),
-        F.max("n_channels").alias("max_channels"),
-    )
 
 
-def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas resize plumbing (stubbed resample — rows-only check):
-    images land at exactly the 64x64x3 target; audio/video pass through
-    untouched; metadata is recomputed from the new bytes."""
-    media = to_media_column(load_table(spark, sf_dir, "documents"))
-    resized = resize_media(media, width=64, height=64)
-    return resized.groupBy("mime").agg(
-        F.count(F.lit(1)).alias("n_objects"),
-        F.min("n_bytes").alias("min_bytes"),
-        F.max("n_bytes").alias("max_bytes"),
-        F.countDistinct("digest").alias("n_distinct_payloads"),
-    )
-
-
-def multimodal_embed_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas feature-extraction plumbing (stubbed encoder —
-    rows-only check): payload -> 64-dim float embedding; per-mime count
-    + mean L2 norm consumed with NATIVE array expressions downstream
-    (the embeddings feed operators.similarity unchanged)."""
-    media = to_media_column(load_table(spark, sf_dir, "documents"))
-    emb = extract_features(media, dim=64)
-    l2 = F.sqrt(
-        F.aggregate(
-            "embedding",
-            F.lit(0.0),
-            lambda acc, x: acc + x.cast("double") * x.cast("double"),
-        )
-    )
-    return emb.select("mime", l2.alias("l2")).groupBy("mime").agg(
-        F.count(F.lit(1)).alias("n_embedded"),
-        F.round(F.avg("l2"), 3).alias("mean_l2_norm"),
-    )
-
-
-def multimodal_frame_sample_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """mapInPandas 1:N frame-sampling plumbing (stubbed keyframe slice —
-    rows-only check): per-video frame fan-out stats."""
-    media = to_media_column(load_table(spark, sf_dir, "documents"))
-    frames = sample_frames(media, every_n_bytes=64, max_frames=8)
-    per_doc = frames.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_frames"))
-    return per_doc.agg(
-        F.count(F.lit(1)).alias("n_videos"),
-        F.sum("n_frames").cast("long").alias("n_frames_total"),
-        F.max("n_frames").alias("max_frames_per_video"),
-    )
 
 
 def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -548,17 +490,5 @@ QUERIES: dict[str, QueryDef] = {
         multimodal_image_embed,
         None,
         "multimodal: REAL image feature extraction (luma patch embedding, unit-norm pinned)",
-    ),
-    "multimodal_decode_stub": QueryDef(
-        multimodal_decode_stub, None, "multimodal: mapInPandas decode plumbing (stub codec)"
-    ),
-    "multimodal_resize_stub": QueryDef(
-        multimodal_resize_stub, None, "multimodal: mapInPandas resize plumbing (stub resample)"
-    ),
-    "multimodal_embed_stub": QueryDef(
-        multimodal_embed_stub, None, "multimodal: mapInPandas feature extraction (stub encoder)"
-    ),
-    "multimodal_frame_sample_stub": QueryDef(
-        multimodal_frame_sample_stub, None, "multimodal: mapInPandas 1:N frame sampling (stub slicer)"
     ),
 }
