@@ -21,7 +21,11 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from mlb_win_predictor_spark.queries import QUERIES  # noqa: E402
-from mlb_win_predictor_spark.session import get_spark  # noqa: E402
+from mlb_win_predictor_spark.session import (  # noqa: E402
+    get_spark,
+    persistent_rdd_count,
+    release_caches,
+)
 
 # Headline set: one per operator family, weighted toward shuffle-heavy plans,
 # plus the north-star training-data ops.
@@ -106,22 +110,51 @@ HEADLINE = [
 
 def run_query(spark, name: str, sf_dir: str) -> float:
     fn = QUERIES[name].fn
-    # queries that cache() intermediates would otherwise accumulate across
-    # the run — late queries would be timed under someone else's memory
-    # pressure. Each timing includes its own cache population, nothing else.
-    spark.catalog.clearCache()
     # shuffle files / broadcast blocks are only reclaimed when the JVM GCs
     # the referencing objects (ContextCleaner); across ~90 queries the
     # backlog degrades late queries ~3x. Collect both runtimes so every
     # query starts from the same clean state.
     gc.collect()
     spark.sparkContext._jvm.System.gc()
-    t0 = time.perf_counter()
-    df = fn(spark, sf_dir)
-    n = df.count()
-    dt = time.perf_counter() - t0
-    assert n >= 0
+    try:
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        dt = time.perf_counter() - t0
+        assert n >= 0
+    finally:
+        # the terminal action is done: release every cache/localCheckpoint
+        # the entry registered (cache-lifetime contract, session.py
+        # release_caches) so each timing includes its own cache population
+        # and NOTHING inherits another query's storage pressure.
+        release_caches(spark)
+    assert persistent_rdd_count(spark) == 0, f"{name} leaked persistent RDDs"
     return dt
+
+
+# Ambient-load guard (r6 verdict #3: a loaded box produced two phantom
+# regressions with spreads as large as the deltas). Wait for the 1-min
+# loadavg to drop below the threshold before timing; give up after the
+# timeout and record that the run is load-contaminated.
+LOAD_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "1.0"))
+LOAD_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
+
+
+def wait_for_quiet_box() -> bool:
+    """Spin-wait until 1-min loadavg < LOAD_MAX; True iff quiet."""
+    deadline = time.monotonic() + LOAD_WAIT_SEC
+    while True:
+        load = _loadavg()
+        if not load or load[0] < LOAD_MAX:
+            return True
+        if time.monotonic() >= deadline:
+            print(
+                f"WARNING: box still loaded (1-min loadavg {load[0]}) after "
+                f"{LOAD_WAIT_SEC}s wait; timings may be contaminated",
+                file=sys.stderr,
+            )
+            return False
+        time.sleep(5)
 
 
 def _loadavg() -> list[float]:
@@ -137,6 +170,7 @@ def _loadavg() -> list[float]:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    quiet = wait_for_quiet_box()
     load_before = _loadavg()
     spark = get_spark(app_name="mlb-win-predictor-bench")
 
@@ -170,8 +204,28 @@ def main() -> None:
         m = len(s) // 2
         return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
 
-    timings = {n: round(median(samples[n]), 4) for n in names}
-    spread = {n: round(max(samples[n]) - min(samples[n]), 4) for n in names}
+    def fastest(n: str, k: int = 3) -> list[float]:
+        return sorted(samples[n])[: min(k, len(samples[n]))]
+
+    def rel_spread(n: str) -> float:
+        f = fastest(n)
+        return (f[-1] - f[0]) / f[0] if f[0] > 0 else 0.0
+
+    # Noise triage (r6 verdict #3: two phantom "regressions" had spreads
+    # as large as the deltas): any query whose fastest-3 spread exceeds
+    # 30% of its best gets up to 3 extra samples. Contention is strictly
+    # one-sided (a busy box only ever slows a run), so the stat reported
+    # is the median of the FASTEST 3 samples — identical to the plain
+    # median-of-3 on a quiet box, robust to outlier runs on a loaded one.
+    if runs >= 3:
+        for n in names:
+            extra = 0
+            while rel_spread(n) > 0.30 and extra < 3:
+                samples[n].append(run_query(spark, n, sf_dir))
+                extra += 1
+
+    timings = {n: round(median(fastest(n)), 4) for n in names}
+    spread = {n: round(fastest(n)[-1] - fastest(n)[0], 4) for n in names}
     total = round(sum(timings.values()), 4)
 
     # Full-precision medians + spreads go to a side file (and stderr note);
@@ -185,7 +239,9 @@ def main() -> None:
         "queries": timings,
         "spread": spread,
         "runs": runs,
+        "n_samples": {n: len(samples[n]) for n in names},
         "sf": sf,
+        "quiet_box": quiet,
         "loadavg_before": load_before,
         "loadavg_after": _loadavg(),
     }

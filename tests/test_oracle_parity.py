@@ -13,6 +13,7 @@ import os
 import pytest
 
 from mlb_win_predictor_spark.queries import QUERIES
+from mlb_win_predictor_spark.session import persistent_rdd_count, release_caches
 
 from .oracle import compare, duckdb_connection
 
@@ -28,6 +29,19 @@ def con():
     c.close()
 
 
+@pytest.fixture(autouse=True)
+def _no_cache_leak(spark):
+    """Cache-lifetime contract (r6 verdict #2): after each entry's
+    terminal action the harness releases every cache/localCheckpoint the
+    entry registered and verifies executor storage is EMPTY — so a
+    full-catalog sweep never times one query under another's memory
+    pressure, and a future entry that pins storage some new way fails
+    loudly here."""
+    yield
+    release_caches(spark)
+    assert persistent_rdd_count(spark) == 0
+
+
 @pytest.mark.parametrize("name", ORACLE_CASES)
 def test_oracle_parity(spark, con, name):
     qd = QUERIES[name]
@@ -39,6 +53,8 @@ def test_rows_only_queries_run(spark):
         if qd.sql is None:
             df = qd.fn(spark, PARITY_SF_DIR)
             assert df.count() >= 0, name
+            release_caches(spark)
+            assert persistent_rdd_count(spark) == 0, name
 
 
 def test_entry_smoke(spark):
