@@ -44,6 +44,7 @@ pre-tokenizer split is shared with ``queries.text.token_count_bpe``.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -187,6 +188,95 @@ def _select_merge_batch(ranked, symbol_set: set, cap: int):
     if stop_cnt is not None and batch:
         batch = [batch[0]] + [b for b in batch[1:] if b.cnt > stop_cnt]
     return batch
+
+
+def segment_word_local(word: str, ranks: dict) -> list[str]:
+    """Segment one word with a trained merge table — the GPT-2 encoder's
+    apply algorithm: repeatedly merge the LOWEST-RANK adjacent pair
+    present. Produces exactly the segmentation in-order merge application
+    (and hence training itself) yields, because a later merge can only
+    consume symbols earlier merges produced — the equivalence is pinned
+    in tests/test_quality.py rather than assumed."""
+    syms = list(word) + [EOW]
+    while len(syms) > 1:
+        best_rank = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+                left, right = syms[i], syms[i + 1]
+        if best_rank is None:
+            break
+        out: list[str] = []
+        i = 0
+        while i < len(syms):  # greedy left-to-right, the training order
+            if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def bpe_segment_words(
+    words: DataFrame,
+    merges: list[tuple[str, str, str, int]],
+    word_col: str = "word",
+) -> DataFrame:
+    """Apply a TRAINED merge table to a word table — the serve half of the
+    tokenizer (train → ship merges → segment), adding a ``syms`` column.
+
+    The merge table broadcasts as a rank dict (bounded: the trained
+    artifact, ≤ vocab-budget entries); segmentation is one Arrow-batched
+    map-only pass with per-batch memoization on distinct words — at the
+    corpus's word-grain a batch re-segments each distinct word once, so
+    cost tracks distinct words per batch, not occurrences. Per-word cost
+    is the GPT-2 min-rank loop (O(len·merges-applied)), independent of
+    the full merge-table size — what makes a 30k-merge vocabulary
+    servable."""
+    spark = words.sparkSession
+    ranks = {(l, r): i for i, (l, r, _m, _c) in enumerate(merges)}
+    ranks_bc = spark.sparkContext.broadcast(ranks)
+    eow = EOW
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def _seg(ws: pd.Series) -> pd.Series:
+        import pandas as _pd
+
+        rk = ranks_bc.value
+        memo: dict = {}
+
+        def seg(word):
+            got = memo.get(word)
+            if got is None:
+                syms = list(word) + [eow]
+                while len(syms) > 1:
+                    best = None
+                    for i in range(len(syms) - 1):
+                        r = rk.get((syms[i], syms[i + 1]))
+                        if r is not None and (best is None or r < best):
+                            best, lft, rgt = r, syms[i], syms[i + 1]
+                    if best is None:
+                        break
+                    out, i = [], 0
+                    while i < len(syms):
+                        if i + 1 < len(syms) and syms[i] == lft and syms[i + 1] == rgt:
+                            out.append(lft + rgt)
+                            i += 2
+                        else:
+                            out.append(syms[i])
+                            i += 1
+                    syms = out
+                memo[word] = got = syms
+            return got
+
+        return _pd.Series([seg(w if w is not None else "") for w in ws])
+
+    return words.withColumn("syms", _seg(F.col(word_col)))
 
 
 def _train_local(

@@ -2748,6 +2748,49 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def bpe_tokenize_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer SERVE path at corpus grain (closing the train→apply
+    loop r6 left open): train the merge table to the production budget,
+    segment the distinct-word vocabulary ONCE with the trained merges
+    (``operators.bpe.bpe_segment_words`` — broadcast rank dict, one
+    Arrow map-only pass, per-batch memoization), then one corpus-grain
+    pass joins each word occurrence to its subword count. Digest:
+    per-source corpus-weighted subword totals + fertility (subwords per
+    word) — the number a tokenizer team multiplies corpus size by to
+    price a training run.
+
+    Scale shape: training is vocab-grain (see bpe_train); the
+    vocab→subword-count table is Heaps-sublinear in corpus size and the
+    join is left UNHINTED so AQE broadcasts it while it fits and falls
+    back to a shuffle join at the 10^8-word scale where it doesn't. The
+    corpus pass is one explode + one join + one agg. Rows-only entry
+    (trained-merge segmentation has no SQL dual); apply-path exactness
+    (rank-based == in-order == the trainer's own segmentation) is
+    pytest-pinned in tests/test_quality.py."""
+    from ..operators.bpe import bpe_segment_words, bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_ALPHA_PATTERN), 0)
+    exploded = d.select("source", F.explode(toks).alias("word"))
+    words = exploded.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    words = words.localCheckpoint(eager=True)  # feeds train AND serve
+    # sub-saturation budget: the synthetic vocabulary collapses entirely
+    # at ~107 merges (fertility 1.0 — degenerate digest); 64 leaves real
+    # multi-subword segmentations to count
+    merges, _ = bpe_train(words, n_merges=64)
+    wtoks = bpe_segment_words(words.select("word"), merges).select(
+        "word", F.size("syms").cast("long").alias("n_sub")
+    )
+    joined = exploded.join(wtoks, "word")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_words"),
+        F.sum("n_sub").cast("long").alias("n_subword_tokens"),
+        stable_round(
+            F.sum("n_sub").cast("double") / F.count(F.lit(1)), 6
+        ).alias("fertility"),
+    )
+
+
 def bpe_segmentation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BPE compression curve: train 12 merges on the corpus vocabulary and
     report, for checkpoints along the merge sequence (0, 4, 8, 12 merges
@@ -2798,6 +2841,11 @@ def bpe_segmentation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, QueryDef] = {
     "token_count": QueryDef(token_count, TOKEN_COUNT_SQL, "text: token counting"),
     "token_count_bpe": QueryDef(token_count_bpe, TOKEN_BPE_SQL, "text: BPE-ish tokenizer"),
+    "bpe_tokenize_corpus": QueryDef(
+        bpe_tokenize_corpus,
+        None,
+        "text: trained-BPE corpus tokenization (train -> segment vocab -> corpus join)",
+    ),
     "bpe_train_merges": QueryDef(
         bpe_train_merges,
         None,

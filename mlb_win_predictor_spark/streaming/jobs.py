@@ -759,3 +759,47 @@ def upsert_outcomes_foreach_batch(
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )
+
+
+def score_games_stream(
+    prepared: DataFrame, model_dir: str, predictions_path: str, checkpoint: str
+):
+    """The reference's daily 'predict upcoming games, show the results
+    live' loop (README.md:24) as a Structured Streaming job — the
+    streaming flavor of the batch inference path (M11,
+    ``pipeline.games.score_games``): each micro-batch of freshly
+    PREPARED games is scored through the same label-free funnel
+    (``prediction_features``) with the saved PipelineModel loaded ONCE
+    per job, and the (game_id, predicted_winner) pairs land as a
+    per-epoch parquet partition.
+
+    Exactly-once discipline matches the repo's other foreachBatch jobs:
+    foreachBatch is at-least-once, so a replayed epoch OVERWRITES its
+    own ``epoch=N`` directory with identical content instead of
+    appending duplicates; readers union committed epochs
+    (``read_epoch_union``). Publishing into the games table itself is
+    the batch MERGE (``score_games`` / ``upsert_outcomes_foreach_batch``
+    shape) over this predictions log."""
+    from pyspark.ml import PipelineModel
+
+    from ..pipeline.games import prediction_features
+
+    model = PipelineModel.load(model_dir)
+
+    def score_batch(batch: DataFrame, epoch_id: int) -> None:
+        feats = prediction_features(batch)
+        pred = model.transform(feats)
+        winner = (
+            F.when(F.col("prediction") == 1.0, F.col("home_team_id"))
+            .otherwise(F.col("away_team_id"))
+            .cast("double")
+        )
+        pred.select("game_id", winner.alias("predicted_winner")).write.mode(
+            "overwrite"
+        ).parquet(f"{predictions_path}/epoch={epoch_id}")
+
+    return (
+        prepared.writeStream.foreachBatch(score_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )

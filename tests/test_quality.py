@@ -484,6 +484,61 @@ def test_bpe_batched_matches_sequential_on_tie_heavy_vocab(spark):
         assert got == ref_merges, f"cap={cap}: diverged"
 
 
+def test_bpe_apply_matches_training_segmentation(spark):
+    """The serve path (segment_word_local / bpe_segment_words, GPT-2-style
+    min-rank apply) must reproduce EXACTLY (a) in-order application of
+    the merge list and (b) the trainer's own final segmentation of every
+    training word — the classic train/apply equivalence, pinned instead
+    of assumed, on a tie-heavy vocabulary."""
+    import random
+
+    from mlb_win_predictor_spark.operators.bpe import (
+        EOW,
+        bpe_segment_words,
+        bpe_train,
+        segment_word_local,
+    )
+
+    rng = random.Random(3)
+    counts = {}
+    for _ in range(150):
+        w = "".join(rng.choice("abcd") for _ in range(rng.randint(1, 8)))
+        counts[w] = counts.get(w, 0) + rng.randint(1, 4)
+    words = spark.createDataFrame(list(counts.items()), "word string, n long")
+    merges, seg = bpe_train(words, n_merges=40)
+    ranks = {(l, r): i for i, (l, r, _m, _c) in enumerate(merges)}
+
+    def apply_in_order(word):
+        syms = list(word) + [EOW]
+        for left, right, merged, _c in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    train_seg = {}
+    for r in seg.collect():
+        # local path returns (syms, n); map back via the joined word
+        train_seg["".join(r.syms).removesuffix(EOW)] = list(r.syms)
+    dist_seg = {
+        r.word: list(r.syms)
+        for r in bpe_segment_words(words.select("word"), merges).collect()
+    }
+    for w in counts:
+        expected = apply_in_order(w)
+        assert segment_word_local(w, ranks) == expected, w
+        assert dist_seg[w] == expected, w
+        # the trainer's own segmentation of this word (training IS
+        # in-order application)
+        assert train_seg["".join(expected).removesuffix(EOW)] == expected
+
+
 def test_bpe_checkpoint_storage_bounded(spark):
     """Each training iteration must release the previous vocabulary
     checkpoint (ADVICE r6): after training, executor storage holds at

@@ -681,3 +681,84 @@ def test_media_decode_stream_exactly_once_incremental(spark, tmp_path):
     assert len(got_dims) == 6
     for name, (w, h, c) in expected.items():
         assert got_dims[(w, h)] == c, name
+
+
+def test_score_games_stream_exactly_once(spark, tmp_path):
+    """Streaming inference publish (M11 streaming flavor): prepared games
+    arriving over two micro-batches are scored with the saved model;
+    every funnel-passing game gets exactly one prediction naming one of
+    its two teams; a full checkpoint-wiped replay republishes identical
+    epochs instead of duplicating."""
+    import pandas as pd
+
+    from pyspark.ml.classification import LogisticRegression
+
+    from mlb_win_predictor_spark.fixtures import fixtures_dir
+    from mlb_win_predictor_spark.ml.train import make_pipeline
+    from mlb_win_predictor_spark.pipeline.games import (
+        FEATURE_COLS,
+        LABEL_COL,
+        build_features,
+        prediction_features,
+    )
+    from mlb_win_predictor_spark.streaming import score_games_stream
+
+    fdir = fixtures_dir()
+    games = spark.read.parquet(f"{fdir}/games.parquet")
+    decided = games.filter(F.col("winning_team").isNotNull())
+    feats = (
+        build_features(decided)
+        .withColumn("label", F.col(LABEL_COL).cast("double"))
+        .drop(LABEL_COL)
+    )
+    mdir = str(tmp_path / "model")
+    make_pipeline(
+        FEATURE_COLS, LogisticRegression(featuresCol="features", labelCol="label")
+    ).fit(feats).write().overwrite().save(mdir)
+
+    # two micro-batches of "today's prepared games"
+    pdf = games.limit(400).toPandas()
+    src = tmp_path / "prepared_in"
+    src.mkdir()
+    pdf.iloc[:200].to_parquet(str(src / "day0.parquet"), index=False)
+    pdf.iloc[200:].to_parquet(str(src / "day1.parquet"), index=False)
+
+    stream = (
+        spark.readStream.schema(games.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    pred_path = str(tmp_path / "predictions")
+    q = score_games_stream(
+        stream, mdir, pred_path, str(tmp_path / "ckpt")
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    preds = spark.read.parquet(pred_path)
+    slate = spark.createDataFrame(pdf, schema=games.schema)
+    expected_ids = {
+        r.game_id for r in prediction_features(slate).select("game_id").collect()
+    }
+    got = preds.collect()
+    assert {r.game_id for r in got} == expected_ids
+    assert len(got) == len(expected_ids), "one prediction per scored game"
+    teams = {
+        r.game_id: (r.home_team_id, r.away_team_id)
+        for r in slate.select("game_id", "home_team_id", "away_team_id").collect()
+    }
+    for r in got:
+        assert r.predicted_winner in teams[r.game_id]
+
+    # replay: wipe the checkpoint so both epochs re-execute — per-epoch
+    # overwrite must leave the predictions log row-identical
+    shutil.rmtree(str(tmp_path / "ckpt"))
+    q = score_games_stream(
+        stream, mdir, pred_path, str(tmp_path / "ckpt")
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+    again = spark.read.parquet(pred_path).collect()
+    assert sorted((r.game_id, r.predicted_winner) for r in again) == sorted(
+        (r.game_id, r.predicted_winner) for r in got
+    )
