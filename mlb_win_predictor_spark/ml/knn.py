@@ -149,52 +149,67 @@ def knn_select_k(
     ``grid_search_cv`` argmax policy (ties -> smallest k).
 
     The LSH join and distance ranking are k-INDEPENDENT, so the sweep
-    ranks neighbors ONCE at max(k_grid), caches that (|val| x max_k rows
-    — bounded by the validation split, not the corpus), and derives each
-    k's vote by filtering rn <= k. Per grid point the incremental cost is
-    one bounded aggregation; the corpus-sized work happens exactly once
-    regardless of grid length. Driver-side data: one float per k."""
+    ranks neighbors ONCE at max(k_grid), checkpoints that (|val| x max_k
+    rows — bounded by the validation split, not the corpus), and derives
+    EVERY k's vote in ONE plan: a broadcast join of the ranking against
+    the k-grid (rn <= k) fans each neighbor row out to the grid points it
+    participates in, one (k, test_id) vote aggregation ranks the labels,
+    and one (k)-grain aggregation scores the grid — a single Spark action
+    for the whole leaderboard. (r7: the previous shape derived each k's
+    vote with its own action; correct and bounded, but ~|grid|+1 job
+    waves of pure scheduler latency — 10 grid points cost 8.7s at sf0.1
+    where the data itself needed ~4s. Fan-out volume is |val| x max_k x
+    |grid| rows upper-bounded, all validation-grain.) Driver-side data:
+    one float per k."""
     if not k_grid:
         raise ValueError("empty k_grid")
-    # eager localCheckpoint, not cache(): the grid loop runs ~|grid|+1
-    # actions over this ranking, and a cache is only a HINT — under
-    # memory pressure Spark silently evicts it and every subsequent
-    # action re-runs the corpus-sized LSH bucket join (the round-6
-    # full-catalog sweep measured the grid at 66x for 10x data while the
-    # single-k vote entry, same join, scaled 2.9x — the grid was paying
-    # for the join per k). A checkpoint is materialized data: the join
-    # provably runs once. The checkpointed table is val x max_k rows —
-    # bounded by the validation split, never the corpus.
+    # eager localCheckpoint, not cache(): a cache is only a HINT — under
+    # memory pressure Spark silently evicts it and a re-read re-runs the
+    # corpus-sized LSH bucket join (the round-6 full-catalog sweep
+    # measured the grid at 66x for 10x data while the single-k vote
+    # entry, same join, scaled 2.9x). A checkpoint is materialized data:
+    # the join provably runs once, and the leaderboard plan below reads
+    # the bounded val x max_k ranking, never the corpus.
+    grid = sorted(set(k_grid))
     ranked = _ranked_neighbors(
-        train, val, max(k_grid), features_col, label_col, id_col,
+        train, val, max(grid), features_col, label_col, id_col,
         bucket_length, num_hash_tables, seed,
     ).localCheckpoint(eager=True)
     truth = val.select(
         F.col(id_col).alias("test_id"), F.col(label_col).alias("_truth")
     )
     try:
-        leaderboard = []
-        for k in sorted(set(k_grid)):
-            pred = _vote(ranked.filter(F.col("rn") <= k))
-            # LEFT-join predictions onto the FULL validation truth set: a
-            # val row with zero LSH bucket collisions gets no prediction
-            # and must count as INCORRECT (same denominator as the
-            # GridSearchCV full-validation accuracy this mirrors), not be
-            # dropped — which also keeps avg non-NULL when no val row has
-            # any candidate.
-            acc_row = (
-                truth.join(pred, "test_id", "left")
-                .agg(
-                    F.avg(
-                        F.coalesce(
-                            (F.col("prediction") == F.col("_truth")).cast("double"),
-                            F.lit(0.0),
-                        )
-                    ).alias("acc")
+        spark = train.sparkSession
+        n_val = val.count()
+        grid_df = spark.createDataFrame([(int(k),) for k in grid], "k int")
+        # each neighbor row participates in every grid point with k >= rn
+        cand = ranked.join(F.broadcast(grid_df), F.col("rn") <= F.col("k"))
+        votes = cand.groupBy("k", "test_id", "n_label").agg(
+            F.count(F.lit(1)).alias("votes"), F.min("_dist").alias("min_dist")
+        )
+        wv = W.partitionBy("k", "test_id").orderBy(
+            F.col("votes").desc(), F.col("min_dist").asc(), F.col("n_label").asc()
+        )
+        pred = (
+            votes.withColumn("vrn", F.row_number().over(wv))
+            .filter(F.col("vrn") == 1)
+            .select("k", "test_id", F.col("n_label").alias("prediction"))
+        )
+        # INNER join against truth then count correct per k: a val row
+        # with zero LSH bucket collisions gets no prediction row and so
+        # contributes 0 correct — dividing by the FULL |val| keeps the
+        # GridSearchCV full-validation denominator (missing == incorrect).
+        correct = (
+            pred.join(F.broadcast(truth), "test_id")
+            .groupBy("k")
+            .agg(
+                F.sum((F.col("prediction") == F.col("_truth")).cast("long")).alias(
+                    "n_correct"
                 )
-                .first()
             )
-            leaderboard.append((k, float(acc_row["acc"])))
+        )
+        by_k = {int(r["k"]): int(r["n_correct"]) for r in correct.collect()}
+        leaderboard = [(k, by_k.get(k, 0) / n_val if n_val else 0.0) for k in grid]
         best_k = max(leaderboard, key=lambda kv: (kv[1], -kv[0]))[0]
         return best_k, leaderboard
     finally:

@@ -835,14 +835,22 @@ def versioned_zonemap_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     repartitionByRange + sortWithinPartitions, so zone ranges are tight
     and disjoint) and reused by later calls — the entry then times the
     PRUNED READ, which at 100 TB is the difference between scanning a
-    keyspace slice and scanning the table."""
+    keyspace slice and scanning the table. The tag covers the source
+    parquet's (mtime, size), not just its path: a REGENERATED dataset
+    under the same path must invalidate the snapshot, or the read would
+    silently serve stale rows (and the first timed run after any data
+    refresh honestly pays one snapshot build — the r7 sf1 sweep recorded
+    exactly that as its only 'superlinear' point)."""
     import hashlib
     import os
     import tempfile
 
     from ..operators.table import VersionedTable
 
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    sig = f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}"
+    tag = hashlib.md5(sig.encode()).hexdigest()[:10]
     t = VersionedTable(os.path.join(tempfile.gettempdir(), f"mlbwp_ztab_{tag}"))
     if t.latest_version() is None:
         orders = load_table(spark, sf_dir, "orders").select(

@@ -105,11 +105,13 @@ def ml_knn_k_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     over its full 10-point grid {1,2,3,5,8,13,21,34,45,79},
     modeling/modeling.ipynb:617-635): validation accuracy per k from
     ``ml.knn.knn_select_k``, which ranks neighbors ONCE at max(k)=79
-    (one LSH bucket join, cached val×max_k pairs) and derives every k's
-    vote from the same ranking — the whole grid costs one corpus pass +
-    a bounded agg per grid point, so the 10-point grid is barely
-    costlier than 5 (plan-pinned: tests/test_plans.py asserts the per-k
-    vote reads the cached ranking, not a fresh LSH join). Deterministic
+    (one LSH bucket join, checkpointed val×max_k pairs) and derives
+    EVERY k's vote from the same ranking in ONE plan (broadcast k-grid
+    fan-out → one vote agg → one per-k score agg) — the whole grid costs
+    one corpus pass + one validation-grain action, so the 10-point grid
+    is barely costlier than 1 (plan-pinned: tests/test_plans.py asserts
+    the vote reads the checkpointed ranking, not a fresh LSH join).
+    Deterministic
     (seeded LSH, tie-broken votes) ⇒ stable rows; not SQL-expressible
     (iterative model selection), so rows-only."""
     from ..ml.knn import knn_select_k

@@ -434,8 +434,11 @@ def test_knn_grid_vote_reuses_cached_neighbor_join(spark):
     ExistingRDD), never a fresh parquet scan or LSH bucket join. A
     cache() was only a hint: eviction under memory pressure silently
     re-ran the join per k (measured 66× at 10× data in the full-catalog
-    scaling sweep). This mirrors knn_select_k's internals exactly
-    (rank at max(k), checkpoint, filter rn <= k per grid point)."""
+    scaling sweep). This mirrors the rank-once shape knn_select_k and
+    knn_predict_lsh build on (rank at max(k), checkpoint, vote over
+    rn <= k; since r7 select_k derives ALL grid points from the
+    checkpoint in one plan — the invariant pinned here is unchanged:
+    votes read materialized rows, never the corpus)."""
     from pyspark.sql import functions as F
 
     from mlb_win_predictor_spark.ml.knn import _ranked_neighbors, _vote
