@@ -227,6 +227,34 @@ def test_knn_lsh_matches_exact_oracle(spark):
     assert agree >= 0.8, f"LSH kNN agreement with exact vote: {agree:.2f}"
 
 
+def test_knn_native_lsh_agrees_with_mllib_cross_check(spark):
+    """The native codegen LSH ranking (literal-direction buckets,
+    zip_with distance) vs the MLlib BucketedRandomProjectionLSH twin —
+    the cross-check discipline the banded-MinHash/MLlib pair follows.
+    Hash directions differ (numpy seed vs MLlib seed), so candidate sets
+    may differ at the margin; the k=5 majority votes must still agree on
+    >= 80% of test points, and every native distance must equal the
+    exact euclidean (the distance is not approximated, only the
+    candidate set is)."""
+    from mlb_win_predictor_spark.ml.knn import (
+        _ranked_neighbors,
+        _ranked_neighbors_mllib,
+        _vote,
+    )
+    from mlb_win_predictor_spark.queries.ml import _emb_features
+
+    df = _emb_features(spark, "/root/testdata/sf0.001")
+    test = df.filter(F.col("vec_id") % 10 == 0)
+    train = df.filter(F.col("vec_id") % 10 != 0)
+    args = (train, test, 5, "features_arr", "label", "vec_id", 2.0, 3, 42)
+    native = {r.test_id: r.prediction for r in _vote(_ranked_neighbors(*args)).collect()}
+    mllib = {r.test_id: r.prediction for r in _vote(_ranked_neighbors_mllib(*args)).collect()}
+    common = set(native) & set(mllib)
+    assert len(common) >= 0.9 * len(test.collect())
+    agree = sum(1 for t in common if native[t] == mllib[t]) / len(common)
+    assert agree >= 0.8, f"native vs MLlib vote agreement: {agree:.2f}"
+
+
 def test_knn_select_k_finds_planted_best_k(spark):
     """k-grid selection (M6 parity: the reference sweeps n_neighbors with
     GridSearchCV and argmaxes accuracy). Planted geometry where the best
