@@ -489,3 +489,57 @@ def test_zipf_rank_no_single_partition_window(plans):
     p = plans["zipf_law_fit"]
     assert "rangepartitioning(neg_c" in p
     assert "windowspecdefinition(_pid" in p
+
+
+def test_pagerank_iteration_exchanges_rank_vector_only(spark):
+    """SCALE.md's PageRank claim, pinned: the per-iteration contribution
+    join re-shuffles ONLY the rank vector — the links table (edges
+    pre-joined with out-degree, repartition("src"), persisted) scans as
+    an InMemoryTableScan whose HashPartitioning(src) already satisfies
+    the join distribution, so the edge side has NO Exchange above the
+    cached scan. This is the O(E) vs O(E × iterations) network claim at
+    cluster scale. Mirrors the loop body of operators/graph.py::pagerank
+    (the loop itself returns a materialized checkpoint, so the invariant
+    must be pinned on the constituent plan)."""
+    from pyspark.sql import functions as F
+
+    from mlb_win_predictor_spark.session import load_table
+
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey").limit(500)
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    edges = edges.select("src", "dst").distinct()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    links = edges.join(out_deg, "src").repartition("src").persist()
+    try:
+        links.count()
+        nodes = edges.select(F.col("src").alias("node")).distinct()
+        ranks = nodes.select("node", F.lit(0.5).alias("rank"))
+        contribs = (
+            ranks.join(links, ranks["node"] == links["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        p = plan_of(contribs)
+        assert "InMemoryTableScan" in p, p
+        # the links (cached) side must flow into the join with no Exchange:
+        # every Exchange in the plan belongs to the ranks side or the final
+        # dst aggregation, never directly above the InMemoryTableScan.
+        lines = p.splitlines()
+        scan_op = next(
+            l.split(")")[0].split("(")[1] for l in lines if "InMemoryTableScan" in l and "(" in l
+        )
+        # formatted-plan detail section: find the operator feeding each
+        # Exchange; none may be the cached scan
+        for i, l in enumerate(lines):
+            if "Exchange" in l and "Input [" not in l and "(" in l:
+                nxt = lines[i + 1] if i + 1 < len(lines) else ""
+                assert f"InMemoryTableScan ({scan_op})" not in nxt, (
+                    "links side re-shuffled:\n" + p
+                )
+    finally:
+        links.unpersist()
