@@ -1453,13 +1453,22 @@ def q11_important_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     No partsupp table in the testdata, so "value" is per-part discounted
     revenue from lineitem. The global total is a 1-row broadcast; the
     threshold compare is exact (value * 2000 > total in DECIMAL) so no
-    double-ulp boundary flips. Per-part agg and total share one scan via
-    the same shuffle-free re-aggregation of the grouped result."""
+    double-ulp boundary flips.
+
+    The per-part aggregate is PERSISTED so the fact table is scanned and
+    shuffled ONCE: without it the total's scalar branch re-plans the
+    whole groupBy (exchange-reuse does not canonicalize across the
+    broadcast boundary here — the r7 sf1 sweep measured this entry at
+    6.34× for 10× data, i.e. two fact passes). The cached table is
+    part-grain (∝ distinct parts, never events), and the terminal-action
+    owner releases it per the cache-lifetime contract
+    (session.release_caches). r7 measured: sf0.1 ~unchanged (both
+    passes are cheap there), sf1 8.6 → 1.5s — 10× data now ~1.1× wall."""
     li = load_table(spark, sf_dir, "lineitem")
     val = F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).cast(
         "decimal(28,6)"
     )
-    per_part = li.groupBy("l_partkey").agg(F.sum(val).alias("value"))
+    per_part = li.groupBy("l_partkey").agg(F.sum(val).alias("value")).persist()
     total = per_part.agg(F.sum("value").alias("total"))
     return (
         per_part.join(F.broadcast(total))
