@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions.scalars import stable_round
-from ..session import load_table
+from ..session import fan_out, load_table
 from .base import QueryDef
 from .text import BM25_SQL, bm25_score
 
@@ -285,42 +285,76 @@ def similarity_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     truncation to d ∈ {dims} dimensions, against the full-width exact
     ranking.
 
-    ONE pair pass computes every width: per (query, candidate) the
-    prefix dot/norms for all d come from slices of the same arrays, so
-    the corpus join is paid once, not once per width (the pair loop
-    dominates; extra prefix folds are arithmetic on already-loaded
-    vectors). Ranks per (d, query) ride one window; recall joins each
-    width's top-k against the full-width top-k from the SAME scored
-    table. Deterministic (6dp + id tie-breaks) ⇒ stable rows; not
-    SQL-expressible compactly (per-width rank-join self-comparison) —
-    rows-only, with invariants pinned in tests (full-width recall ≡ 1,
-    bounds, per-width row counts)."""
+    ONE pair pass computes every width, and the pair-grain work is only
+    what is genuinely pair-grain: the element products are computed ONCE
+    per pair (one ``zip_with``, staged in its own projection per the
+    HOF-staging rule) and each width's dot is a re-SUM of a prefix slice
+    of that product array — no per-width re-multiplication; the per-width
+    SELF-norms belong to the row grain and are precomputed per query /
+    per candidate row BEFORE the join (moving them out of the |q|×|c|
+    loop — r7: the pair pass previously recomputed 3 slice-dots per
+    width per pair, the worst honest ratio in the sf1 sweep at 6.56×).
+    Values are bit-identical: same products, same fold order. Ranks per
+    (d, query) ride one window; recall joins each width's top-k against
+    the full-width top-k from the SAME scored table. Deterministic (6dp
+    + id tie-breaks) ⇒ stable rows; not SQL-expressible compactly
+    (per-width rank-join self-comparison) — rows-only, with invariants
+    pinned in tests (full-width recall ≡ 1, bounds, per-width row
+    counts)."""
     e = load_table(spark, sf_dir, "embeddings")
     full_d = MRL_DIMS[-1]
+
+    def prefix_sq_norms(col: str):
+        return F.array(
+            *[_dot(F.slice(col, 1, d), F.slice(col, 1, d)) for d in MRL_DIMS]
+        )
+
     q = e.filter(F.col("vec_id") < TOPK_N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        prefix_sq_norms("embedding").alias("q_nrm"),
     )
-    c = e.filter(F.col("vec_id") >= TOPK_N_QUERIES).select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb")
+    # fan_out: the pair pass (64 mults + per-width folds per candidate ×
+    # query) dwarfs the candidate row's bytes, and the testdata parquet
+    # reads as 1-2 row groups — without this the whole scoring pipeline
+    # pins to 2 tasks (no-op once the scan has >= cores splits).
+    c = fan_out(e.filter(F.col("vec_id") >= TOPK_N_QUERIES)).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_emb"),
+        prefix_sq_norms("embedding").alias("c_nrm"),
     )
     per_dim = F.array(
         *[
             F.struct(
                 F.lit(d).cast("long").alias("dims"),
                 stable_round(
-                    _dot(F.slice("q_emb", 1, d), F.slice("c_emb", 1, d))
+                    F.aggregate(
+                        F.slice(F.col("_prods"), 1, d),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
                     / F.sqrt(
-                        _dot(F.slice("q_emb", 1, d), F.slice("q_emb", 1, d))
-                        * _dot(F.slice("c_emb", 1, d), F.slice("c_emb", 1, d))
+                        F.element_at("q_nrm", i + 1) * F.element_at("c_nrm", i + 1)
                     ),
                     6,
                 ).alias("cosine"),
             )
-            for d in MRL_DIMS
+            for i, d in enumerate(MRL_DIMS)
         ]
     )
     scored = (
         c.join(F.broadcast(q))
+        # staged projection: the product array is consumed inside the
+        # per-width aggregate lambdas — materialize it once per pair
+        .select(
+            "query_id",
+            "cand_id",
+            "q_nrm",
+            "c_nrm",
+            F.zip_with(
+                "q_emb", "c_emb", lambda a, b: a.cast("double") * b.cast("double")
+            ).alias("_prods"),
+        )
         .select("query_id", "cand_id", F.explode(per_dim).alias("s"))
         .select("query_id", "cand_id", F.col("s.dims").alias("dims"), F.col("s.cosine").alias("cosine"))
     )
