@@ -105,6 +105,12 @@ HEADLINE = [
     "multimodal_decode_png",
     "multimodal_frame_sample_gif",
     "bpe_train_merges",
+    # r7: the two flagship iterative operators, tracked per-round now
+    # that their loops carry the optimized shapes (rank-vector-only
+    # PageRank iteration; one-action native-LSH k-grid). Cross-round
+    # totals compare on the common subset, as prior rounds did.
+    "pagerank_copurchase",
+    "ml_knn_k_leaderboard",
 ]
 
 
