@@ -121,8 +121,10 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     length in [3,10]. Map-only flag computation, one explode to
     per-(doc,rule) rows bounded by 4×docs, one hash agg keyed by the
     4-row rule dimension. ``n_killed_here`` sums to docs−survivors
-    across rules; each doc is charged to its FIRST failing rule."""
-    d = load_table(spark, sf_dir, "documents")
+    across rules; each doc is charged to its FIRST failing rule.
+    fan_out: the per-token rule arithmetic dwarfs row bytes and the
+    testdata parquet reads as ~2 row groups (no-op at corpus scale)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.trim(F.col("text")), r"\s+")
     n_tok = F.size(toks)
     sw_arr = F.array(*[F.lit(s) for s in STOPWORDS])
@@ -284,8 +286,11 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID by marker-token voting (north-star text analysis):
     score = count of language-specific function words; argmax with a fixed
-    tie-break order, compared against the labeled ``lang`` column."""
-    d = load_table(spark, sf_dir, "documents")
+    tie-break order, compared against the labeled ``lang`` column.
+    fan_out: per-language marker filters over every token dwarf row
+    bytes; the testdata parquet reads as ~2 row groups (no-op at
+    corpus scale)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     toks = F.split(F.trim(F.col("text")), r"\s+")
 
     def _score(markers: tuple[str, ...]):
@@ -656,8 +661,10 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenization, term frequency per doc, document frequency, idf =
     ln(N/df), top-{k} terms per doc by rounded tfidf with a term-name
     tie-break. Two hash aggregations + a broadcast of the 1-row corpus
-    count; the per-doc rank is a window over the scored terms."""
-    d = load_table(spark, sf_dir, "documents")
+    count; the per-doc rank is a window over the scored terms.
+    fan_out: tokenize+explode per doc dwarfs row bytes; the testdata
+    parquet reads as ~2 row groups (no-op at corpus scale)."""
+    d = fan_out(load_table(spark, sf_dir, "documents"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     terms = d.select(
         "doc_id",
