@@ -157,6 +157,15 @@ def minhash_banded_pairs(
     r = num_hashes // bands
     if bands * r != num_hashes:
         raise ValueError("num_hashes must be divisible by bands")
+    # fan_out: the shingle build + 32 min-hash folds are per-token CPU
+    # that dwarfs row bytes, and a small parquet reads as 1-2 row groups
+    # — without this the ENTIRE signature pipeline (and, because it is
+    # cached, every downstream branch) pins to 2 tasks (measured 11.5s
+    # at sf1; 3.7s fanned). No-op once the scan has >= cores splits —
+    # the corpus-scale case.
+    from ..session import fan_out
+
+    docs = fan_out(docs)
     # hash each shingle string to a long ONCE; every downstream pass
     # (32 min-hashes, the exact-Jaccard set ops) operates on longs.
     # Set semantics survive w.h.p. (64-bit collisions ~ n²/2⁶⁴).
@@ -473,6 +482,12 @@ def minhash_band_index(
     r = num_hashes // bands
     if bands * r != num_hashes:
         raise ValueError("num_hashes must be divisible by bands")
+    # fan_out: same rationale as minhash_banded_pairs — the shingle +
+    # 32-min-hash projection is per-token CPU pinned to the scan's
+    # row-group splits on small parquet; no-op at corpus scale.
+    from ..session import fan_out
+
+    docs = fan_out(docs)
     sh = ngram_shingles(docs.select(id_col, text_col), text_col, n).select(
         id_col,
         F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
