@@ -21,7 +21,7 @@ PICKS = [
     ("nearest_centroid_assign", "centroid broadcast + per-row argmin"),
     ("q18_large_orders", "having-filtered agg joined back: AQE sizes the join at runtime"),
     ("dense_global_index", "global dense ids via range partitioning — no SinglePartition stage"),
-    ("tfidf_top_terms", "two hash aggs + broadcast corpus count + per-doc rank window"),
+    ("tfidf_top_terms", "fan_out round-robin on the token-bound scan, two hash aggs + broadcast corpus count + per-doc rank window"),
     ("q6_forecast_revenue", "full predicate pushdown + 4-column pruned scan, partial agg only"),
     ("q4_order_priority", "EXISTS as left-semi join (no payload, build-side dedup)"),
     ("decontamination_overlap", "benchmark gram set broadcast; corpus streams map-only into partial agg"),
