@@ -246,6 +246,14 @@ def main() -> None:
         "spread": spread,
         "runs": runs,
         "n_samples": {n: len(samples[n]) for n in names},
+        # Statistic provenance (ADVICE r7): since r7 the per-query stat is
+        # the median of the FASTEST `runs` samples, with noisy entries
+        # (fastest-3 spread > 30%) resampled up to 3 extra times — strictly
+        # min-biased vs the plain median-of-all used through r6 for any
+        # entry listed in `resampled`. Cross-round total comparisons
+        # against r6-and-earlier artifacts should note this.
+        "stat": f"median_of_fastest_{runs}_resample30pct" if runs >= 3 else "median",
+        "resampled": sorted(n for n in names if len(samples[n]) > runs),
         "sf": sf,
         "quiet_box": quiet,
         "loadavg_before": load_before,

@@ -182,13 +182,32 @@ def make_game_results(rng: np.random.Generator, games: pd.DataFrame, teams: pd.D
     return pd.concat([res, extra, dups], ignore_index=True)
 
 
+def _generator_fingerprint() -> str:
+    """Content hash of THIS module's source — folded into the shared
+    cache-directory name so any change to the fixture generators (schema,
+    new table, distribution tweak) invalidates the cross-process cache
+    instead of silently serving stale parquet built by an older version
+    (ADVICE r7). Falls back to the package version string if the source
+    file is unreadable (zipapp installs)."""
+    import hashlib
+
+    try:
+        with open(__file__, "rb") as fh:
+            return hashlib.md5(fh.read()).hexdigest()[:12]
+    except OSError:
+        return "nosrc"
+
+
 def fixtures_dir(base: str | None = None) -> str:
     """The fixture tables as a CACHED on-disk dataset, shared across
-    processes: the content is a pure function of seed 42, so any process
-    may build it and every later caller reuses the same directory.
-    Build-then-atomic-rename (with a _SUCCESS marker) makes a racing
-    second builder harmless — the loser's temp dir is discarded."""
-    d = base or os.path.join(tempfile.gettempdir(), "mlb_wp_fixtures_seed42")
+    processes: the content is a pure function of seed 42 AND this
+    module's source (hashed into the directory name, so regenerated
+    logic never trusts a stale cache). Build-then-atomic-rename (with a
+    _SUCCESS marker) makes a racing second builder harmless — the
+    loser's temp dir is discarded."""
+    d = base or os.path.join(
+        tempfile.gettempdir(), f"mlb_wp_fixtures_seed42_{_generator_fingerprint()}"
+    )
     if os.path.exists(os.path.join(d, "_SUCCESS")):
         return d
     tmp = f"{d}.build-{os.getpid()}"

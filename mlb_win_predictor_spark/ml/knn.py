@@ -44,6 +44,11 @@ def _auto_bucket_length(
         .limit(1024)
         .collect()
     )
+    if not rows:
+        raise ValueError(
+            "empty train split: LSH bucket sizing needs at least one row "
+            f"with a non-null '{features_col}' vector"
+        )
     X = np.array([list(r[0]) for r in rows], dtype=np.float64)
     g = np.random.default_rng(seed).standard_normal(X.shape[1])
     proj = X @ g
@@ -116,7 +121,13 @@ def _ranked_neighbors(
     MinHash vs MLlib MinHashLSH pair."""
     if bucket_length is None:
         bucket_length = _auto_bucket_length(train, features_col, id_col, seed)
-    dim = len(train.select(features_col).first()[0])  # one-row driver peek
+    head = train.select(features_col).first()  # one-row driver peek
+    if head is None or head[0] is None:
+        raise ValueError(
+            "empty train split: kNN ranking needs at least one train row "
+            f"with a non-null '{features_col}' vector"
+        )
+    dim = len(head[0])
 
     def hashed(df: DataFrame, cols: list, feat: str, probes: int) -> DataFrame:
         buckets = _bucket_exprs(feat, dim, num_hash_tables, bucket_length, seed)

@@ -114,17 +114,9 @@ def _apply_merge(vocab: DataFrame, left: str, right: str) -> DataFrame:
     return _apply_merges(vocab, [(left, right)])
 
 
-def _release_checkpoint(df: DataFrame) -> None:
-    """Unpersist the RDD behind a ``localCheckpoint``'ed DataFrame. The
-    checkpointed plan is a LogicalRDD holding the persisted RDD; without
-    this, every training iteration leaves one full vocabulary copy in
-    block-manager storage until driver GC gets around to it — O(n_merges
-    × vocab) between GC cycles at a real merge budget. Best-effort: if
-    the plan shape ever changes, ContextCleaner still reclaims on GC."""
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+# per-iteration checkpoint release — shared helper (session.py), pinned
+# by the private-API smoke test so a Spark upgrade that breaks it is loud
+from ..session import release_checkpoint as _release_checkpoint  # noqa: E402
 
 
 def _select_merge_batch(ranked, symbol_set: set, cap: int):

