@@ -54,21 +54,29 @@ FROM media GROUP BY mime
 
 
 def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL PNG decode path (non-stub): each document's text bytes become
-    a deterministic small image (dims from doc_id, gray/RGB alternating),
-    encoded to REAL PNG bytes — full signature/IHDR/IDAT/IEND structure,
-    per-chunk CRCs, zlib-deflated scanlines, filters 0-4 cycling — then
-    decoded back by the full parser (``operators.multimodal.png_decode``:
-    CRC verify, inflate, unfilter). Both stages are Arrow-batched
-    map-only mapInPandas; the codec ships by value in the closures.
+    """REAL PNG decode path (non-stub) over a MIXED corpus: each
+    document's text bytes become a deterministic small image whose PNG
+    class cycles with doc_id over the five real-corpus variants — 8-bit
+    gray, 8-bit RGB (filters 0-4 cycling), indexed-color (PLTE, sub-byte
+    bit-packed scanlines), indexed-color + tRNS (decodes to RGBA), and
+    16-bit grayscale — then decoded back by the full parser
+    (``operators.multimodal.png_decode``: CRC verify, inflate, unfilter,
+    palette map, bit-unpack). ZERO NotImplementedError rows (r7 verdict
+    #4: palette PNGs are the most common real-corpus class the codec
+    used to reject; only Adam7 interlace remains gated). Both stages are
+    Arrow-batched map-only mapInPandas; the codec ships by value in the
+    closures.
 
     Rows-only entry (a codec round-trip has no SQL dual); pixel-exact
-    round-trip, an independent spec-loop unfilter cross-check, and the
-    real-file ``read_binary_files`` path are pinned in
-    tests/test_operators.py."""
-    from ..operators.multimodal import decode_png_media, png_encode
+    round-trip, spec-literal palette/16-bit vectors, and the real-file
+    ``read_binary_files`` path are pinned in tests/test_operators.py."""
+    from ..operators.multimodal import (
+        decode_png_media,
+        png_encode,
+        png_encode_palette,
+    )
 
-    enc = png_encode
+    enc, enc_pal = png_encode, png_encode_palette
     # the Python codec dominates per-row cost and documents.parquet is a
     # single row-group at test SFs (1-2 scan splits): fan the scan out
     # or the whole encode/decode pipeline runs on 1-2 cores (measured:
@@ -84,12 +92,42 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
             payloads = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 b = _np.frombuffer((text or " ").encode("utf-8"), dtype=_np.uint8)
-                w = 4 + int(doc_id) % 13
-                h = 4 + int(doc_id) % 11
-                c = 1 if int(doc_id) % 2 else 3
-                need = w * h * c
-                px = _np.tile(b, need // max(b.size, 1) + 1)[:need].reshape(h, w, c)
-                payloads.append(enc(px, filters=range(5)))
+                i = int(doc_id)
+                w = 4 + i % 13
+                h = 4 + i % 11
+                variant = i % 5
+                if variant == 0:  # 8-bit grayscale, every filter type
+                    need = w * h
+                    px = _np.tile(b, need // max(b.size, 1) + 1)[:need].reshape(h, w)
+                    payloads.append(enc(px, filters=range(5)))
+                elif variant == 1:  # 8-bit RGB, every filter type
+                    need = w * h * 3
+                    px = _np.tile(b, need // max(b.size, 1) + 1)[:need].reshape(h, w, 3)
+                    payloads.append(enc(px, filters=range(5)))
+                elif variant == 2:  # indexed-color: <=16 colors, 4-bit packed
+                    need = w * h
+                    idx = _np.tile(b, need // max(b.size, 1) + 1)[:need].reshape(h, w) % 16
+                    colors = _np.stack(
+                        [_np.arange(16) * 16, _np.arange(16) * 8, _np.arange(16)], axis=1
+                    ).astype(_np.uint8)
+                    payloads.append(enc_pal(colors[idx]))
+                elif variant == 3:  # indexed + tRNS -> RGBA decode path
+                    need = w * h
+                    idx = _np.tile(b, need // max(b.size, 1) + 1)[:need].reshape(h, w) % 4
+                    colors = _np.array(
+                        [[0, 0, 0], [80, 90, 100], [160, 10, 20], [240, 250, 5]],
+                        dtype=_np.uint8,
+                    )
+                    payloads.append(enc_pal(colors[idx], trns=[0, 255, 128]))
+                else:  # 16-bit grayscale
+                    need = w * h
+                    px16 = (
+                        _np.tile(b, need // max(b.size, 1) + 1)[:need]
+                        .astype(_np.uint16)
+                        .reshape(h, w)
+                        * 257
+                    )
+                    payloads.append(enc(px16, filters=range(5)))
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -324,8 +324,9 @@ def test_png_decode_matches_independent_spec_unfilter():
 
 
 def test_png_decode_rejects_corruption_and_gates_unsupported():
-    """CRC corruption must raise (not decode garbage); 16-bit depth is an
-    honest NotImplementedError, not a wrong answer."""
+    """CRC corruption must raise (not decode garbage); Adam7 interlace is
+    an honest NotImplementedError, not a wrong answer; an illegal
+    depth/color combination is a ValueError."""
     import struct
     import zlib
 
@@ -341,15 +342,131 @@ def test_png_decode_rejects_corruption_and_gates_unsupported():
         png_decode(bytes(blob))
     with _pytest.raises(ValueError, match="signature"):
         png_decode(b"GIF89a not a png")
-    # hand-build a 16-bit-depth IHDR: must gate, not mis-decode
     sig = b"\x89PNG\r\n\x1a\n"
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
     chunk = lambda t, d: (  # noqa: E731
         struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
     )
-    deep = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(b"\x00" * 26)) + chunk(b"IEND", b"")
-    with _pytest.raises(NotImplementedError):
-        png_decode(deep)
+    # Adam7 interlace: the one remaining scope gate
+    ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    adam7 = sig + chunk(b"IHDR", ihdr_i) + chunk(b"IDAT", zlib.compress(b"\x00" * 14)) + chunk(b"IEND", b"")
+    with _pytest.raises(NotImplementedError, match="Adam7"):
+        png_decode(adam7)
+    # illegal combination (2-bit RGB does not exist in the spec)
+    ihdr_bad = struct.pack(">IIBBBBB", 2, 2, 2, 2, 0, 0, 0)
+    bad = sig + chunk(b"IHDR", ihdr_bad) + chunk(b"IDAT", zlib.compress(b"\x00" * 4)) + chunk(b"IEND", b"")
+    with _pytest.raises(ValueError, match="illegal"):
+        png_decode(bad)
+    # indexed-color without PLTE is a hard error
+    ihdr_p = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    nop = sig + chunk(b"IHDR", ihdr_p) + chunk(b"IDAT", zlib.compress(b"\x00" * 6)) + chunk(b"IEND", b"")
+    with _pytest.raises(ValueError, match="PLTE"):
+        png_decode(nop)
+
+
+def test_png_16bit_roundtrip_and_spec_literal():
+    """16-bit depth (r7 verdict #4): encode→decode round-trips uint16
+    samples exactly for gray and RGB across all five filters, and a
+    hand-built spec-literal image (big-endian samples per §7.1, filter 0)
+    decodes to the exact expected values at full precision."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mlb_win_predictor_spark.operators.multimodal import png_decode, png_encode
+
+    rng = np.random.default_rng(5)
+    for shape, c_exp in (((7, 5), 1), ((6, 4, 3), 3), ((5, 3, 4), 4)):
+        px = rng.integers(0, 65536, shape, dtype=np.uint16)
+        w, h, c, out = png_decode(png_encode(px, filters=range(5)))
+        assert (w, h, c) == (shape[1], shape[0], c_exp)
+        assert out.dtype == np.uint16
+        assert np.array_equal(out.reshape(px.shape), px)
+    # spec literal: 2x2 16-bit grayscale, samples 0x0102 0x0304 / 0xFFFE 0x8000
+    sig = b"\x89PNG\r\n\x1a\n"
+    chunk = lambda t, d: (  # noqa: E731
+        struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+    )
+    raw = b"\x00" + b"\x01\x02\x03\x04" + b"\x00" + b"\xff\xfe\x80\x00"
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    blob = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    w, h, c, out = png_decode(blob)
+    assert (w, h, c) == (2, 2, 1)
+    assert out.reshape(2, 2).tolist() == [[0x0102, 0x0304], [0xFFFE, 0x8000]]
+
+
+def test_png_palette_roundtrip_trns_and_spec_literal():
+    """Indexed-color PNG (r7 verdict #4 — the most common real-corpus
+    class the codec used to reject): palette round-trips exactly at every
+    legal bit depth (1/2/4/8, scanlines bit-packed per §7.2 with pixel 0
+    in the high bits), tRNS produces RGBA with missing entries opaque
+    (§11.3.2), an out-of-palette index raises, and a hand-built
+    spec-literal 1-bit image decodes to the exact PLTE colors. Sub-byte
+    GRAYSCALE is scaled by exactly 255/(2^d−1)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from mlb_win_predictor_spark.operators.multimodal import (
+        png_decode,
+        png_encode_palette,
+    )
+
+    rng = np.random.default_rng(9)
+    for depth, n_colors in ((1, 2), (2, 4), (4, 16), (8, 200)):
+        colors = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+        # w=9 deliberately not divisible by pixels-per-byte: exercises padding
+        idx = rng.integers(0, n_colors, (6, 9))
+        px = colors[idx]
+        w, h, c, out = png_decode(png_encode_palette(px, depth=depth))
+        assert (w, h, c) == (9, 6, 3)
+        assert np.array_equal(out, px), f"depth {depth} mismatch"
+    # tRNS: alpha table shorter than the palette -> missing entries opaque
+    px = np.array(
+        [[[255, 0, 0], [0, 255, 0]], [[0, 0, 255], [255, 0, 0]]], dtype=np.uint8
+    )
+    blob = png_encode_palette(px, trns=[7])  # palette sorts colors; entry 0 gets 7
+    w, h, c, out = png_decode(blob)
+    assert (w, h, c) == (2, 2, 4)
+    assert np.array_equal(out[:, :, :3], px)
+    alphas = set(out[:, :, 3].reshape(-1).tolist())
+    assert alphas == {7, 255}
+    # spec literal: 1-bit indexed 2x2, packed rows 0b10...(pad) 0b01...
+    sig = b"\x89PNG\r\n\x1a\n"
+    chunk = lambda t, d: (  # noqa: E731
+        struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+    )
+    plte = bytes([10, 20, 30, 200, 210, 220])
+    raw = b"\x00" + bytes([0b10000000]) + b"\x00" + bytes([0b01000000])
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 1, 3, 0, 0, 0)
+    blob = (
+        sig + chunk(b"IHDR", ihdr) + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    )
+    w, h, c, out = png_decode(blob)
+    assert (w, h, c) == (2, 2, 3)
+    assert out.tolist() == [
+        [[200, 210, 220], [10, 20, 30]],
+        [[10, 20, 30], [200, 210, 220]],
+    ]
+    # out-of-palette index must raise, not wrap
+    raw_bad = b"\x00" + bytes([3, 9]) + b"\x00" + bytes([0, 1])
+    ihdr8 = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    blob_bad = (
+        sig + chunk(b"IHDR", ihdr8) + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(raw_bad)) + chunk(b"IEND", b"")
+    )
+    with _pytest.raises(ValueError, match="palette index"):
+        png_decode(blob_bad)
+    # sub-byte grayscale: 2-bit samples scale by exactly 85
+    raw_g = b"\x00" + bytes([0b00_01_10_11]) + b"\x00" + bytes([0b11_10_01_00])
+    ihdr_g = struct.pack(">IIBBBBB", 4, 2, 2, 0, 0, 0, 0)
+    blob_g = sig + chunk(b"IHDR", ihdr_g) + chunk(b"IDAT", zlib.compress(raw_g)) + chunk(b"IEND", b"")
+    w, h, c, out = png_decode(blob_g)
+    assert (w, h, c) == (4, 2, 1)
+    assert out.reshape(2, 4).tolist() == [[0, 85, 170, 255], [255, 170, 85, 0]]
 
 
 def test_png_fixtures_through_binary_files_source(spark, tmp_path):
@@ -1179,6 +1296,80 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
     # dangling sink (3) must out-rank its sources' base rank; hub 2 highest
     assert got[2] == max(got.values())
+
+
+def test_pagerank_convergence_early_exit(spark):
+    """With ``tol`` set, iteration stops once max|Δrank| < tol instead of
+    burning the full cap (r7 verdict #6). A regular graph (3-cycle) is
+    AT its fixpoint from the uniform start — the first delta check sees
+    ~0 and must stop immediately — while ``tol=None`` must keep the
+    exact fixed-``iterations`` contract. Iteration count is observed by
+    counting per-iteration checkpoint releases (one per iteration after
+    the first)."""
+    from mlb_win_predictor_spark.operators import graph
+
+    df = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+
+    releases = []
+    orig = graph._release_checkpoint
+
+    def counting(d):
+        releases.append(1)
+        orig(d)
+
+    graph._release_checkpoint = counting
+    try:
+        got = {r.node: r.rank for r in graph.pagerank(df, iterations=50, tol=1e-12).collect()}
+        n_iters_tol = len(releases) + 1
+        releases.clear()
+        # tol=None: no early exit even though the graph converged long ago
+        graph.pagerank(df, iterations=7).collect()
+        n_iters_fixed = len(releases) + 1
+    finally:
+        graph._release_checkpoint = orig
+
+    assert n_iters_tol <= 3, f"expected immediate convergence, ran {n_iters_tol}"
+    assert n_iters_fixed == 7
+    assert abs(sum(got.values()) - 1.0) < 1e-12
+    for v in got.values():
+        assert abs(v - 1.0 / 3.0) < 1e-12
+
+
+def test_pagerank_power_law_hot_node(spark):
+    """Skew probe (r7 verdict #6): a star graph with one hot node — 2000
+    spokes all pointing at node 0, node 0 pointing back at every spoke —
+    is the worst case for the per-iteration ``groupBy("dst")`` (every
+    spoke's contribution lands on one key) AND for the ranks⋈links join
+    (node 0's out-degree is the whole graph). Partial map-side
+    aggregation + AQE skew handling must survive it and match the exact
+    scalar recursion the graph's symmetry admits (every spoke carries the
+    same rank, so the full power iteration reduces to the hub sequence
+    x_{t+1} = (1−d)/n + d·(1−x_t))."""
+    import numpy as np
+
+    from mlb_win_predictor_spark.operators.graph import pagerank
+
+    n_spokes, iters, d = 2000, 12, 0.85
+    spokes = spark.range(1, n_spokes + 1).select(
+        F.col("id").alias("src"), F.lit(0).cast("long").alias("dst")
+    )
+    back = spark.range(1, n_spokes + 1).select(
+        F.lit(0).cast("long").alias("src"), F.col("id").alias("dst")
+    )
+    got = {
+        r.node: r.rank
+        for r in pagerank(spokes.union(back), iterations=iters).collect()
+    }
+    assert len(got) == n_spokes + 1
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    n = n_spokes + 1
+    x = 1.0 / n  # hub rank; spokes each hold (1-x)/n_spokes by symmetry
+    for _ in range(iters):
+        x = (1 - d) / n + d * (1 - x)
+    spoke_rank = (1 - x) / n_spokes
+    assert abs(got[0] - x) < 1e-9, (got[0], x)
+    sp = np.array([got[i] for i in range(1, n_spokes + 1)])
+    assert np.abs(sp - spoke_rank).max() < 1e-9
 
 
 def test_weighted_sample_deterministic_and_weight_biased(spark):
