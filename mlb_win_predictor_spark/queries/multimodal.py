@@ -359,7 +359,9 @@ def multimodal_frame_sample_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
                     _np.full((h, w, 3), [(i + 37 * k) % 256, (2 * i + k) % 256, (3 * i + 11 * k) % 256], _np.uint8)
                     for k in range(n_frames)
                 ]
-                payloads.append(enc(frames, delay_cs=4 + i % 3))
+                # every other clip is INTERLACED (spec §20 row order) —
+                # the decoder must composite both classes identically (r8)
+                payloads.append(enc(frames, delay_cs=4 + i % 3, interlace=i % 2 == 0))
             yield _pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

@@ -324,9 +324,8 @@ def test_png_decode_matches_independent_spec_unfilter():
 
 
 def test_png_decode_rejects_corruption_and_gates_unsupported():
-    """CRC corruption must raise (not decode garbage); Adam7 interlace is
-    an honest NotImplementedError, not a wrong answer; an illegal
-    depth/color combination is a ValueError."""
+    """CRC corruption must raise (not decode garbage); a truncated Adam7
+    stream and an illegal depth/color combination are ValueErrors."""
     import struct
     import zlib
 
@@ -346,10 +345,11 @@ def test_png_decode_rejects_corruption_and_gates_unsupported():
     chunk = lambda t, d: (  # noqa: E731
         struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
     )
-    # Adam7 interlace: the one remaining scope gate
+    # truncated interlaced stream: a 2x2 RGB Adam7 needs 15 raw bytes
+    # (passes 1/6/7 = 4+4+7); 14 must fail the per-pass length check
     ihdr_i = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
     adam7 = sig + chunk(b"IHDR", ihdr_i) + chunk(b"IDAT", zlib.compress(b"\x00" * 14)) + chunk(b"IEND", b"")
-    with _pytest.raises(NotImplementedError, match="Adam7"):
+    with _pytest.raises(ValueError, match="IDAT length"):
         png_decode(adam7)
     # illegal combination (2-bit RGB does not exist in the spec)
     ihdr_bad = struct.pack(">IIBBBBB", 2, 2, 2, 2, 0, 0, 0)
@@ -361,6 +361,52 @@ def test_png_decode_rejects_corruption_and_gates_unsupported():
     nop = sig + chunk(b"IHDR", ihdr_p) + chunk(b"IDAT", zlib.compress(b"\x00" * 6)) + chunk(b"IEND", b"")
     with _pytest.raises(ValueError, match="PLTE"):
         png_decode(nop)
+
+
+def test_png_adam7_interlace_roundtrip_and_spec_literal():
+    """Adam7 interlace (r8, the last PNG scope gate closed): encode→decode
+    round-trips exactly for odd/even dims across all five filters at 8-
+    and 16-bit (each pass filtered independently; empty passes at small
+    dims contribute no bytes), interlaced output equals the
+    non-interlaced decode of the same pixels, and a hand-built 2-bit
+    grayscale interlaced spec vector (per-pass bit-packed scanlines)
+    decodes to the exact §8.2 pixel placement."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mlb_win_predictor_spark.operators.multimodal import png_decode, png_encode
+
+    rng = np.random.default_rng(13)
+    for shape in ((1, 1), (2, 2, 3), (3, 5), (7, 11, 4), (9, 8, 3), (16, 16)):
+        px = rng.integers(0, 256, shape, dtype=np.uint8)
+        w, h, c, out = png_decode(png_encode(px, filters=range(5), interlace=True))
+        assert (h, w) == shape[:2]
+        assert np.array_equal(out.reshape(px.shape), px), shape
+        w2, h2, c2, plain = png_decode(png_encode(px, filters=range(5)))
+        assert np.array_equal(out, plain)
+    px16 = rng.integers(0, 65536, (6, 7, 3), dtype=np.uint16)
+    _, _, _, out16 = png_decode(png_encode(px16, filters=range(5), interlace=True))
+    assert out16.dtype == np.uint16 and np.array_equal(out16, px16)
+    # spec literal: 4x4 2-bit grayscale, v[y][x] = x; Adam7 packs it as
+    # passes 1,4,5,6,7 (2,3 empty at 4x4) with per-pass byte padding
+    sig = b"\x89PNG\r\n\x1a\n"
+    chunk = lambda t, d: (  # noqa: E731
+        struct.pack(">I", len(d)) + t + d + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+    )
+    raw = bytes(
+        [0, 0x00]          # pass 1: pixel (0,0) = 0
+        + [0, 0x80]        # pass 4: pixel (2,0) = 2
+        + [0, 0x20]        # pass 5: pixels (0,2),(2,2) = 0,2
+        + [0, 0x70, 0, 0x70]  # pass 6: x in {1,3}, y in {0,2} = 1,3
+        + [0, 0x1B, 0, 0x1B]  # pass 7: full rows y=1,3 = 0,1,2,3
+    )
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 2, 0, 0, 0, 1)
+    blob = sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+    w, h, c, out = png_decode(blob)
+    assert (w, h, c) == (4, 4, 1)
+    assert out.reshape(4, 4).tolist() == [[0, 85, 170, 255]] * 4
 
 
 def test_png_16bit_roundtrip_and_spec_literal():
@@ -1869,14 +1915,33 @@ def test_gif_decode_disposal_and_transparency_spec_cases():
     assert np.array_equal(frames[2], exp3)
     assert (frames[3] == [0, 255, 255]).all(), "LCT must override GCT"
 
-    with pytest.raises(NotImplementedError, match="interlaced"):
-        gif_decode(hdr + gce(0) + img(0, 0, 4, 4, [1] * 16, interlace=True) + b"\x3b")
+    # interlaced image block (r8 — the last GIF scope gate closed): a
+    # hand-built spec vector whose STORED rows are in §20 pass order
+    # (for h=4: display rows 0, 2, 1, 3) must decode to the display
+    # order — row r of the display = color index r
+    stored = [0] * 4 + [2] * 4 + [1] * 4 + [3] * 4
+    w_i, h_i, fr_i, _ = gif_decode(
+        hdr + gce(0) + img(0, 0, 4, 4, stored, interlace=True) + b"\x3b"
+    )
+    palette = np.frombuffer(gct, np.uint8).reshape(4, 3)
+    exp_i = np.repeat(palette[np.arange(4)], 4, axis=0).reshape(4, 4, 3)
+    assert np.array_equal(fr_i[0], exp_i)
 
     # the real encoder's output must itself decode with an independent
     # LZW in the loop: cross-check one encoder frame against numpy
     solid = np.full((3, 5, 3), 77, np.uint8)
     _, _, rt, _ = gif_decode(gif_encode([solid]))
     assert np.array_equal(rt[0], solid)
+    # interlaced encode→decode round-trip at a height exercising all four
+    # passes (h=10: passes over rows 0,8 / 4 / 2,6 / odd)
+    rng2 = np.random.default_rng(21)
+    multi = [
+        (rng2.integers(0, 4, (10, 7, 1)) * 80).astype(np.uint8).repeat(3, axis=2)
+        for _ in range(3)
+    ]
+    _, _, rt_i, _ = gif_decode(gif_encode(multi, interlace=True))
+    for got, want in zip(rt_i, multi):
+        assert np.array_equal(got, want)
 
 
 def test_sample_gif_frames_fanout_and_known_means(spark):
