@@ -512,9 +512,39 @@ def test_pagerank_iteration_exchanges_rank_vector_only(spark):
         (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
         & (F.col("a.l_partkey") != F.col("b.l_partkey")),
     ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-    edges = edges.select("src", "dst").distinct()
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    links = edges.join(out_deg, "src").repartition("src").persist()
+    # r8: the links BUILD is pinned to one edge shuffle — repartition
+    # ("src") first, then dropDuplicates + window degree, both satisfied
+    # by hash(src) with no further Exchange.
+    import contextlib
+    import io
+
+    from pyspark.sql.window import Window as PRW
+
+    def build_links(e):
+        return (
+            e.select("src", "dst")
+            .repartition("src")
+            .dropDuplicates(["src", "dst"])
+            .withColumn("deg", F.count(F.lit(1)).over(PRW.partitionBy("src")))
+        )
+
+    # count the build's own exchanges on a local-relation edge list (the
+    # parquet `edges` above adds input-side limit/broadcast exchanges
+    # that belong to the test fixture, not the build)
+    synth = spark.createDataFrame(
+        [(i % 7, (i * 3) % 7) for i in range(40)], "src long, dst long"
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        build_links(synth).explain("formatted")
+    build = buf.getvalue()
+    n_build_exchanges = sum(
+        1
+        for line in build.splitlines()
+        if line.strip().startswith("(") and "Exchange" in line
+    )
+    assert n_build_exchanges == 1, f"links build must be ONE edge shuffle:\n{build}"
+    links = build_links(edges).persist()
     try:
         links.count()
         nodes = edges.select(F.col("src").alias("node")).distinct()
