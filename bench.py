@@ -111,6 +111,11 @@ HEADLINE = [
     # totals compare on the common subset, as prior rounds did.
     "pagerank_copurchase",
     "ml_knn_k_leaderboard",
+    # r8: the two new entries heavy enough to matter — the fully
+    # oracle-checked exact dedup chain and the baseline-JPEG mixed
+    # corpus. Cross-round totals compare on the common subset.
+    "dedup_exact_end_to_end",
+    "multimodal_decode_jpeg",
 ]
 
 

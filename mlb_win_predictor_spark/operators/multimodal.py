@@ -1380,3 +1380,555 @@ def image_features_media(media: DataFrame, grid: int = 8) -> DataFrame:
         embed_batches,
         schema="doc_id long, embedding array<float>, mean_luma double, std_luma double",
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL baseline JPEG codec — pure Python + numpy, no external deps, per the
+# public ITU-T T.81 spec (baseline sequential DCT, Huffman entropy coding)
+# and JFIF. This closes the last common real-corpus image class the engine
+# could only header-sniff: encoder (quality-scaled Annex-K quantization,
+# standard Annex-K Huffman tables, 4:4:4 or 4:2:0 chroma subsampling,
+# optional restart intervals) and decoder (marker walk, canonical Huffman,
+# interleaved MCU scan, dequantize + vectorized 8x8 IDCT over all blocks,
+# chroma upsample, YCbCr->RGB). Progressive (SOF2) and arithmetic coding
+# raise NotImplementedError — honest gates; baseline covers the dominant
+# share of real corpora. Factory-scoped for by-value pickling, same
+# discipline as ``_png_codec``. Reference parity: the reference repo has
+# no media path (763-line tabular ETL); this implements BASELINE.json
+# north-star "multimodal columns" decode for image/jpeg.
+# ---------------------------------------------------------------------------
+
+
+def _jpeg_codec():
+    """Build (jpeg_encode, jpeg_decode)."""
+    import struct
+
+    import numpy as np
+
+    # Annex K.1/K.2 base quantization tables (luminance, chrominance)
+    QL = np.array([
+        16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99,
+    ], dtype=np.int32)
+    QC = np.array([
+        17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    ], dtype=np.int32)
+    # Annex K.3: standard Huffman tables as (bits[1..16], values)
+    DC_L = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+    DC_C = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+            list(range(12)))
+    AC_L = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D], [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ])
+    AC_C = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77], [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ])
+    # zigzag: ZZ[i] = raster index of the i-th coefficient in zigzag order
+    def _zigzag():
+        order = sorted(
+            ((x + y, (y if (x + y) % 2 else x), x, y)
+             for y in range(8) for x in range(8))
+        )
+        return np.array([y * 8 + x for _, _, x, y in order], dtype=np.int64)
+
+    ZZ = _zigzag()
+    # orthonormal DCT-II matrix: block_dct = D @ B @ D.T
+    k = np.arange(8)
+    D = np.sqrt(2.0 / 8.0) * np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16.0)
+    D[0] *= 1.0 / np.sqrt(2.0)
+
+    def _canonical_codes(bits, values):
+        """(code, length) per symbol from the T.81 canonical recipe."""
+        codes, code = {}, 0
+        i = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                codes[values[i]] = (code, ln)
+                code += 1
+                i += 1
+            code <<= 1
+        return codes
+
+    def _scaled_tables(quality: int):
+        q = min(max(int(quality), 1), 100)
+        scale = 5000 // q if q < 50 else 200 - 2 * q
+        tl = np.clip((QL * scale + 50) // 100, 1, 255).astype(np.int32)
+        tc = np.clip((QC * scale + 50) // 100, 1, 255).astype(np.int32)
+        return tl, tc
+
+    def _blocks_of(plane: "np.ndarray") -> "np.ndarray":
+        """(H, W) float plane (H, W multiples of 8) → (n, 8, 8) blocks in
+        raster MCU-scan order."""
+        H, W = plane.shape
+        return (
+            plane.reshape(H // 8, 8, W // 8, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        )
+
+    def _planes_of(blocks: "np.ndarray", H: int, W: int) -> "np.ndarray":
+        return (
+            blocks.reshape(H // 8, W // 8, 8, 8).transpose(0, 2, 1, 3).reshape(H, W)
+        )
+
+    def _pad8(plane: "np.ndarray", mult: int = 8) -> "np.ndarray":
+        H, W = plane.shape
+        return np.pad(
+            plane, ((0, (-H) % mult), (0, (-W) % mult)), mode="edge"
+        )
+
+    def _magnitude(v: int):
+        """(category, bits) per T.81 F.1.2.1: negatives as one's complement."""
+        if v == 0:
+            return 0, 0
+        a = abs(v)
+        s = a.bit_length()
+        return s, (v if v > 0 else v + (1 << s) - 1)
+
+    class _BitWriter:
+        def __init__(self):
+            self.out = bytearray()
+            self.acc = 0
+            self.n = 0
+
+        def put(self, code: int, length: int):
+            for i in range(length - 1, -1, -1):
+                self.acc = (self.acc << 1) | ((code >> i) & 1)
+                self.n += 1
+                if self.n == 8:
+                    self.out.append(self.acc)
+                    if self.acc == 0xFF:
+                        self.out.append(0x00)  # byte stuffing
+                    self.acc = self.n = 0
+
+        def align(self):
+            if self.n:
+                self.put((1 << (8 - self.n)) - 1, 8 - self.n)  # pad with 1s
+
+    def jpeg_encode(
+        pixels,
+        quality: int = 90,
+        subsample: bool = False,
+        restart_interval: int = 0,
+    ) -> bytes:
+        """Encode an (h, w[, c]) uint8 array (c in {1, 3}; RGB) as a REAL
+        baseline JFIF JPEG. ``subsample=True`` writes 4:2:0 (2x2 box-mean
+        chroma, Y sampling 2x2); ``restart_interval`` > 0 emits DRI +
+        RSTn markers every that many MCUs (predictors reset, bitstream
+        byte-aligned) — the error-resilience feature real encoders use."""
+        px = np.asarray(pixels, dtype=np.uint8)
+        if px.ndim == 2:
+            px = px[:, :, None]
+        h, w, c = px.shape
+        if h == 0 or w == 0 or c not in (1, 3):
+            raise ValueError("jpeg_encode expects (h, w) gray or (h, w, 3) RGB")
+        tl, tc = _scaled_tables(quality)
+        if c == 3:
+            f = px.astype(np.float64)
+            y = 0.299 * f[:, :, 0] + 0.587 * f[:, :, 1] + 0.114 * f[:, :, 2]
+            cb = 128.0 - 0.168736 * f[:, :, 0] - 0.331264 * f[:, :, 1] + 0.5 * f[:, :, 2]
+            cr = 128.0 + 0.5 * f[:, :, 0] - 0.418688 * f[:, :, 1] - 0.081312 * f[:, :, 2]
+            if subsample:
+                cbp, crp = _pad8(cb, 2), _pad8(cr, 2)
+                cb = (cbp[0::2, 0::2] + cbp[0::2, 1::2] + cbp[1::2, 0::2] + cbp[1::2, 1::2]) / 4.0
+                cr = (crp[0::2, 0::2] + crp[0::2, 1::2] + crp[1::2, 0::2] + crp[1::2, 1::2]) / 4.0
+            comps = [
+                # (id, h_samp, v_samp, plane, qtab_id)
+                (1, 2 if subsample else 1, 2 if subsample else 1, y, 0),
+                (2, 1, 1, cb, 1),
+                (3, 1, 1, cr, 1),
+            ]
+        else:
+            comps = [(1, 1, 1, px[:, :, 0].astype(np.float64), 0)]
+        hmax = max(cc[1] for cc in comps)
+        vmax = max(cc[2] for cc in comps)
+        mcu_w, mcu_h = 8 * hmax, 8 * vmax
+        mcus_x = (w + mcu_w - 1) // mcu_w
+        mcus_y = (h + mcu_h - 1) // mcu_h
+        # quantized zigzag blocks per component, in component-raster order
+        qt = {0: tl, 1: tc}
+        comp_blocks = []
+        for _cid, hs, vs, plane, tq in comps:
+            H, W = mcus_y * 8 * vs, mcus_x * 8 * hs
+            p = plane
+            p = np.pad(
+                p, ((0, H - p.shape[0]), (0, W - p.shape[1])), mode="edge"
+            ) if (p.shape[0] != H or p.shape[1] != W) else p
+            blocks = _blocks_of(p - 128.0)
+            coef = np.einsum("ij,njk,lk->nil", D, blocks, D)
+            qz = np.round(coef.reshape(-1, 64)[:, ZZ] / qt[tq][None, :]).astype(np.int32)
+            comp_blocks.append((qz, W // 8))
+        dc_codes = [_canonical_codes(*DC_L), _canonical_codes(*DC_C)]
+        ac_codes = [_canonical_codes(*AC_L), _canonical_codes(*AC_C)]
+        bw = _BitWriter()
+        pred = [0] * len(comps)
+        mcu_count = 0
+        rst = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    bw.align()
+                    bw.out += bytes([0xFF, 0xD0 + rst])
+                    rst = (rst + 1) % 8
+                    pred = [0] * len(comps)
+                for ci, (_cid, hs, vs, _plane, _tq) in enumerate(comps):
+                    qz, bw_blocks = comp_blocks[ci]
+                    tsel = 0 if ci == 0 else 1
+                    for by in range(vs):
+                        for bx in range(hs):
+                            bi = (my * vs + by) * bw_blocks + (mx * hs + bx)
+                            blk = qz[bi]
+                            s, bits = _magnitude(int(blk[0]) - pred[ci])
+                            pred[ci] = int(blk[0])
+                            code, ln = dc_codes[tsel][s]
+                            bw.put(code, ln)
+                            if s:
+                                bw.put(bits, s)
+                            run = 0
+                            nz = np.nonzero(blk[1:])[0]
+                            last = nz[-1] + 1 if len(nz) else 0
+                            for i in range(1, last + 1):
+                                v = int(blk[i])
+                                if v == 0:
+                                    run += 1
+                                    continue
+                                while run > 15:
+                                    code, ln = ac_codes[tsel][0xF0]  # ZRL
+                                    bw.put(code, ln)
+                                    run -= 16
+                                s, bits = _magnitude(v)
+                                code, ln = ac_codes[tsel][(run << 4) | s]
+                                bw.put(code, ln)
+                                bw.put(bits, s)
+                                run = 0
+                            if last < 63:
+                                code, ln = ac_codes[tsel][0x00]  # EOB
+                                bw.put(code, ln)
+                mcu_count += 1
+        bw.align()
+        out = bytearray(b"\xff\xd8")  # SOI
+        out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        # DQT: tables are stored in zigzag order (tl/tc are raster-flat)
+        for tid, tab in ((0, tl), (1, tc)) if c == 3 else ((0, tl),):
+            out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(
+                int(x) for x in tab[ZZ]
+            )
+        if restart_interval:
+            out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+        out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * len(comps), 8, h, w, len(comps))
+        for cid, hs, vs, _plane, tq in comps:
+            out += bytes([cid, (hs << 4) | vs, tq])
+        for marker, (bits, values), tc_id in (
+            (0x00, DC_L, 0), (0x10, AC_L, 0), (0x01, DC_C, 1), (0x11, AC_C, 1),
+        ):
+            if c == 1 and tc_id == 1:
+                continue
+            out += b"\xff\xc4" + struct.pack(">H", 19 + len(values)) + bytes([marker])
+            out += bytes(bits) + bytes(values)
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps), len(comps))
+        for ci, (cid, *_rest) in enumerate(comps):
+            tsel = 0 if ci == 0 else 1
+            out += bytes([cid, (tsel << 4) | tsel])
+        out += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
+        out += bw.out
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    class _BitReader:
+        def __init__(self, data: bytes):
+            self.d = data
+            self.pos = 0
+            self.acc = 0
+            self.n = 0
+
+        def bit(self) -> int:
+            if self.n == 0:
+                if self.pos >= len(self.d):
+                    raise ValueError("truncated JPEG entropy stream")
+                self.acc = self.d[self.pos]
+                self.pos += 1
+                self.n = 8
+            self.n -= 1
+            return (self.acc >> self.n) & 1
+
+        def bits(self, k: int) -> int:
+            v = 0
+            for _ in range(k):
+                v = (v << 1) | self.bit()
+            return v
+
+    def _decode_huff(br, table: dict) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | br.bit()
+            ln += 1
+            sym = table.get((code, ln))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG stream")
+
+    def _extend(bits: int, s: int) -> int:
+        if s == 0:
+            return 0
+        return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
+
+    def jpeg_decode(payload: bytes):
+        """Decode REAL baseline JPEG bytes → (width, height, channels,
+        pixels) with ``pixels`` (h, w, c) uint8 (c=1 grayscale, c=3 RGB).
+        Marker walk (DQT/SOF0/DHT/DRI/SOS), canonical Huffman, interleaved
+        MCU entropy decode with restart-marker handling, dequantize +
+        ONE vectorized IDCT over every block of each component, chroma
+        upsample by sample-replication, JFIF YCbCr→RGB. Progressive
+        (SOF2) / arithmetic (SOF9+) raise NotImplementedError."""
+        b = bytes(payload)
+        if b[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG (bad SOI)")
+        pos = 2
+        qtabs: dict = {}
+        htabs: dict = {}
+        sof = None
+        restart_interval = 0
+        scan = None
+        while pos + 4 <= len(b):
+            if b[pos] != 0xFF:
+                raise ValueError(f"bad marker alignment at {pos}")
+            m = b[pos + 1]
+            pos += 2
+            if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+                continue
+            if m == 0xD9:
+                break
+            (seglen,) = struct.unpack(">H", b[pos : pos + 2])
+            seg = b[pos + 2 : pos + seglen]
+            if len(seg) != seglen - 2:
+                raise ValueError("truncated JPEG segment")
+            if m == 0xDB:  # DQT (possibly several tables)
+                sp = 0
+                while sp < len(seg):
+                    pq, tq = seg[sp] >> 4, seg[sp] & 0x0F
+                    if pq != 0:
+                        raise NotImplementedError("16-bit quant tables (extended JPEG)")
+                    tab = np.frombuffer(seg, np.uint8, 64, sp + 1).astype(np.int32)
+                    raster = np.empty(64, dtype=np.int32)
+                    raster[ZZ] = tab  # stored zigzag → raster
+                    qtabs[tq] = raster
+                    sp += 65
+            elif m == 0xC4:  # DHT (possibly several tables)
+                sp = 0
+                while sp < len(seg):
+                    tc_id, th = seg[sp] >> 4, seg[sp] & 0x0F
+                    bits = list(seg[sp + 1 : sp + 17])
+                    nvals = sum(bits)
+                    values = list(seg[sp + 17 : sp + 17 + nvals])
+                    codes = _canonical_codes(bits, values)
+                    htabs[(tc_id, th)] = {(code, ln): sym for sym, (code, ln) in codes.items()}
+                    sp += 17 + nvals
+            elif m == 0xC0 or m == 0xC1:  # SOF0 baseline / extended sequential
+                prec, fh, fw, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
+                if prec != 8:
+                    raise NotImplementedError("non-8-bit JPEG precision")
+                comps = []
+                for i in range(nc):
+                    cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
+                    comps.append((cid, hv >> 4, hv & 0x0F, tq))
+                sof = (fw, fh, comps)
+            elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                raise NotImplementedError(
+                    f"non-baseline JPEG (SOF marker 0x{m:02x}: progressive/"
+                    "arithmetic/lossless) — baseline sequential only"
+                )
+            elif m == 0xDD:  # DRI
+                (restart_interval,) = struct.unpack(">H", seg[:2])
+            elif m == 0xDA:  # SOS: entropy data follows until next marker
+                ns = seg[0]
+                sel = []
+                for i in range(ns):
+                    cs, td_ta = seg[1 + 2 * i : 3 + 2 * i]
+                    sel.append((cs, td_ta >> 4, td_ta & 0x0F))
+                data_start = pos + seglen
+                scan = (sel, data_start)
+                break
+            pos += seglen
+        if sof is None or scan is None:
+            raise ValueError("missing SOF/SOS")
+        fw, fh, comps = sof
+        sel, data_start = scan
+        # entropy-coded bytes: un-stuff 0xFF00, split at RSTn, stop at EOI
+        segs: list = []
+        cur = bytearray()
+        p = data_start
+        while p < len(b):
+            byte = b[p]
+            if byte == 0xFF:
+                nxt = b[p + 1] if p + 1 < len(b) else 0xD9
+                if nxt == 0x00:
+                    cur.append(0xFF)
+                    p += 2
+                    continue
+                if 0xD0 <= nxt <= 0xD7:
+                    segs.append(bytes(cur))
+                    cur = bytearray()
+                    p += 2
+                    continue
+                break  # EOI or next real marker
+            cur.append(byte)
+            p += 1
+        segs.append(bytes(cur))
+        hmax = max(cc[1] for cc in comps)
+        vmax = max(cc[2] for cc in comps)
+        mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+        mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+        # per-component coefficient buffers
+        buf = {
+            cid: np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64)
+            for cid, hs, vs, _tq in comps
+        }
+        coefs = {
+            cid: np.zeros(((mcus_y * vs) * (mcus_x * hs), 64), dtype=np.int32)
+            for cid, hs, vs, _tq in comps
+        }
+        dc_t = {cs: htabs.get((0, td)) for cs, td, _ta in sel}
+        ac_t = {cs: htabs.get((1, ta)) for cs, _td, ta in sel}
+        if any(t is None for t in dc_t.values()) or any(t is None for t in ac_t.values()):
+            raise ValueError("scan references undefined Huffman table")
+        seg_idx = 0
+        br = _BitReader(segs[seg_idx])
+        pred = {cid: 0 for cid, *_ in comps}
+        mcu_count = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    seg_idx += 1
+                    if seg_idx >= len(segs):
+                        raise ValueError("missing restart segment")
+                    br = _BitReader(segs[seg_idx])
+                    pred = {cid: 0 for cid, *_ in comps}
+                for cid, hs, vs, _tq in comps:
+                    for by in range(vs):
+                        for bx in range(hs):
+                            s = _decode_huff(br, dc_t[cid])
+                            diff = _extend(br.bits(s), s) if s else 0
+                            pred[cid] += diff
+                            blk = np.zeros(64, dtype=np.int32)
+                            blk[0] = pred[cid]
+                            i = 1
+                            while i < 64:
+                                rs = _decode_huff(br, ac_t[cid])
+                                if rs == 0x00:  # EOB
+                                    break
+                                if rs == 0xF0:  # ZRL
+                                    i += 16
+                                    continue
+                                run, size = rs >> 4, rs & 0x0F
+                                i += run
+                                if i > 63:
+                                    raise ValueError("AC run past block end")
+                                blk[i] = _extend(br.bits(size), size)
+                                i += 1
+                            bi = (my * vs + by) * (mcus_x * hs) + (mx * hs + bx)
+                            coefs[cid][bi] = blk
+                mcu_count += 1
+        planes = {}
+        for cid, hs, vs, tq in comps:
+            if tq not in qtabs:
+                raise ValueError("frame references undefined quant table")
+            dez = np.zeros((coefs[cid].shape[0], 64), dtype=np.float64)
+            dez[:, ZZ] = coefs[cid] * qtabs[tq][ZZ][None, :]
+            blocks = dez.reshape(-1, 8, 8)
+            spatial = np.einsum("ji,njk,kl->nil", D, blocks, D) + 128.0
+            H, W = mcus_y * vs * 8, mcus_x * hs * 8
+            plane = _planes_of(spatial, H, W)
+            # upsample to full-resolution grid by sample replication
+            plane = np.repeat(np.repeat(plane, vmax // vs, axis=0), hmax // hs, axis=1)
+            planes[cid] = plane[:fh, :fw]
+        if len(comps) == 1:
+            g = np.clip(np.round(planes[comps[0][0]]), 0, 255).astype(np.uint8)
+            return fw, fh, 1, g[:, :, None]
+        y, cb, cr = (planes[c[0]] for c in comps)
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        bl = y + 1.772 * (cb - 128.0)
+        rgb = np.stack([r, g, bl], axis=2)
+        return fw, fh, 3, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+    return jpeg_encode, jpeg_decode
+
+
+jpeg_encode, jpeg_decode = _jpeg_codec()
+
+
+JPEG_DECODED_SCHEMA = (
+    "doc_id long, width int, height int, n_channels int, "
+    "mean_px double, std_px double"
+)
+
+
+def decode_jpeg_media(media: DataFrame) -> DataFrame:
+    """REAL decode over the multimodal payload column for ``image/jpeg``
+    rows: full baseline parse (marker walk, Huffman entropy decode,
+    dequantize + vectorized IDCT, chroma upsample, YCbCr→RGB) into
+    dimensions + pixel statistics — the JPEG sibling of
+    ``decode_png_media``. Non-JPEG rows are dropped; Arrow-batched
+    map-only mapInPandas; the codec ships by value (see
+    ``_jpeg_codec``)."""
+    decode = jpeg_decode
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, ws, hs, cs, means, stds = [], [], [], [], [], []
+            for doc_id, mime, payload in zip(pdf["doc_id"], pdf["mime"], pdf["payload"]):
+                if mime != "image/jpeg":
+                    continue
+                w, h, c, px = decode(bytes(payload))
+                ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                cs.append(c)
+                means.append(float(px.mean()))
+                stds.append(float(px.std()))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "width": ws,
+                    "height": hs,
+                    "n_channels": cs,
+                    "mean_px": means,
+                    "std_px": stds,
+                }
+            )
+
+    return media.mapInPandas(decode_batches, schema=JPEG_DECODED_SCHEMA)

