@@ -407,16 +407,25 @@ checkpoints (their dumped plan is just `Scan ExistingRDD`), so the
 load-bearing plans are the ones INSIDE the loop / before the checkpoint —
 audited here rather than dumped above:
 
-- **pagerank (operators/graph.py)** — per-iteration plan: the persisted
-  links table (`edges ⋈ out-degree`, `repartition("src")`) scans as an
-  InMemoryTableScan whose HashPartitioning(src) satisfies the join's
-  distribution, so the per-step SortMergeJoin/ShuffledHashJoin exchanges
+- **pagerank (operators/graph.py)** — links BUILD (r8): ONE edge
+  shuffle total — `repartition("src")` first, then
+  `dropDuplicates(src, dst)` and a window `count over (partition by
+  src)` for the out-degree, both of which Catalyst satisfies on the
+  existing hash(src) partitioning with no further Exchange (pinned by
+  tests/test_plans.py on a local-relation edge list; the r7 shape paid
+  three edge shuffles: the (src,dst) distinct, the degree groupBy, and
+  the post-join repartition). Per-iteration plan: the persisted links
+  table scans as an InMemoryTableScan whose HashPartitioning(src)
+  satisfies the join's distribution, so the per-step join exchanges
   ONLY the rank vector (one row per node); `groupBy("dst")` is the one
-  aggregation exchange; the dangling mass is a 1-row broadcast
-  (crossJoin(broadcast(...))), and for graphs with no dangling nodes the
-  agg is replaced by a literal 0.0 — no job at all. Storage bounded to
-  one rank copy: the previous step's localCheckpoint RDD is explicitly
-  unpersisted once the new one materializes.
+  aggregation exchange (partial map-side agg bounds hot in-degree keys
+  to one row per map partition — the power-law skew test pins this);
+  the dangling mass is a 1-row broadcast (crossJoin(broadcast(...))),
+  and for graphs with no dangling nodes the agg is replaced by a
+  literal 0.0 — no job at all. Optional `tol` early-exit compares two
+  already-materialized checkpoints (no recompute) in a 1-row max.
+  Storage bounded to one rank copy: the previous step's localCheckpoint
+  RDD is explicitly unpersisted once the new one materializes.
 - **kNN grid (ml/knn.py)** — the ranking plan before the checkpoint:
   bucket ids are `floor(v·g/w)` literal-direction expressions (no
   VectorUDT, no MLlib fit job), query side explodes 3 tables × 3 probes,
