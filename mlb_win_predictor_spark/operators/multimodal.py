@@ -1542,12 +1542,20 @@ def _jpeg_codec():
         quality: int = 90,
         subsample: bool = False,
         restart_interval: int = 0,
+        progressive: bool = False,
     ) -> bytes:
         """Encode an (h, w[, c]) uint8 array (c in {1, 3}; RGB) as a REAL
-        baseline JFIF JPEG. ``subsample=True`` writes 4:2:0 (2x2 box-mean
+        JFIF JPEG. ``subsample=True`` writes 4:2:0 (2x2 box-mean
         chroma, Y sampling 2x2); ``restart_interval`` > 0 emits DRI +
         RSTn markers every that many MCUs (predictors reset, bitstream
-        byte-aligned) — the error-resilience feature real encoders use."""
+        byte-aligned) — the error-resilience feature real encoders use.
+        ``progressive=True`` writes SOF2 with a libjpeg-shaped scan
+        script: interleaved DC first scan at point transform Al=1,
+        per-component spectral AC bands at Al=1, then one successive-
+        approximation refinement scan per band (Ah=1→Al=0) — both
+        refinement directions of T.81 annex G. The two modes decode to
+        IDENTICAL pixels (same quantized coefficients, pinned in tests);
+        restart intervals apply to the baseline mode."""
         px = np.asarray(pixels, dtype=np.uint8)
         if px.ndim == 2:
             px = px[:, :, None]
@@ -1592,52 +1600,259 @@ def _jpeg_codec():
             comp_blocks.append((qz, W // 8))
         dc_codes = [_canonical_codes(*DC_L), _canonical_codes(*DC_C)]
         ac_codes = [_canonical_codes(*AC_L), _canonical_codes(*AC_C)]
-        bw = _BitWriter()
-        pred = [0] * len(comps)
-        mcu_count = 0
-        rst = 0
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                    bw.align()
-                    bw.out += bytes([0xFF, 0xD0 + rst])
-                    rst = (rst + 1) % 8
-                    pred = [0] * len(comps)
-                for ci, (_cid, hs, vs, _plane, _tq) in enumerate(comps):
-                    qz, bw_blocks = comp_blocks[ci]
-                    tsel = 0 if ci == 0 else 1
-                    for by in range(vs):
-                        for bx in range(hs):
-                            bi = (my * vs + by) * bw_blocks + (mx * hs + bx)
-                            blk = qz[bi]
-                            s, bits = _magnitude(int(blk[0]) - pred[ci])
-                            pred[ci] = int(blk[0])
-                            code, ln = dc_codes[tsel][s]
-                            bw.put(code, ln)
-                            if s:
-                                bw.put(bits, s)
-                            run = 0
-                            nz = np.nonzero(blk[1:])[0]
-                            last = nz[-1] + 1 if len(nz) else 0
-                            for i in range(1, last + 1):
-                                v = int(blk[i])
-                                if v == 0:
-                                    run += 1
-                                    continue
-                                while run > 15:
-                                    code, ln = ac_codes[tsel][0xF0]  # ZRL
-                                    bw.put(code, ln)
-                                    run -= 16
-                                s, bits = _magnitude(v)
-                                code, ln = ac_codes[tsel][(run << 4) | s]
+
+        def encode_baseline_scan() -> bytes:
+            bw = _BitWriter()
+            pred = [0] * len(comps)
+            mcu_count = 0
+            rst = 0
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                        bw.align()
+                        bw.out += bytes([0xFF, 0xD0 + rst])
+                        rst = (rst + 1) % 8
+                        pred = [0] * len(comps)
+                    for ci, (_cid, hs, vs, _plane, _tq) in enumerate(comps):
+                        qz, bw_blocks = comp_blocks[ci]
+                        tsel = 0 if ci == 0 else 1
+                        for by in range(vs):
+                            for bx in range(hs):
+                                bi = (my * vs + by) * bw_blocks + (mx * hs + bx)
+                                blk = qz[bi]
+                                s, bits = _magnitude(int(blk[0]) - pred[ci])
+                                pred[ci] = int(blk[0])
+                                code, ln = dc_codes[tsel][s]
                                 bw.put(code, ln)
-                                bw.put(bits, s)
+                                if s:
+                                    bw.put(bits, s)
                                 run = 0
-                            if last < 63:
-                                code, ln = ac_codes[tsel][0x00]  # EOB
+                                nz = np.nonzero(blk[1:])[0]
+                                last = nz[-1] + 1 if len(nz) else 0
+                                for i in range(1, last + 1):
+                                    v = int(blk[i])
+                                    if v == 0:
+                                        run += 1
+                                        continue
+                                    while run > 15:
+                                        code, ln = ac_codes[tsel][0xF0]  # ZRL
+                                        bw.put(code, ln)
+                                        run -= 16
+                                    s, bits = _magnitude(v)
+                                    code, ln = ac_codes[tsel][(run << 4) | s]
+                                    bw.put(code, ln)
+                                    bw.put(bits, s)
+                                    run = 0
+                                if last < 63:
+                                    code, ln = ac_codes[tsel][0x00]  # EOB
+                                    bw.put(code, ln)
+                    mcu_count += 1
+            bw.align()
+            return bytes(bw.out)
+
+        # ---- progressive scan encoders (T.81 annex G; the libjpeg
+        # 10-scan script shape: DC first with point transform, per-
+        # component spectral AC bands, then one refinement pass each) ----
+
+        # AC table for progressive scans: every (run, size<=10) symbol
+        # plus EOBn (run<<4, size 0) at a flat 9-bit canonical length —
+        # DHT ships arbitrary tables, so a fixed layout is legal (just
+        # not size-optimal); 176 symbols < 2^9 keeps Kraft satisfied and
+        # leaves the all-ones prefix unused per C.2.
+        PROG_AC_VALUES = [((r << 4) | s) for r in range(16) for s in range(11)]
+        PROG_AC = ([0, 0, 0, 0, 0, 0, 0, 0, len(PROG_AC_VALUES), 0, 0, 0, 0, 0, 0, 0],
+                   PROG_AC_VALUES)
+        prog_ac_codes = _canonical_codes(*PROG_AC)
+
+        def comp_true_blocks(ci: int):
+            """Non-interleaved scans traverse the component's OWN block
+            grid (ceil(comp_dim/8)), not the MCU-padded grid (A.2.2)."""
+            _cid, hs, vs, _plane, _tq = comps[ci]
+            cw = (w * hs + hmax - 1) // hmax
+            ch = (h * vs + vmax - 1) // vmax
+            return (ch + 7) // 8, (cw + 7) // 8  # (nbh, nbw)
+
+        def encode_dc_first_scan(Al: int) -> bytes:
+            bw = _BitWriter()
+            pred = [0] * len(comps)
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci, (_cid, hs, vs, _p, _t) in enumerate(comps):
+                        qz, bw_blocks = comp_blocks[ci]
+                        tsel = 0 if ci == 0 else 1
+                        for by in range(vs):
+                            for bx in range(hs):
+                                bi = (my * vs + by) * bw_blocks + (mx * hs + bx)
+                                v = int(qz[bi][0]) >> Al  # arithmetic shift (spec)
+                                s, bits = _magnitude(v - pred[ci])
+                                pred[ci] = v
+                                code, ln = dc_codes[tsel][s]
                                 bw.put(code, ln)
-                mcu_count += 1
-        bw.align()
+                                if s:
+                                    bw.put(bits, s)
+            bw.align()
+            return bytes(bw.out)
+
+        def encode_dc_refine_scan(Al: int) -> bytes:
+            bw = _BitWriter()
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    for ci, (_cid, hs, vs, _p, _t) in enumerate(comps):
+                        qz, bw_blocks = comp_blocks[ci]
+                        for by in range(vs):
+                            for bx in range(hs):
+                                bi = (my * vs + by) * bw_blocks + (mx * hs + bx)
+                                bw.put((int(qz[bi][0]) >> Al) & 1, 1)
+            bw.align()
+            return bytes(bw.out)
+
+        def _ac_point(v: int, Al: int) -> int:
+            # AC point transform: magnitude shift (truncate toward zero)
+            return (abs(v) >> Al) * (1 if v > 0 else -1)
+
+        def encode_ac_first_scan(ci: int, Ss: int, Se: int, Al: int) -> bytes:
+            bw = _BitWriter()
+            qz, bw_blocks = comp_blocks[ci]
+            nbh, nbw = comp_true_blocks(ci)
+            eobrun = 0
+
+            def flush_eobrun():
+                nonlocal eobrun
+                if eobrun:
+                    nb = eobrun.bit_length() - 1
+                    code, ln = prog_ac_codes[nb << 4]
+                    bw.put(code, ln)
+                    if nb:
+                        bw.put(eobrun - (1 << nb), nb)
+                    eobrun = 0
+
+            for by in range(nbh):
+                for bx in range(nbw):
+                    blk = qz[by * bw_blocks + bx]
+                    vals = [_ac_point(int(blk[k]), Al) for k in range(Ss, Se + 1)]
+                    nz = [i for i, v in enumerate(vals) if v]
+                    if not nz:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eobrun()
+                        continue
+                    flush_eobrun()
+                    run = 0
+                    for i in range(nz[-1] + 1):
+                        v = vals[i]
+                        if v == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = prog_ac_codes[0xF0]
+                            bw.put(code, ln)
+                            run -= 16
+                        s, bits = _magnitude(v)
+                        code, ln = prog_ac_codes[(run << 4) | s]
+                        bw.put(code, ln)
+                        bw.put(bits, s)
+                        run = 0
+                    if nz[-1] < Se - Ss:
+                        eobrun += 1
+                        if eobrun == 0x7FFF:
+                            flush_eobrun()
+            flush_eobrun()
+            bw.align()
+            return bytes(bw.out)
+
+        def encode_ac_refine_scan(ci: int, Ss: int, Se: int, Al: int) -> bytes:
+            """T.81 G.1.2.3 symmetric encoder (the libjpeg
+            encode_mcu_AC_refine shape): newly-significant coefficients
+            emit (zero-history-run, 1) + sign; history-nonzero
+            coefficients crossed on the way contribute buffered
+            correction bits flushed after each emitted code; EOB runs
+            accumulate across blocks with their correction bits."""
+            bw = _BitWriter()
+            qz, bw_blocks = comp_blocks[ci]
+            nbh, nbw = comp_true_blocks(ci)
+            Ah = Al + 1
+            eobrun = 0
+            eob_corr: list = []  # correction bits pending under the EOB run
+
+            def flush_eobrun():
+                nonlocal eobrun
+                if eobrun or eob_corr:
+                    nb = eobrun.bit_length() - 1 if eobrun else 0
+                    code, ln = prog_ac_codes[nb << 4]
+                    bw.put(code, ln)
+                    if nb:
+                        bw.put(eobrun - (1 << nb), nb)
+                    for bit in eob_corr:
+                        bw.put(bit, 1)
+                    eob_corr.clear()
+                    eobrun = 0
+
+            for by in range(nbh):
+                for bx in range(nbw):
+                    blk = qz[by * bw_blocks + bx]
+                    band = [int(blk[k]) for k in range(Ss, Se + 1)]
+                    # last index (in band) that becomes newly significant
+                    newly = [
+                        i for i, v in enumerate(band)
+                        if (abs(v) >> Ah) == 0 and (abs(v) >> Al) == 1
+                    ]
+                    if not newly:
+                        eobrun += 1
+                        eob_corr.extend(
+                            (abs(v) >> Al) & 1 for v in band if (abs(v) >> Ah) != 0
+                        )
+                        if eobrun == 0x7FFF:
+                            flush_eobrun()
+                        continue
+                    flush_eobrun()
+                    run = 0
+                    corr: list = []
+                    for i in range(newly[-1] + 1):
+                        v = band[i]
+                        t = abs(v) >> Al
+                        if t == 0:  # zero at this level (zero history too)
+                            run += 1
+                            continue
+                        # any nonzero drains pending ZRLs FIRST (libjpeg
+                        # order: the buffered correction bits always
+                        # precede the run being folded, so the decoder's
+                        # 16-zero advance consumes exactly these bits)
+                        while run > 15:
+                            code, ln = prog_ac_codes[0xF0]
+                            bw.put(code, ln)
+                            for bit in corr:
+                                bw.put(bit, 1)
+                            corr = []
+                            run -= 16
+                        if t > 1:  # history-nonzero: buffer a correction bit
+                            corr.append(t & 1)
+                            continue
+                        # t == 1: newly significant
+                        code, ln = prog_ac_codes[(run << 4) | 1]
+                        bw.put(code, ln)
+                        bw.put(1 if v > 0 else 0, 1)
+                        for bit in corr:
+                            bw.put(bit, 1)
+                        corr = []
+                        run = 0
+                    # a band REMAINDER (anything after the last newly-
+                    # significant coefficient) joins the EOB run with its
+                    # correction bits; a block whose last coded position
+                    # is Se itself needs no EOB membership (libjpeg:
+                    # `if (r > 0 || BR > 0) EOBRUN++`)
+                    if newly[-1] < len(band) - 1:
+                        eobrun += 1
+                        eob_corr.extend(
+                            (abs(band[i]) >> Al) & 1
+                            for i in range(newly[-1] + 1, len(band))
+                            if (abs(band[i]) >> Ah) != 0
+                        )
+                        if eobrun == 0x7FFF:
+                            flush_eobrun()
+            flush_eobrun()
+            bw.align()
+            return bytes(bw.out)
+
         out = bytearray(b"\xff\xd8")  # SOI
         out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
         # DQT: tables are stored in zigzag order (tl/tc are raster-flat)
@@ -1645,25 +1860,60 @@ def _jpeg_codec():
             out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) + bytes(
                 int(x) for x in tab[ZZ]
             )
-        if restart_interval:
+        if restart_interval and not progressive:
             out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
-        out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * len(comps), 8, h, w, len(comps))
+        sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+        out += sof_marker + struct.pack(">HBHHB", 8 + 3 * len(comps), 8, h, w, len(comps))
         for cid, hs, vs, _plane, tq in comps:
             out += bytes([cid, (hs << 4) | vs, tq])
-        for marker, (bits, values), tc_id in (
-            (0x00, DC_L, 0), (0x10, AC_L, 0), (0x01, DC_C, 1), (0x11, AC_C, 1),
-        ):
-            if c == 1 and tc_id == 1:
-                continue
-            out += b"\xff\xc4" + struct.pack(">H", 19 + len(values)) + bytes([marker])
-            out += bytes(bits) + bytes(values)
-        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comps), len(comps))
-        for ci, (cid, *_rest) in enumerate(comps):
-            tsel = 0 if ci == 0 else 1
-            out += bytes([cid, (tsel << 4) | tsel])
-        out += b"\x00\x3f\x00"  # Ss=0 Se=63 Ah/Al=0
-        out += bw.out
-        out += b"\xff\xd9"  # EOI
+
+        def dht(marker: int, bits, values) -> bytes:
+            return (
+                b"\xff\xc4" + struct.pack(">H", 19 + len(values)) + bytes([marker])
+                + bytes(bits) + bytes(values)
+            )
+
+        def sos(sel, Ss, Se, Ah, Al) -> bytes:
+            seg = bytearray(
+                b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(sel), len(sel))
+            )
+            for cid, td, ta in sel:
+                seg += bytes([cid, (td << 4) | ta])
+            seg += bytes([Ss, Se, (Ah << 4) | Al])
+            return bytes(seg)
+
+        if not progressive:
+            for marker, (bits, values), tc_id in (
+                (0x00, DC_L, 0), (0x10, AC_L, 0), (0x01, DC_C, 1), (0x11, AC_C, 1),
+            ):
+                if c == 1 and tc_id == 1:
+                    continue
+                out += dht(marker, bits, values)
+            out += sos([(comps[ci][0], 0 if ci == 0 else 1, 0 if ci == 0 else 1)
+                        for ci in range(len(comps))], 0, 63, 0, 0)
+            out += encode_baseline_scan()
+            out += b"\xff\xd9"
+            return bytes(out)
+
+        # progressive: standard DC tables + the flat progressive AC table
+        out += dht(0x00, *DC_L)
+        if c == 3:
+            out += dht(0x01, *DC_C)
+        out += dht(0x10, *PROG_AC)
+        all_sel = [(comps[ci][0], 0 if ci == 0 else 1, 0) for ci in range(len(comps))]
+        # scan script (libjpeg-shaped): DC first at Al=1; AC bands per
+        # component at Al=1; AC refinements at Ah=1,Al=0; DC refinement.
+        out += sos(all_sel, 0, 0, 0, 1) + encode_dc_first_scan(1)
+        ac_ci = list(range(len(comps)))
+        for ci in ac_ci:
+            out += sos([(comps[ci][0], 0, 0)], 1, 5 if ci == 0 else 63, 0, 1)
+            out += encode_ac_first_scan(ci, 1, 5 if ci == 0 else 63, 1)
+        out += sos([(comps[0][0], 0, 0)], 6, 63, 0, 1) + encode_ac_first_scan(0, 6, 63, 1)
+        out += sos(all_sel, 0, 0, 1, 0) + encode_dc_refine_scan(0)
+        for ci in ac_ci:
+            out += sos([(comps[ci][0], 0, 0)], 1, 63, 1, 0)
+            out += encode_ac_refine_scan(ci, 1, 63, 0)
+        out += b"\xff\xd9"
         return bytes(out)
 
     class _BitReader:
@@ -1705,13 +1955,18 @@ def _jpeg_codec():
         return bits if bits >= (1 << (s - 1)) else bits - (1 << s) + 1
 
     def jpeg_decode(payload: bytes):
-        """Decode REAL baseline JPEG bytes → (width, height, channels,
-        pixels) with ``pixels`` (h, w, c) uint8 (c=1 grayscale, c=3 RGB).
-        Marker walk (DQT/SOF0/DHT/DRI/SOS), canonical Huffman, interleaved
-        MCU entropy decode with restart-marker handling, dequantize +
-        ONE vectorized IDCT over every block of each component, chroma
-        upsample by sample-replication, JFIF YCbCr→RGB. Progressive
-        (SOF2) / arithmetic (SOF9+) raise NotImplementedError."""
+        """Decode REAL JPEG bytes → (width, height, channels, pixels) with
+        ``pixels`` (h, w, c) uint8 (c=1 grayscale, c=3 RGB). Handles
+        BASELINE (SOF0/1: one interleaved full-band scan, restart
+        markers) and PROGRESSIVE (SOF2: any legal scan script — spectral
+        selection bands, successive approximation in both DC and AC
+        directions per T.81 annex G, EOB runs, non-interleaved
+        single-component scans traversing the component's OWN block grid
+        per A.2.2). Marker walk (multi-table DQT/DHT, DRI, multiple
+        SOS), canonical Huffman, dequantize + ONE vectorized IDCT per
+        component after all scans, chroma upsample by sample
+        replication, JFIF YCbCr→RGB. Arithmetic/lossless/hierarchical
+        SOFs raise NotImplementedError."""
         b = bytes(payload)
         if b[:2] != b"\xff\xd8":
             raise ValueError("not a JPEG (bad SOI)")
@@ -1720,8 +1975,208 @@ def _jpeg_codec():
         htabs: dict = {}
         sof = None
         restart_interval = 0
-        scan = None
-        while pos + 4 <= len(b):
+        coefs: dict = {}
+        cinfo: dict = {}
+        geom = None
+        n_scans = 0
+
+        def collect_entropy(p: int):
+            """Entropy bytes from ``p``: un-stuff 0xFF00, split at RSTn;
+            returns (segments, position of the next real marker)."""
+            segs: list = []
+            cur = bytearray()
+            while p < len(b):
+                byte = b[p]
+                if byte == 0xFF:
+                    nxt = b[p + 1] if p + 1 < len(b) else 0xD9
+                    if nxt == 0x00:
+                        cur.append(0xFF)
+                        p += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:
+                        segs.append(bytes(cur))
+                        cur = bytearray()
+                        p += 2
+                        continue
+                    break
+                cur.append(byte)
+                p += 1
+            segs.append(bytes(cur))
+            return segs, p
+
+        def decode_block_full(br, blk, dtab, atab, pred):
+            s = _decode_huff(br, dtab)
+            pred += _extend(br.bits(s), s) if s else 0
+            blk[0] = pred
+            i = 1
+            while i < 64:
+                rs = _decode_huff(br, atab)
+                if rs == 0x00:
+                    break
+                if rs == 0xF0:
+                    i += 16
+                    continue
+                r, s = rs >> 4, rs & 0x0F
+                i += r
+                if i > 63:
+                    raise ValueError("AC run past block end")
+                blk[i] = _extend(br.bits(s), s)
+                i += 1
+            return pred
+
+        def decode_ac_first(br, blk, atab, Ss, Se, Al, eobrun):
+            if eobrun > 0:
+                return eobrun - 1
+            k = Ss
+            while k <= Se:
+                rs = _decode_huff(br, atab)
+                r, s = rs >> 4, rs & 0x0F
+                if s == 0:
+                    if r == 15:  # ZRL
+                        k += 16
+                        continue
+                    eobrun = (1 << r) - 1  # current block is a member
+                    if r:
+                        eobrun += br.bits(r)
+                    break
+                k += r
+                if k > Se:
+                    raise ValueError("AC run past band end")
+                blk[k] = _extend(br.bits(s), s) << Al
+                k += 1
+            return eobrun
+
+        def decode_ac_refine(br, blk, atab, Ss, Se, Al, eobrun):
+            """T.81 G.1.2.3: advance over zero-history positions per
+            (run, 1) / ZRL code, consuming one correction bit at every
+            already-nonzero coefficient crossed; EOB runs correct the
+            band remainders of their member blocks."""
+            p1 = 1 << Al
+            k = Ss
+            if eobrun == 0:
+                while k <= Se:
+                    rs = _decode_huff(br, atab)
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r != 15:
+                            eobrun = 1 << r
+                            if r:
+                                eobrun += br.bits(r)
+                            break
+                        val = 0  # ZRL: 16 zero-history positions
+                    else:
+                        if s != 1:
+                            raise ValueError("bad refinement magnitude")
+                        val = p1 if br.bit() else -p1
+                    while k <= Se:
+                        cur = int(blk[k])
+                        if cur != 0:
+                            if br.bit() and (cur & p1) == 0:
+                                blk[k] = cur + (p1 if cur >= 0 else -p1)
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if val and k <= Se:
+                        blk[k] = val
+                    k += 1
+            if eobrun > 0:
+                while k <= Se:
+                    cur = int(blk[k])
+                    if cur != 0:
+                        if br.bit() and (cur & p1) == 0:
+                            blk[k] = cur + (p1 if cur >= 0 else -p1)
+                    k += 1
+                eobrun -= 1
+            return eobrun
+
+        def decode_scan(sel, Ss, Se, Ah, Al, data_start):
+            segs, end = collect_entropy(data_start)
+            seg_i = 0
+            br = _BitReader(segs[0])
+            dct, act = {}, {}
+            for cs, td, ta in sel:
+                if Ss == 0 and Ah == 0:
+                    dct[cs] = htabs.get((0, td))
+                    if dct[cs] is None:
+                        raise ValueError("scan references undefined DC table")
+                if Se > 0:
+                    act[cs] = htabs.get((1, ta))
+                    if act[cs] is None:
+                        raise ValueError("scan references undefined AC table")
+            pred = {cs: 0 for cs, _td, _ta in sel}
+            eobrun = 0
+            mcus_x, mcus_y, hmax, vmax = geom
+            unit_count = 0
+
+            def maybe_restart():
+                nonlocal seg_i, br, pred, eobrun
+                if restart_interval and unit_count and unit_count % restart_interval == 0:
+                    seg_i += 1
+                    if seg_i >= len(segs):
+                        raise ValueError("missing restart segment")
+                    br = _BitReader(segs[seg_i])
+                    pred = {cs: 0 for cs, _td, _ta in sel}
+                    eobrun = 0
+
+            if len(sel) > 1:  # interleaved: MCU traversal, padded grid
+                for _my in range(mcus_y):
+                    for _mx in range(mcus_x):
+                        maybe_restart()
+                        for cs, _td, _ta in sel:
+                            ci = cinfo[cs]
+                            for by in range(ci["vs"]):
+                                for bx in range(ci["hs"]):
+                                    bi = (
+                                        (_my * ci["vs"] + by) * ci["bw"]
+                                        + (_mx * ci["hs"] + bx)
+                                    )
+                                    blk = coefs[cs][bi]
+                                    if Ss == 0 and Se == 63:
+                                        pred[cs] = decode_block_full(
+                                            br, blk, dct[cs], act[cs], pred[cs]
+                                        )
+                                    elif Ss == 0 and Ah == 0:
+                                        s = _decode_huff(br, dct[cs])
+                                        pred[cs] += _extend(br.bits(s), s) if s else 0
+                                        blk[0] = pred[cs] << Al
+                                    elif Ss == 0:
+                                        blk[0] = int(blk[0]) | (br.bit() << Al)
+                                    else:
+                                        raise ValueError(
+                                            "interleaved AC progressive scan is illegal"
+                                        )
+                        unit_count += 1
+            else:  # non-interleaved: the component's TRUE block grid
+                cs = sel[0][0]
+                ci = cinfo[cs]
+                for by in range(ci["nbh"]):
+                    for bx in range(ci["nbw"]):
+                        maybe_restart()
+                        blk = coefs[cs][by * ci["bw"] + bx]
+                        if Ss == 0 and Se == 63:
+                            pred[cs] = decode_block_full(
+                                br, blk, dct[cs], act[cs], pred[cs]
+                            )
+                        elif Ss == 0 and Se == 0 and Ah == 0:
+                            s = _decode_huff(br, dct[cs])
+                            pred[cs] += _extend(br.bits(s), s) if s else 0
+                            blk[0] = pred[cs] << Al
+                        elif Ss == 0 and Se == 0:
+                            blk[0] = int(blk[0]) | (br.bit() << Al)
+                        elif Ah == 0:
+                            eobrun = decode_ac_first(
+                                br, blk, act[cs], Ss, Se, Al, eobrun
+                            )
+                        else:
+                            eobrun = decode_ac_refine(
+                                br, blk, act[cs], Ss, Se, Al, eobrun
+                            )
+                        unit_count += 1
+            return end
+
+        while pos + 2 <= len(b):
             if b[pos] != 0xFF:
                 raise ValueError(f"bad marker alignment at {pos}")
             m = b[pos + 1]
@@ -1730,6 +2185,8 @@ def _jpeg_codec():
                 continue
             if m == 0xD9:
                 break
+            if pos + 2 > len(b):
+                raise ValueError("truncated JPEG segment header")
             (seglen,) = struct.unpack(">H", b[pos : pos + 2])
             seg = b[pos + 2 : pos + seglen]
             if len(seg) != seglen - 2:
@@ -1753,9 +2210,11 @@ def _jpeg_codec():
                     nvals = sum(bits)
                     values = list(seg[sp + 17 : sp + 17 + nvals])
                     codes = _canonical_codes(bits, values)
-                    htabs[(tc_id, th)] = {(code, ln): sym for sym, (code, ln) in codes.items()}
+                    htabs[(tc_id, th)] = {
+                        (code, ln): sym for sym, (code, ln) in codes.items()
+                    }
                     sp += 17 + nvals
-            elif m == 0xC0 or m == 0xC1:  # SOF0 baseline / extended sequential
+            elif m in (0xC0, 0xC1, 0xC2):  # baseline / ext. sequential / progressive
                 prec, fh, fw, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
                 if prec != 8:
                     raise NotImplementedError("non-8-bit JPEG precision")
@@ -1764,102 +2223,46 @@ def _jpeg_codec():
                     cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
                     comps.append((cid, hv >> 4, hv & 0x0F, tq))
                 sof = (fw, fh, comps)
-            elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                hmax = max(cc[1] for cc in comps)
+                vmax = max(cc[2] for cc in comps)
+                mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
+                mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
+                geom = (mcus_x, mcus_y, hmax, vmax)
+                for cid, hs, vs, tq in comps:
+                    cw = (fw * hs + hmax - 1) // hmax
+                    ch = (fh * vs + vmax - 1) // vmax
+                    cinfo[cid] = {
+                        "hs": hs, "vs": vs, "tq": tq,
+                        "bw": mcus_x * hs, "bh": mcus_y * vs,
+                        "nbw": (cw + 7) // 8, "nbh": (ch + 7) // 8,
+                    }
+                    coefs[cid] = np.zeros(
+                        ((mcus_y * vs) * (mcus_x * hs), 64), dtype=np.int32
+                    )
+            elif m in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
                 raise NotImplementedError(
-                    f"non-baseline JPEG (SOF marker 0x{m:02x}: progressive/"
-                    "arithmetic/lossless) — baseline sequential only"
+                    f"unsupported JPEG (SOF marker 0x{m:02x}: arithmetic/"
+                    "lossless/hierarchical) — baseline + progressive only"
                 )
             elif m == 0xDD:  # DRI
                 (restart_interval,) = struct.unpack(">H", seg[:2])
-            elif m == 0xDA:  # SOS: entropy data follows until next marker
+            elif m == 0xDA:  # SOS
+                if sof is None:
+                    raise ValueError("SOS before SOF")
                 ns = seg[0]
                 sel = []
                 for i in range(ns):
                     cs, td_ta = seg[1 + 2 * i : 3 + 2 * i]
                     sel.append((cs, td_ta >> 4, td_ta & 0x0F))
-                data_start = pos + seglen
-                scan = (sel, data_start)
-                break
+                Ss, Se, AhAl = seg[1 + 2 * ns : 4 + 2 * ns]
+                pos = decode_scan(sel, Ss, Se, AhAl >> 4, AhAl & 0x0F, pos + seglen)
+                n_scans += 1
+                continue
             pos += seglen
-        if sof is None or scan is None:
+        if sof is None or n_scans == 0:
             raise ValueError("missing SOF/SOS")
         fw, fh, comps = sof
-        sel, data_start = scan
-        # entropy-coded bytes: un-stuff 0xFF00, split at RSTn, stop at EOI
-        segs: list = []
-        cur = bytearray()
-        p = data_start
-        while p < len(b):
-            byte = b[p]
-            if byte == 0xFF:
-                nxt = b[p + 1] if p + 1 < len(b) else 0xD9
-                if nxt == 0x00:
-                    cur.append(0xFF)
-                    p += 2
-                    continue
-                if 0xD0 <= nxt <= 0xD7:
-                    segs.append(bytes(cur))
-                    cur = bytearray()
-                    p += 2
-                    continue
-                break  # EOI or next real marker
-            cur.append(byte)
-            p += 1
-        segs.append(bytes(cur))
-        hmax = max(cc[1] for cc in comps)
-        vmax = max(cc[2] for cc in comps)
-        mcus_x = (fw + 8 * hmax - 1) // (8 * hmax)
-        mcus_y = (fh + 8 * vmax - 1) // (8 * vmax)
-        # per-component coefficient buffers
-        buf = {
-            cid: np.zeros((mcus_y * vs * 8, mcus_x * hs * 8), dtype=np.float64)
-            for cid, hs, vs, _tq in comps
-        }
-        coefs = {
-            cid: np.zeros(((mcus_y * vs) * (mcus_x * hs), 64), dtype=np.int32)
-            for cid, hs, vs, _tq in comps
-        }
-        dc_t = {cs: htabs.get((0, td)) for cs, td, _ta in sel}
-        ac_t = {cs: htabs.get((1, ta)) for cs, _td, ta in sel}
-        if any(t is None for t in dc_t.values()) or any(t is None for t in ac_t.values()):
-            raise ValueError("scan references undefined Huffman table")
-        seg_idx = 0
-        br = _BitReader(segs[seg_idx])
-        pred = {cid: 0 for cid, *_ in comps}
-        mcu_count = 0
-        for my in range(mcus_y):
-            for mx in range(mcus_x):
-                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                    seg_idx += 1
-                    if seg_idx >= len(segs):
-                        raise ValueError("missing restart segment")
-                    br = _BitReader(segs[seg_idx])
-                    pred = {cid: 0 for cid, *_ in comps}
-                for cid, hs, vs, _tq in comps:
-                    for by in range(vs):
-                        for bx in range(hs):
-                            s = _decode_huff(br, dc_t[cid])
-                            diff = _extend(br.bits(s), s) if s else 0
-                            pred[cid] += diff
-                            blk = np.zeros(64, dtype=np.int32)
-                            blk[0] = pred[cid]
-                            i = 1
-                            while i < 64:
-                                rs = _decode_huff(br, ac_t[cid])
-                                if rs == 0x00:  # EOB
-                                    break
-                                if rs == 0xF0:  # ZRL
-                                    i += 16
-                                    continue
-                                run, size = rs >> 4, rs & 0x0F
-                                i += run
-                                if i > 63:
-                                    raise ValueError("AC run past block end")
-                                blk[i] = _extend(br.bits(size), size)
-                                i += 1
-                            bi = (my * vs + by) * (mcus_x * hs) + (mx * hs + bx)
-                            coefs[cid][bi] = blk
-                mcu_count += 1
+        mcus_x, mcus_y, hmax, vmax = geom
         planes = {}
         for cid, hs, vs, tq in comps:
             if tq not in qtabs:

@@ -63,9 +63,9 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``operators.multimodal.png_decode``: CRC verify, inflate, unfilter,
     palette map, bit-unpack). ZERO NotImplementedError rows (r7 verdict
     #4: palette PNGs are the most common real-corpus class the codec
-    used to reject; only Adam7 interlace remains gated). Both stages are
-    Arrow-batched map-only mapInPandas; the codec ships by value in the
-    closures.
+    used to reject; Adam7 interlace decode landed in r8 too, so the PNG
+    codec has no scope gate left). Both stages are Arrow-batched
+    map-only mapInPandas; the codec ships by value in the closures.
 
     Rows-only entry (a codec round-trip has no SQL dual); pixel-exact
     round-trip, spec-literal palette/16-bit vectors, and the real-file
@@ -496,12 +496,14 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline JPEG decode path (r8 — the dominant real-corpus image
     format, previously header-sniff only): each document's text bytes
     become a deterministic image whose JPEG class cycles with doc_id over
-    the four baseline variants — grayscale, 4:4:4 color, 4:2:0
-    chroma-subsampled, and 4:4:4 with restart intervals (DRI + RSTn
-    markers, predictor resets) — encoded by the full T.81 encoder
-    (quality-scaled Annex-K quantization, standard Huffman tables) and
-    decoded back by the full parser (marker walk, canonical Huffman MCU
-    scan, dequantize + vectorized IDCT, chroma upsample, YCbCr→RGB).
+    the five real-corpus variants — grayscale, 4:4:4 color, 4:2:0
+    chroma-subsampled, 4:4:4 with restart intervals (DRI + RSTn markers,
+    predictor resets), and PROGRESSIVE (SOF2: spectral-selection scan
+    script with successive-approximation refinement, T.81 annex G) —
+    encoded by the full T.81 encoder (quality-scaled Annex-K
+    quantization, standard Huffman tables) and decoded back by the full
+    parser (marker walk, canonical Huffman multi-scan assembly,
+    dequantize + vectorized IDCT, chroma upsample, YCbCr→RGB).
     Digest: per (variant, n_channels) image count, dims, mean pixel —
     deterministic because the whole codec is (fixed tables, integer
     quantization). Rows-only (a lossy codec round-trip has no SQL dual);
@@ -525,7 +527,7 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i = int(doc_id)
                 w = 8 + i % 17
                 h = 8 + i % 13
-                variant = i % 4
+                variant = i % 5
                 if variant == 0:  # grayscale
                     need = w * h
                     px = _np.tile(b, need // max(b.size, 1) + 1)[:need].reshape(h, w)
@@ -537,8 +539,10 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
                         payloads.append(enc(px, quality=90))
                     elif variant == 2:  # 4:2:0
                         payloads.append(enc(px, quality=90, subsample=True))
-                    else:  # restart intervals
+                    elif variant == 3:  # restart intervals
                         payloads.append(enc(px, quality=90, restart_interval=2))
+                    else:  # progressive (SOF2, annex-G refinement)
+                        payloads.append(enc(px, quality=90, progressive=True))
                 variants.append(variant)
             yield _pd.DataFrame(
                 {
@@ -553,7 +557,7 @@ def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_batches, schema="doc_id long, mime string, variant int, payload binary"
     )
     decoded = decode_jpeg_media(media)
-    variant = (F.col("doc_id") % 4).cast("int").alias("variant")
+    variant = (F.col("doc_id") % 5).cast("int").alias("variant")
     return (
         decoded.select(variant, "width", "height", "n_channels", "mean_px")
         .groupBy("variant", "n_channels")

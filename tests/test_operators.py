@@ -2109,14 +2109,16 @@ def test_jpeg_headers_cross_check_and_rejects():
         jpeg_decode(b"not a jpeg at all")
     with _pytest.raises(ValueError):
         jpeg_decode(blob[: len(blob) // 2])  # truncated mid-scan
-    # hand-built progressive SOF2 frame: honest NotImplementedError gate
-    sof2 = (
+    # hand-built arithmetic-coded SOF9 frame: honest NotImplementedError
+    # gate (progressive SOF2 is SUPPORTED as of r8 — see
+    # test_jpeg_progressive_matches_baseline_exactly)
+    sof9 = (
         b"\xff\xd8"
-        + b"\xff\xc2" + struct.pack(">HBHHB", 11, 8, 4, 4, 1) + bytes([1, 0x11, 0])
+        + b"\xff\xc9" + struct.pack(">HBHHB", 11, 8, 4, 4, 1) + bytes([1, 0x11, 0])
         + b"\xff\xd9"
     )
-    with _pytest.raises(NotImplementedError, match="baseline"):
-        jpeg_decode(sof2)
+    with _pytest.raises(NotImplementedError, match="arithmetic"):
+        jpeg_decode(sof9)
 
 
 def test_jpeg_magnitude_extend_inverse_property():
@@ -2161,3 +2163,38 @@ def test_jpeg_media_decode_spark_path(spark, docs):
     assert set(got) == set(expected), "non-JPEG rows must be dropped"
     for i, (w, h) in expected.items():
         assert got[i] == (w, h, 3)
+
+
+def test_jpeg_progressive_matches_baseline_exactly():
+    """PROGRESSIVE JPEG (SOF2, T.81 annex G): the libjpeg-shaped scan
+    script — interleaved DC first scan with point transform, per-
+    component spectral AC bands, successive-approximation refinement in
+    both DC and AC directions, EOB runs across blocks — must decode to
+    EXACTLY the same pixels as the baseline encoding of the same image
+    (identical quantized coefficients, bit-identical output). Covers
+    gray, 4:4:4, 4:2:0 (whose non-interleaved AC scans traverse the
+    component's TRUE block grid, not the MCU-padded one), noise (every
+    run/ZRL/EOB-run/correction-bit path), and 1-pixel edges."""
+    import numpy as np
+
+    from mlb_win_predictor_spark.operators.multimodal import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(42)
+    yy, xx = np.mgrid[0:21, 0:35]
+    cases = [
+        (np.stack([(yy * 3) % 256, (xx * 2) % 256, ((xx + yy) * 2) % 256], axis=2).astype(np.uint8), 95, False),
+        (((yy * 5 + xx * 3) % 256).astype(np.uint8), 95, False),           # gray
+        (rng.integers(0, 256, (40, 56, 3), np.uint8), 85, False),          # noise
+        (rng.integers(0, 256, (20, 20, 3), np.uint8), 95, True),           # 4:2:0, w%16<8
+        (rng.integers(0, 256, (1, 1, 3), np.uint8), 90, False),            # 1px
+        (rng.integers(0, 256, (9, 17), np.uint8), 30, False),              # low q gray
+    ]
+    for px, q, sub in cases:
+        blob_b = jpeg_encode(px, quality=q, subsample=sub)
+        blob_p = jpeg_encode(px, quality=q, subsample=sub, progressive=True)
+        assert b"\xff\xc2" in blob_p and b"\xff\xc0" not in blob_p[2:4]
+        _, _, _, out_b = jpeg_decode(blob_b)
+        _, _, _, out_p = jpeg_decode(blob_p)
+        assert np.array_equal(out_b, out_p), (px.shape, q, sub)
+    # multiple SOS markers actually present (a real scan script)
+    assert blob_p.count(b"\xff\xda") >= 4
