@@ -294,3 +294,36 @@ def test_wav_roundtrip_property(n, c, rate, seed):
     r2, c2, out = wav_decode(wav_encode(s, sample_rate=rate))
     assert (r2, c2) == (rate, c)
     assert np.array_equal(out, s)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.sampled_from([1, 3]),
+    st.sampled_from([40, 85, 95]),
+    st.booleans(),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_jpeg_progressive_equals_baseline_property(h, w, c, q, subsample, seed):
+    """For ANY image, quality, and chroma mode, the progressive (SOF2,
+    annex-G successive approximation) encoding must decode to exactly
+    the pixels of the baseline encoding — the two scan architectures
+    carry the same quantized coefficients. Pure-Python property (no
+    Spark job): the codec is the unit under test."""
+    import numpy as np
+
+    from mlb_win_predictor_spark.operators.multimodal import (
+        jpeg_decode,
+        jpeg_encode,
+    )
+
+    if c == 1:
+        subsample = False
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, (h, w, c) if c == 3 else (h, w), np.uint8)
+    _, _, _, base = jpeg_decode(jpeg_encode(px, quality=q, subsample=subsample))
+    _, _, _, prog = jpeg_decode(
+        jpeg_encode(px, quality=q, subsample=subsample, progressive=True)
+    )
+    assert np.array_equal(base, prog)
