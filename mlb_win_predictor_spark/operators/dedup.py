@@ -427,11 +427,14 @@ def components_from_pairs(
     edges.count()  # materialize off the pair persist, then drop it
     if probed is not None:
         probed.unpersist()
+    from ..session import release_checkpoint
+
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    prev_ckpt = None
     for _ in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
@@ -447,27 +450,33 @@ def components_from_pairs(
                 ).alias("component"),
             )
         )
+        # EAGER localCheckpoint truncates the per-iteration lineage
+        # (without it the plan doubles every round and stage submission
+        # cost dominates long chains) and means the convergence probe
+        # below reads materialized data instead of recomputing the
+        # iteration; the PREVIOUS checkpoint is released once the new
+        # one exists, holding storage at ~1 label-table copy (r8: the
+        # lazy-checkpoint version leaked one copy per iteration — the
+        # same defect class the BPE trainer fixed in r7; at cluster
+        # scale use checkpoint() to durable storage for executor-loss
+        # recovery).
+        labels_ck = new_labels.localCheckpoint(eager=True)
         changed = (
-            new_labels.alias("n")
+            labels_ck.alias("n")
             .join(labels.alias("o"), "node")
             .filter(F.col("n.component") != F.col("o.component"))
             .limit(1)
             .count()
         )
-        # localCheckpoint truncates the per-iteration lineage — without
-        # it the plan doubles every round and stage submission cost
-        # dominates long chains (the standard iterative-algorithm
-        # pattern; at cluster scale use checkpoint() to durable storage
-        # for executor-loss recovery).
-        labels = new_labels.localCheckpoint(eager=False)
+        if prev_ckpt is not None:
+            release_checkpoint(prev_ckpt)
+        labels = prev_ckpt = labels_ck
         if changed == 0:
             break
-    # materialize the converged labels, then release the edge cache
-    # (ADVICE r5: caches that outlive their query accumulate across a
-    # long session). The final table is node-grain over CLUSTERED docs
-    # only — bounded by near-dup density — and once checkpointed no
-    # longer depends on the edge lineage.
-    labels = labels.localCheckpoint(eager=True)
+    # release the edge cache (ADVICE r5: caches that outlive their query
+    # accumulate across a long session). The returned table is the final
+    # checkpoint — node-grain over CLUSTERED docs only, bounded by
+    # near-dup density — and no longer depends on the edge lineage.
     edges.unpersist()
     return labels
 

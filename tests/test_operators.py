@@ -1114,6 +1114,34 @@ def test_connected_components_local_matches_distributed(spark):
     assert local == dist and len(local) > 0
 
 
+def test_connected_components_overcap_probe_falls_through(spark):
+    """ADVICE r7: when the limit-collect probe OVERFLOWS driver_edge_cap,
+    the pair projection is persisted so the expensive upstream plan is
+    not re-run for the distributed loop — and that path must produce the
+    same components as the local fast path, releasing its persist (no
+    storage left behind beyond what release_caches clears)."""
+    import random
+
+    from mlb_win_predictor_spark.operators.dedup import components_from_pairs
+    from mlb_win_predictor_spark.session import persistent_rdd_count, release_caches
+
+    release_caches(spark)
+    rng = random.Random(29)
+    edges = list({(rng.randint(0, 60), rng.randint(0, 60)) for _ in range(150)})
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    local = {(r.node, r.component) for r in components_from_pairs(pairs).collect()}
+    overcap = {
+        (r.node, r.component)
+        for r in components_from_pairs(pairs, driver_edge_cap=5).collect()
+    }
+    assert local == overcap and len(local) > 0
+    # the pair persist must have been released; only the returned labels
+    # checkpoint may remain
+    assert persistent_rdd_count(spark) <= 1
+    release_caches(spark)
+
+
 def test_python_udtf_shingles(spark, docs):
     """Python UDTF output must agree with the native shingle expression."""
     from mlb_win_predictor_spark.functions.udtfs import shingles_via_udtf
