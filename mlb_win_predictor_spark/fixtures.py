@@ -183,19 +183,24 @@ def make_game_results(rng: np.random.Generator, games: pd.DataFrame, teams: pd.D
 
 
 def _generator_fingerprint() -> str:
-    """Content hash of THIS module's source — folded into the shared
-    cache-directory name so any change to the fixture generators (schema,
-    new table, distribution tweak) invalidates the cross-process cache
-    instead of silently serving stale parquet built by an older version
-    (ADVICE r7). Falls back to the package version string if the source
-    file is unreadable (zipapp installs)."""
+    """Content hash of THIS module's source PLUS the numpy/pandas
+    versions — folded into the shared cache-directory name so any change
+    to the fixture generators (schema, new table, distribution tweak) OR
+    to the libraries whose RNG/date semantics the generators depend on
+    invalidates the cross-process cache instead of silently serving
+    stale parquet built by an older version (ADVICE r7/r8; all generator
+    logic lives in this one module, so its source + the library versions
+    are the complete input set). Falls back to the versions alone if the
+    source file is unreadable (zipapp installs)."""
     import hashlib
 
+    h = hashlib.md5(f"np={np.__version__};pd={pd.__version__};".encode())
     try:
         with open(__file__, "rb") as fh:
-            return hashlib.md5(fh.read()).hexdigest()[:12]
+            h.update(fh.read())
     except OSError:
-        return "nosrc"
+        h.update(b"nosrc")
+    return h.hexdigest()[:12]
 
 
 def fixtures_dir(base: str | None = None) -> str:
@@ -210,6 +215,17 @@ def fixtures_dir(base: str | None = None) -> str:
     )
     if os.path.exists(os.path.join(d, "_SUCCESS")):
         return d
+    if base is None:
+        # best-effort sweep of superseded sibling caches (older
+        # fingerprints) so tempdir doesn't accumulate stale copies —
+        # failures (e.g. another process still reading one) are harmless
+        import glob
+
+        for stale in glob.glob(
+            os.path.join(tempfile.gettempdir(), "mlb_wp_fixtures_seed42_*")
+        ):
+            if stale != d:
+                shutil.rmtree(stale, ignore_errors=True)
     tmp = f"{d}.build-{os.getpid()}"
     write_fixtures(tmp)
     with open(os.path.join(tmp, "_SUCCESS"), "w") as fh:

@@ -402,31 +402,33 @@ def components_from_pairs(
     """
     pair_cols = pairs.select(a_col, b_col)
     probed = None
-    if driver_edge_cap:
-        # persist BEFORE probing: the limit-collect computes upstream
-        # partitions incrementally until the cap is hit, and the persist
-        # keeps them, so an over-cap probe does not re-run the expensive
-        # banded self-join when the distributed loop scans the full set
-        probed = pair_cols.persist()
-        sample = probed.limit(driver_edge_cap + 1).collect()
-        if len(sample) <= driver_edge_cap:
-            out = _components_local(
-                pairs.sparkSession, sample, pairs.schema[a_col].dataType
+    # try/finally so the probe persist is always released, even when the
+    # limit-collect or the edge materialization throws mid-probe
+    try:
+        if driver_edge_cap:
+            # persist BEFORE probing: the limit-collect computes upstream
+            # partitions incrementally until the cap is hit, and the persist
+            # keeps them, so an over-cap probe does not re-run the expensive
+            # banded self-join when the distributed loop scans the full set
+            probed = pair_cols.persist()
+            sample = probed.limit(driver_edge_cap + 1).collect()
+            if len(sample) <= driver_edge_cap:
+                return _components_local(
+                    pairs.sparkSession, sample, pairs.schema[a_col].dataType
+                )
+            pair_cols = probed
+        edges = (
+            pair_cols.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+            .unionByName(
+                pair_cols.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
             )
-            probed.unpersist()
-            return out
-        pair_cols = probed
-    edges = (
-        pair_cols.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            pair_cols.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+            .distinct()
+            .cache()
         )
-        .distinct()
-        .cache()
-    )
-    edges.count()  # materialize off the pair persist, then drop it
-    if probed is not None:
-        probed.unpersist()
+        edges.count()  # materialize off the pair persist, then drop it
+    finally:
+        if probed is not None:
+            probed.unpersist()
     from ..session import release_checkpoint
 
     labels = (

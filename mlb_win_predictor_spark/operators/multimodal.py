@@ -422,7 +422,10 @@ def _png_codec():
         prediction). Coverage (r8, closing the r7 verdict's top real-
         corpus gap): all five color types at every legal bit depth —
         indexed-color scanlines are bit-unpacked and mapped through PLTE
-        (tRNS alpha table → RGBA output, opaque-padded per spec §11.3.2);
+        (tRNS alpha table → RGBA output, opaque-padded per spec §11.3.2;
+        a tRNS transparency KEY on gray/truecolor images appends an
+        alpha channel with key-matching pixels fully transparent, and
+        tRNS on the already-alpha color types 4/6 is rejected per spec);
         sub-byte grayscale is scaled to 8-bit by the exact 255/(2^d−1)
         factor — and Adam7 interlace (§8.2: seven independently filtered
         passes, unfiltered + depacked per pass and scattered by strided
@@ -556,7 +559,30 @@ def _png_codec():
                 off += ph * (pstride + 1)
             if off != len(raw):
                 raise ValueError("IDAT length mismatch (trailing bytes)")
+        if trns is not None and color in (4, 6):
+            # spec §11.3.2: tRNS is prohibited for color types that
+            # already carry an alpha channel
+            raise ValueError("tRNS forbidden for color type with alpha")
+
+        def trns_mask() -> "np.ndarray":
+            """§11.3.2 transparency key for gray (one 2-byte sample) /
+            truecolor (three 2-byte samples). Key values are stored in
+            the image's bit-depth range and compared against the RAW
+            (pre-scaling) samples; matching pixels get alpha 0."""
+            key = trns.tobytes()
+            if color == 0:
+                if len(key) != 2:
+                    raise ValueError("tRNS for grayscale must be 2 bytes")
+                return px[:, :, 0].astype(np.int64) == int.from_bytes(key, "big")
+            if len(key) != 6:
+                raise ValueError("tRNS for truecolor must be 6 bytes")
+            kv = np.frombuffer(key, ">u2").astype(np.int64)
+            return (px.astype(np.int64) == kv).all(axis=2)
+
         if depth == 16:
+            if trns is not None:
+                alpha = np.where(trns_mask(), 0, 65535).astype(np.uint16)
+                return w, h, samples + 1, np.dstack([px, alpha])
             return w, h, samples, px
         if color == 3:
             idx = px[:, :, 0]
@@ -570,7 +596,16 @@ def _png_codec():
             return w, h, 3, rgb
         if depth < 8:
             # exact sample scaling to 8-bit: 255/(2^d − 1) is integral
-            return w, h, 1, px * (255 // ((1 << depth) - 1))
+            # (depth < 8 implies grayscale here — indexed returned above)
+            mask = trns_mask() if trns is not None else None
+            scaled = px * (255 // ((1 << depth) - 1))
+            if mask is not None:
+                alpha = np.where(mask, 0, 255).astype(np.uint8)
+                return w, h, 2, np.dstack([scaled, alpha])
+            return w, h, 1, scaled
+        if trns is not None:
+            alpha = np.where(trns_mask(), 0, 255).astype(np.uint8)
+            return w, h, samples + 1, np.dstack([px, alpha])
         return w, h, samples, px
 
     return png_encode, png_encode_palette, png_decode
@@ -1390,9 +1425,12 @@ def image_features_media(media: DataFrame, grid: int = 8) -> DataFrame:
 # standard Annex-K Huffman tables, 4:4:4 or 4:2:0 chroma subsampling,
 # optional restart intervals) and decoder (marker walk, canonical Huffman,
 # interleaved MCU scan, dequantize + vectorized 8x8 IDCT over all blocks,
-# chroma upsample, YCbCr->RGB). Progressive (SOF2) and arithmetic coding
-# raise NotImplementedError — honest gates; baseline covers the dominant
-# share of real corpora. Factory-scoped for by-value pickling, same
+# chroma upsample, YCbCr->RGB). The decoder handles BOTH baseline (SOF0)
+# and progressive (SOF2: spectral selection + annex-G successive
+# approximation, restart markers, 4:2:0/4:4:4). Extended-precision
+# (SOF1/12-bit), arithmetic-coded (SOF9+), and lossless JPEG raise
+# NotImplementedError — honest gates for genuinely rare classes.
+# Factory-scoped for by-value pickling, same
 # discipline as ``_png_codec``. Reference parity: the reference repo has
 # no media path (763-line tabular ETL); this implements BASELINE.json
 # north-star "multimodal columns" decode for image/jpeg.
@@ -1562,6 +1600,11 @@ def _jpeg_codec():
         h, w, c = px.shape
         if h == 0 or w == 0 or c not in (1, 3):
             raise ValueError("jpeg_encode expects (h, w) gray or (h, w, 3) RGB")
+        if restart_interval and progressive:
+            raise ValueError(
+                "restart_interval is only supported in baseline mode; "
+                "the progressive scan encoders do not emit DRI/RSTn"
+            )
         tl, tc = _scaled_tables(quality)
         if c == 3:
             f = px.astype(np.float64)
@@ -2004,9 +2047,17 @@ def _jpeg_codec():
             segs.append(bytes(cur))
             return segs, p
 
+        def dc_diff(br, tab) -> int:
+            """One DC difference: T.81 caps the magnitude category at 15
+            (F.1.2.1.1) — a corrupt DHT can hand back any byte, and an
+            unchecked category lets the predictor grow without bound."""
+            s = _decode_huff(br, tab)
+            if s > 15:
+                raise ValueError("bad DC magnitude category")
+            return _extend(br.bits(s), s) if s else 0
+
         def decode_block_full(br, blk, dtab, atab, pred):
-            s = _decode_huff(br, dtab)
-            pred += _extend(br.bits(s), s) if s else 0
+            pred += dc_diff(br, dtab)
             blk[0] = pred
             i = 1
             while i < 64:
@@ -2138,8 +2189,7 @@ def _jpeg_codec():
                                             br, blk, dct[cs], act[cs], pred[cs]
                                         )
                                     elif Ss == 0 and Ah == 0:
-                                        s = _decode_huff(br, dct[cs])
-                                        pred[cs] += _extend(br.bits(s), s) if s else 0
+                                        pred[cs] += dc_diff(br, dct[cs])
                                         blk[0] = pred[cs] << Al
                                     elif Ss == 0:
                                         blk[0] = int(blk[0]) | (br.bit() << Al)
@@ -2160,8 +2210,7 @@ def _jpeg_codec():
                                 br, blk, dct[cs], act[cs], pred[cs]
                             )
                         elif Ss == 0 and Se == 0 and Ah == 0:
-                            s = _decode_huff(br, dct[cs])
-                            pred[cs] += _extend(br.bits(s), s) if s else 0
+                            pred[cs] += dc_diff(br, dct[cs])
                             blk[0] = pred[cs] << Al
                         elif Ss == 0 and Se == 0:
                             blk[0] = int(blk[0]) | (br.bit() << Al)
@@ -2197,6 +2246,8 @@ def _jpeg_codec():
                     pq, tq = seg[sp] >> 4, seg[sp] & 0x0F
                     if pq != 0:
                         raise NotImplementedError("16-bit quant tables (extended JPEG)")
+                    if sp + 65 > len(seg):
+                        raise ValueError("truncated DQT segment")
                     tab = np.frombuffer(seg, np.uint8, 64, sp + 1).astype(np.int32)
                     raster = np.empty(64, dtype=np.int32)
                     raster[ZZ] = tab  # stored zigzag → raster
@@ -2205,9 +2256,13 @@ def _jpeg_codec():
             elif m == 0xC4:  # DHT (possibly several tables)
                 sp = 0
                 while sp < len(seg):
+                    if sp + 17 > len(seg):
+                        raise ValueError("truncated DHT segment")
                     tc_id, th = seg[sp] >> 4, seg[sp] & 0x0F
                     bits = list(seg[sp + 1 : sp + 17])
                     nvals = sum(bits)
+                    if sp + 17 + nvals > len(seg):
+                        raise ValueError("truncated DHT segment")
                     values = list(seg[sp + 17 : sp + 17 + nvals])
                     codes = _canonical_codes(bits, values)
                     htabs[(tc_id, th)] = {
@@ -2215,13 +2270,24 @@ def _jpeg_codec():
                     }
                     sp += 17 + nvals
             elif m in (0xC0, 0xC1, 0xC2):  # baseline / ext. sequential / progressive
+                if len(seg) < 6:
+                    raise ValueError("truncated SOF segment")
                 prec, fh, fw, nc = seg[0], *struct.unpack(">HH", seg[1:5]), seg[5]
                 if prec != 8:
                     raise NotImplementedError("non-8-bit JPEG precision")
+                if fw == 0 or fh == 0:
+                    raise ValueError("zero JPEG frame dimension")
+                if not 1 <= nc <= 4:
+                    raise ValueError(f"bad JPEG component count {nc}")
+                if len(seg) < 6 + 3 * nc:
+                    raise ValueError("truncated SOF segment")
                 comps = []
                 for i in range(nc):
                     cid, hv, tq = seg[6 + 3 * i : 9 + 3 * i]
-                    comps.append((cid, hv >> 4, hv & 0x0F, tq))
+                    hs, vs = hv >> 4, hv & 0x0F
+                    if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                        raise ValueError(f"bad sampling factors {hs}x{vs}")
+                    comps.append((cid, hs, vs, tq))
                 sof = (fw, fh, comps)
                 hmax = max(cc[1] for cc in comps)
                 vmax = max(cc[2] for cc in comps)
@@ -2245,16 +2311,24 @@ def _jpeg_codec():
                     "lossless/hierarchical) — baseline + progressive only"
                 )
             elif m == 0xDD:  # DRI
+                if len(seg) < 2:
+                    raise ValueError("truncated DRI segment")
                 (restart_interval,) = struct.unpack(">H", seg[:2])
             elif m == 0xDA:  # SOS
                 if sof is None:
                     raise ValueError("SOS before SOF")
-                ns = seg[0]
+                ns = seg[0] if seg else 0
+                if not 1 <= ns <= 4 or len(seg) < 4 + 2 * ns:
+                    raise ValueError("bad SOS header")
                 sel = []
                 for i in range(ns):
                     cs, td_ta = seg[1 + 2 * i : 3 + 2 * i]
+                    if cs not in cinfo:
+                        raise ValueError("scan references unknown component")
                     sel.append((cs, td_ta >> 4, td_ta & 0x0F))
                 Ss, Se, AhAl = seg[1 + 2 * ns : 4 + 2 * ns]
+                if Se > 63 or Ss > Se:
+                    raise ValueError("bad spectral selection bounds")
                 pos = decode_scan(sel, Ss, Se, AhAl >> 4, AhAl & 0x0F, pos + seglen)
                 n_scans += 1
                 continue

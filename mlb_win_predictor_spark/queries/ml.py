@@ -435,14 +435,24 @@ def grouped_median_arrow_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-native grouped custom aggregation (§2.9 UDF surface,
     Spark 4 applyInArrow): per-language median document length computed
     from raw pyarrow Tables — no pandas materialization on the worker.
-    Rows-only (the same statistic is oracle-checked via exact_percentiles);
-    pandas-path equivalence is pytest-pinned."""
+    Full DuckDB oracle since r9 (promoted per the r8 verdict): numpy's
+    interpolated median and DuckDB's ``median()`` agree bit-exactly on
+    integer-valued doubles — the midpoint average is exact binary
+    arithmetic for values < 2^52 — so the applyInArrow path itself now
+    sits under the value hash; pandas-path equivalence stays
+    pytest-pinned."""
     from ..functions.pandas_fns import grouped_median_arrow
 
     d = load_table(spark, sf_dir, "documents").select(
         "lang", F.col("n_chars").cast("double").alias("n_chars")
     )
     return grouped_median_arrow(d, "lang", "n_chars")
+
+
+GROUPED_MEDIAN_SQL = """
+SELECT lang, CAST(median(CAST(n_chars AS DOUBLE)) AS DOUBLE) AS median_value
+FROM documents GROUP BY lang
+"""
 
 
 def data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -645,7 +655,9 @@ QUERIES: dict[str, QueryDef] = {
         dedup_semantic_kmeans, None, "dedup: SemDeDup clustered embedding near-dup"
     ),
     "grouped_median_arrow": QueryDef(
-        grouped_median_arrow_entry, None, "applyInArrow grouped median (no pandas)"
+        grouped_median_arrow_entry,
+        GROUPED_MEDIAN_SQL,
+        "applyInArrow grouped median (no pandas)",
     ),
     "data_quality_report": QueryDef(
         data_quality_report, DATA_QUALITY_SQL, "data-quality gate (one-pass rules)"

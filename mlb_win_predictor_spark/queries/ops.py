@@ -567,12 +567,16 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link analysis over the part co-purchase graph: parts appearing in
-    the same order are bidirectionally linked; 5 PageRank iterations
-    (operators.graph — one edge join + one agg per step,
-    localCheckpoint-truncated lineage) rank the graph's hub parts.
-    Rows-only: iterative float fixed-point, not SQL-expressible at equal
-    precision. Top-20 by (rounded rank, part) for a bounded, deterministic
-    result."""
+    the same order are bidirectionally linked; up to 5 PageRank
+    iterations (operators.graph — one edge join + one agg per step,
+    localCheckpoint-truncated lineage) rank the graph's hub parts, with
+    the ``tol`` convergence early-exit wired in (r8 verdict #3): once the
+    max per-node rank delta drops below the output's rounding quantum
+    (rank_permille keeps 6 decimals → 1e-9 in rank), remaining iterations
+    cannot change the result, so the loop stops paying their scheduler
+    latency. Rows-only: iterative float fixed-point, not SQL-expressible
+    at equal precision. Top-20 by (rounded rank, part) for a bounded,
+    deterministic result."""
     from ..operators.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -585,7 +589,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
     )
-    ranks = pagerank(edges, iterations=5)
+    ranks = pagerank(edges, iterations=5, tol=1e-9)
     return (
         ranks.select("node", stable_round(F.col("rank") * 1000, 6).alias("rank_permille"))
         .orderBy(F.desc("rank_permille"), "node")

@@ -515,6 +515,82 @@ def test_png_palette_roundtrip_trns_and_spec_literal():
     assert out.reshape(2, 4).tolist() == [[0, 85, 170, 255], [255, 170, 85, 0]]
 
 
+def test_png_trns_transparency_key_gray_rgb():
+    """§11.3.2 transparency KEY on non-indexed images: a tRNS chunk on
+    grayscale (one 2-byte sample) or truecolor (three 2-byte samples)
+    appends an alpha channel — key-matching pixels alpha 0, everything
+    else opaque — at sub-byte, 8- and 16-bit depths; tRNS on the
+    already-alpha color types is rejected per spec (r8 ADVICE: gray/RGB
+    key files previously decoded silently WITHOUT alpha)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from mlb_win_predictor_spark.operators.multimodal import png_decode, png_encode
+
+    def with_trns(blob: bytes, data: bytes) -> bytes:
+        out, pos = bytearray(blob[:8]), 8
+        while pos < len(blob):
+            (length,) = struct.unpack(">I", blob[pos : pos + 4])
+            out += blob[pos : pos + 12 + length]
+            if blob[pos + 4 : pos + 8] == b"IHDR":
+                out += struct.pack(">I", len(data)) + b"tRNS" + data
+                out += struct.pack(">I", zlib.crc32(b"tRNS" + data) & 0xFFFFFFFF)
+            pos += 12 + length
+        return bytes(out)
+
+    gray = np.array([[0, 7, 255], [7, 7, 9]], dtype=np.uint8)
+    w, h, c, out = png_decode(with_trns(png_encode(gray), struct.pack(">H", 7)))
+    assert (w, h, c) == (3, 2, 2)
+    assert np.array_equal(out[:, :, 0], gray)
+    assert out[:, :, 1].tolist() == [[255, 0, 255], [0, 0, 255]]
+
+    rgb = np.zeros((2, 2, 3), dtype=np.uint8)
+    rgb[0, 1] = (1, 2, 3)
+    rgb[1, 1] = (1, 2, 4)  # partial channel match must stay opaque
+    w, h, c, out = png_decode(with_trns(png_encode(rgb), struct.pack(">HHH", 1, 2, 3)))
+    assert (w, h, c) == (2, 2, 4)
+    assert out[:, :, 3].tolist() == [[255, 0], [255, 255]]
+
+    g16 = np.array([[300, 65000]], dtype=np.uint16)
+    w, h, c, out = png_decode(with_trns(png_encode(g16), struct.pack(">H", 300)))
+    assert (w, h, c) == (2, 1, 2)
+    assert out.dtype == np.uint16
+    assert out[0, :, 1].tolist() == [0, 65535]
+
+    # sub-byte gray: the key compares against the RAW (pre-scaling) sample
+    sig = bytes.fromhex("89504e470d0a1a0a")
+
+    def chunk(t: bytes, d: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    raw_g = b"\x00" + bytes([0b00_01_10_11])
+    ihdr_g = struct.pack(">IIBBBBB", 4, 1, 2, 0, 0, 0, 0)
+    blob_g = (
+        sig + chunk(b"IHDR", ihdr_g) + chunk(b"tRNS", struct.pack(">H", 2))
+        + chunk(b"IDAT", zlib.compress(raw_g)) + chunk(b"IEND", b"")
+    )
+    w, h, c, out = png_decode(blob_g)
+    assert (w, h, c) == (4, 1, 2)
+    assert out[0, :, 0].tolist() == [0, 85, 170, 255]
+    assert out[0, :, 1].tolist() == [255, 255, 0, 255]
+
+    # spec: tRNS forbidden on color types that already carry alpha
+    rgba = np.zeros((1, 1, 4), dtype=np.uint8)
+    with _pytest.raises(ValueError, match="forbidden"):
+        png_decode(with_trns(png_encode(rgba), struct.pack(">HHH", 0, 0, 0)))
+    # malformed key lengths fail loudly
+    with _pytest.raises(ValueError, match="2 bytes"):
+        png_decode(with_trns(png_encode(gray), b"\x00\x07\x00"))
+    with _pytest.raises(ValueError, match="6 bytes"):
+        png_decode(with_trns(png_encode(rgb), struct.pack(">H", 1)))
+
+
 def test_png_fixtures_through_binary_files_source(spark, tmp_path):
     """The real-bytes ingestion path: PNG files written to disk, read
     back through the binaryFile source, decoded by the real codec —
@@ -2116,7 +2192,8 @@ def test_jpeg_roundtrip_bounds_and_variants():
 def test_jpeg_headers_cross_check_and_rejects():
     """The encoder's markers parse under the INDEPENDENT header sniffer
     (sniff_header walks SOF segments on its own); garbage, truncation,
-    and progressive (SOF2) streams fail loudly."""
+    and arithmetic/lossless SOFs (SOF9 here) fail loudly — progressive
+    SOF2 is a supported decode path since r8, not a reject."""
     import struct
 
     import numpy as np
@@ -2226,3 +2303,67 @@ def test_jpeg_progressive_matches_baseline_exactly():
         assert np.array_equal(out_b, out_p), (px.shape, q, sub)
     # multiple SOS markers actually present (a real scan script)
     assert blob_p.count(b"\xff\xda") >= 4
+
+
+def test_jpeg_encode_rejects_restart_with_progressive():
+    """restart_interval + progressive must fail LOUDLY (r8 ADVICE: it
+    was silently dropped — no DRI, no RSTn — leaving the caller with an
+    unsegmented stream and no signal)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from mlb_win_predictor_spark.operators.multimodal import jpeg_encode
+
+    px = np.zeros((8, 8, 3), dtype=np.uint8)
+    with _pytest.raises(ValueError, match="restart_interval"):
+        jpeg_encode(px, restart_interval=4, progressive=True)
+
+
+def test_jpeg_malformed_input_fuzz():
+    """Robustness property (r8 verdict #7): the decoder takes untrusted
+    bytes through ~300 lines of bit-twiddling, so random TRUNCATIONS and
+    BYTE FLIPS of valid streams must never escape the ValueError/
+    NotImplementedError discipline — no IndexError, struct.error,
+    KeyError, ZeroDivisionError, or hang. Same discipline the GIF codec
+    got in r8. >=1000 deterministic mutations across baseline gray,
+    baseline 4:2:0 + restarts, and progressive streams; benign mutations
+    (APP0 bytes, entropy noise) may still decode — any decode must then
+    return a sane (w, h, c, pixels) tuple."""
+    import numpy as np
+
+    from mlb_win_predictor_spark.operators.multimodal import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(20260815)
+    yy, xx = np.mgrid[0:24, 0:33]
+    rgb = np.stack([(yy * 7) % 256, (xx * 5) % 256, ((xx ^ yy) * 3) % 256], 2).astype(np.uint8)
+    streams = [
+        jpeg_encode(((yy * 5 + xx) % 256).astype(np.uint8), quality=80),
+        jpeg_encode(rgb, quality=85, subsample=True, restart_interval=3),
+        jpeg_encode(rgb, quality=85, progressive=True),
+    ]
+    checked = 0
+    for blob in streams:
+        n = len(blob)
+        muts = []
+        # truncations at random points (skip 0/1: not past SOI)
+        muts += [blob[: int(k)] for k in rng.integers(2, n, 120)]
+        # single byte flips
+        for k in rng.integers(0, n, 200):
+            m = bytearray(blob)
+            m[int(k)] ^= int(rng.integers(1, 256))
+            muts.append(bytes(m))
+        # double flips + flip-then-truncate (compound damage)
+        for _ in range(60):
+            m = bytearray(blob)
+            for k in rng.integers(0, n, 2):
+                m[int(k)] ^= int(rng.integers(1, 256))
+            muts.append(bytes(m[: int(rng.integers(4, n + 1))]))
+        for m in muts:
+            checked += 1
+            try:
+                w, h, c, px = jpeg_decode(m)
+            except (ValueError, NotImplementedError):
+                continue
+            assert w > 0 and h > 0 and c in (1, 3)
+            assert px.shape[0] == h and px.shape[1] == w
+    assert checked >= 1000, checked
