@@ -574,9 +574,14 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     max per-node rank delta drops below the output's rounding quantum
     (rank_permille keeps 6 decimals → 1e-9 in rank), remaining iterations
     cannot change the result, so the loop stops paying their scheduler
-    latency. Rows-only: iterative float fixed-point, not SQL-expressible
-    at equal precision. Top-20 by (rounded rank, part) for a bounded,
-    deterministic result."""
+    latency. Measured honesty note (r9): THIS graph's deltas decay ~7.1×
+    per step and sit at 5.5e-9 after iteration 5 — just above the
+    quantum — so the exit never fires here within the cap; the probe is
+    piggybacked into the checkpoint job (operators/graph.py) and costs
+    ~0.4s total, the price of leaving convergence detection on for
+    graphs that do converge early. Rows-only: iterative float
+    fixed-point, not SQL-expressible at equal precision. Top-20 by
+    (rounded rank, part) for a bounded, deterministic result."""
     from ..operators.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")

@@ -794,30 +794,47 @@ def corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     CPU-heavy per input row, and the bench corpus is a 1-row-group file
     — without the round-robin split the whole pipeline ran on one task
     at sf1 (the 4.2× scaling cluster the r7 verdict flagged); a no-op on
-    an already-split scan, i.e. at 100 TB."""
+    an already-split scan, i.e. at 100 TB.
+
+    r9 (flattening the 3.84× sf1 ratio): every downstream stage needs
+    only the TOKEN COUNT, never the token array — so the tokenize
+    happens once, inside one projection whose outputs are the three
+    scalar gate stats + n_toks, and the token array dies before the
+    dedup exchange. The r8 shape re-split the text after the window
+    (a second full-corpus regex pass) and shipped every document column
+    through the dedup shuffle; now the exchange carries exactly
+    (lang, doc_id, text, n_toks) and the chunk explode carries two
+    ints."""
     d = fan_out(load_table(spark, sf_dir, "documents"), min_bytes=2 << 20)
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    n_tok = F.size(toks)
     sw_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
-    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
-    kept = d.filter(
-        (n_tok >= 20) & (n_stop.cast("double") / n_tok < 0.5) & (ttr > 0.2)
+    stats = d.select(
+        "lang",
+        "doc_id",
+        "text",
+        F.size(toks).alias("n_toks"),
+        F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t))).alias("n_stop"),
+        F.size(F.array_distinct(toks)).alias("n_uniq"),
     )
+    kept = stats.filter(
+        (F.col("n_toks") >= 20)
+        & (F.col("n_stop").cast("double") / F.col("n_toks") < 0.5)
+        & (F.col("n_uniq").cast("double") / F.col("n_toks") > 0.2)
+    ).select("lang", "doc_id", "text", "n_toks")
     w = W.partitionBy("text").orderBy(F.col("doc_id").asc())
     deduped = (
         kept.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("lang", "doc_id", toks.alias("toks"))
+        .select("lang", "doc_id", "n_toks")
     )
     starts = F.sequence(
-        F.lit(1), F.greatest(F.size("toks"), F.lit(1)), F.lit(CHUNK_STRIDE)
+        F.lit(1), F.greatest(F.col("n_toks"), F.lit(1)), F.lit(CHUNK_STRIDE)
     )
     chunks = deduped.select(
         "lang",
         "doc_id",
         F.explode(starts).alias("start"),
-        F.size("toks").alias("n_toks"),
+        "n_toks",
     ).select(
         "lang",
         "doc_id",
@@ -1974,16 +1991,25 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one-final-ln/divide discipline as ``word_entropy_quality``; 6dp
     rounding swallows the ~1e-12 fold-order fuzz of the double Σ.
 
-    Shuffles: corpus counts (∝ vocabulary, map-side combined), per-doc
-    counts (one exchange), count join (vocab side AQE-broadcast), per-doc
-    rollup. No corpus-sized sort, no driver state."""
+    The corpus is tokenized ONCE (r9): the per-doc counts ``dc`` are the
+    finest grain, and the corpus vocabulary counts derive from them as
+    ``sum(k) group by w`` — identical integers, but the second
+    regex-split + explode pass over every document (the r8 shape
+    computed ``wc`` from a separate explode of the raw text) is gone.
+    At 100 TB the tokenize pass IS the corpus read; halving it halves
+    the scan+CPU cost of the whole entry.
+
+    Shuffles: per-doc counts (one exchange off the single tokenize
+    pass), corpus counts (∝ pre-combined (doc,w) pairs, map-side
+    combined), count join (vocab side AQE-broadcast), per-doc rollup.
+    No corpus-sized sort, no driver state."""
     d = fan_out(load_table(spark, sf_dir, "documents"), min_bytes=2 << 20)
     toks = d.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
     )
-    wc = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
-    total = wc.agg(F.sum("c").cast("double").alias("n_total"))
     dc = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("k"))
+    wc = dc.groupBy("w").agg(F.sum("k").alias("c"))
+    total = wc.agg(F.sum("c").cast("double").alias("n_total"))
     return (
         dc.join(wc, "w")
         .groupBy("doc_id")
