@@ -435,6 +435,8 @@ def _png_codec():
         pos, ihdr, idat, plte, trns = 8, None, [], None, None
         while pos + 12 <= len(payload):
             (length,) = struct.unpack(">I", payload[pos : pos + 4])
+            if pos + 12 + length > len(payload):
+                raise ValueError("truncated PNG chunk")
             ctype = bytes(payload[pos + 4 : pos + 8])
             data = bytes(payload[pos + 8 : pos + 8 + length])
             (crc,) = struct.unpack(
@@ -443,6 +445,8 @@ def _png_codec():
             if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
                 raise ValueError(f"bad CRC in {ctype!r} chunk")
             if ctype == b"IHDR":
+                if length != 13:
+                    raise ValueError("bad IHDR length")
                 ihdr = struct.unpack(">IIBBBBB", data)
             elif ctype == b"PLTE":
                 if length % 3 or length > 768:
@@ -467,7 +471,12 @@ def _png_codec():
         samples = SAMPLES_OF_COLOR[color]
         bits_per_px = samples * depth
         bpp = max(1, bits_per_px // 8)  # filter delta in BYTES, spec §9.2
-        raw = zlib.decompress(b"".join(idat))
+        if w == 0 or h == 0:
+            raise ValueError("zero PNG dimension")
+        try:
+            raw = zlib.decompress(b"".join(idat))
+        except zlib.error as ex:  # corrupt deflate must stay ValueError
+            raise ValueError(f"bad IDAT deflate stream: {ex}") from None
 
         def unfilter(h_sub: int, stride: int, off: int) -> "np.ndarray":
             """Reconstruct ``h_sub`` scanlines of ``stride`` bytes starting
@@ -543,6 +552,16 @@ def _png_codec():
             # each an independently filtered pass over the pixels at
             # (x0 + i·dx, y0 + j·dy); empty passes contribute no bytes.
             # Unfilter + depack each pass, then scatter by strided view.
+            # Size-check BEFORE allocating: flipped IHDR dimension bytes
+            # must fail loudly, not attempt a multi-GB zeros()
+            expected = 0
+            for x0, y0, dx, dy in ADAM7:
+                pw = (w - x0 + dx - 1) // dx
+                ph = (h - y0 + dy - 1) // dy
+                if pw > 0 and ph > 0:
+                    expected += ph * (((pw * bits_per_px + 7) // 8) + 1)
+            if expected != len(raw):
+                raise ValueError("IDAT length mismatch")
             px = np.zeros(
                 (h, w, samples), dtype=np.uint16 if depth == 16 else np.uint8
             )
@@ -661,6 +680,8 @@ def _wav_codec():
             if len(chunk) != size:
                 raise ValueError(f"truncated {cid!r} chunk")
             if cid == b"fmt ":
+                if len(chunk) < 16:
+                    raise ValueError("truncated fmt chunk")
                 fmt = struct.unpack("<HHIIHH", chunk[:16])
             elif cid == b"data":
                 data = chunk
@@ -668,6 +689,8 @@ def _wav_codec():
         if fmt is None or data is None:
             raise ValueError("missing fmt/data chunk")
         code, channels, rate, byte_rate, block, bits = fmt
+        if channels < 1:
+            raise ValueError("bad WAV channel count")
         if code != 1 or bits != 16:
             raise NotImplementedError(
                 f"unsupported WAV (format={code}, bits={bits}): only PCM16"
@@ -1161,6 +1184,8 @@ def _gif_codec():
         b = bytes(payload)
         if b[:6] not in (b"GIF87a", b"GIF89a"):
             raise ValueError("not a GIF (bad signature)")
+        if len(b) < 13:
+            raise ValueError("truncated GIF logical screen descriptor")
         w, h = struct.unpack("<HH", b[6:10])
         packed, bg = b[10], b[11]
         pos = 13
@@ -1180,6 +1205,8 @@ def _gif_codec():
             if block == 0x3B:  # trailer
                 break
             if block == 0x21:  # extension
+                if pos + 2 > len(b):
+                    raise ValueError("truncated extension block")
                 label = b[pos]
                 pos += 1
                 if label == 0xF9:  # graphic control
@@ -1203,6 +1230,8 @@ def _gif_codec():
                 continue
             if block != 0x2C:
                 raise ValueError(f"unknown block 0x{block:02x}")
+            if pos + 9 > len(b):
+                raise ValueError("truncated image descriptor")
             left, top, iw, ih = struct.unpack("<HHHH", b[pos : pos + 8])
             iflags = b[pos + 8]
             pos += 9
@@ -1213,6 +1242,8 @@ def _gif_codec():
                 pos += n * 3
             if act is None:
                 raise ValueError("image block with no color table")
+            if pos >= len(b):
+                raise ValueError("truncated image data (no LZW code size)")
             mcs = b[pos]
             pos += 1
             lzw, pos = _sub_blocks(b, pos)
@@ -1562,14 +1593,18 @@ def _jpeg_codec():
             self.n = 0
 
         def put(self, code: int, length: int):
-            for i in range(length - 1, -1, -1):
-                self.acc = (self.acc << 1) | ((code >> i) & 1)
-                self.n += 1
-                if self.n == 8:
-                    self.out.append(self.acc)
-                    if self.acc == 0xFF:
-                        self.out.append(0x00)  # byte stuffing
-                    self.acc = self.n = 0
+            # whole-value append + byte-granular flush (the r8 writer
+            # shifted one bit per loop turn; at ~1.3k put calls per
+            # small image the bit loop was the encode hot path)
+            self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+            self.n += length
+            while self.n >= 8:
+                self.n -= 8
+                b = (self.acc >> self.n) & 0xFF
+                self.out.append(b)
+                if b == 0xFF:
+                    self.out.append(0x00)  # byte stuffing
+            self.acc &= (1 << self.n) - 1
 
         def align(self):
             if self.n:
@@ -1666,9 +1701,7 @@ def _jpeg_codec():
                                 s, bits = _magnitude(int(blk[0]) - pred[ci])
                                 pred[ci] = int(blk[0])
                                 code, ln = dc_codes[tsel][s]
-                                bw.put(code, ln)
-                                if s:
-                                    bw.put(bits, s)
+                                bw.put((code << s) | bits, ln + s)
                                 run = 0
                                 nz = np.nonzero(blk[1:])[0]
                                 last = nz[-1] + 1 if len(nz) else 0
@@ -1683,8 +1716,7 @@ def _jpeg_codec():
                                         run -= 16
                                     s, bits = _magnitude(v)
                                     code, ln = ac_codes[tsel][(run << 4) | s]
-                                    bw.put(code, ln)
-                                    bw.put(bits, s)
+                                    bw.put((code << s) | bits, ln + s)
                                     run = 0
                                 if last < 63:
                                     code, ln = ac_codes[tsel][0x00]  # EOB
@@ -1730,9 +1762,7 @@ def _jpeg_codec():
                                 s, bits = _magnitude(v - pred[ci])
                                 pred[ci] = v
                                 code, ln = dc_codes[tsel][s]
-                                bw.put(code, ln)
-                                if s:
-                                    bw.put(bits, s)
+                                bw.put((code << s) | bits, ln + s)
             bw.align()
             return bytes(bw.out)
 
@@ -1960,35 +1990,74 @@ def _jpeg_codec():
         return bytes(out)
 
     class _BitReader:
+        """MSB-first entropy bit reader over a byte accumulator: refills
+        a (masked, so it never grows past ~3 bytes) integer window and
+        serves multi-bit reads in one shift+mask — the r8 reader pulled
+        one bit per call, and at ~4.4k bit() calls per small image the
+        call overhead WAS the decode hot path (cProfile: 0.44s of a
+        0.80s 100-image decode)."""
+
         def __init__(self, data: bytes):
             self.d = data
             self.pos = 0
             self.acc = 0
             self.n = 0
 
+        def _fill(self, k: int) -> None:
+            while self.n < k and self.pos < len(self.d):
+                self.acc = ((self.acc & ((1 << self.n) - 1)) << 8) | self.d[self.pos]
+                self.pos += 1
+                self.n += 8
+
         def bit(self) -> int:
             if self.n == 0:
-                if self.pos >= len(self.d):
+                self._fill(1)
+                if self.n == 0:
                     raise ValueError("truncated JPEG entropy stream")
-                self.acc = self.d[self.pos]
-                self.pos += 1
-                self.n = 8
             self.n -= 1
             return (self.acc >> self.n) & 1
 
         def bits(self, k: int) -> int:
-            v = 0
-            for _ in range(k):
-                v = (v << 1) | self.bit()
-            return v
+            if k == 0:
+                return 0
+            if self.n < k:
+                self._fill(k)
+                if self.n < k:
+                    raise ValueError("truncated JPEG entropy stream")
+            self.n -= k
+            return (self.acc >> self.n) & ((1 << k) - 1)
 
-    def _decode_huff(br, table: dict) -> int:
-        code, ln = 0, 0
-        while ln < 16:
-            code = (code << 1) | br.bit()
-            ln += 1
-            sym = table.get((code, ln))
+        def peek16(self):
+            """Up to 16 bits LEFT-ALIGNED into a 16-bit window without
+            consuming; returns (window, n_valid). Codes never exceed 16
+            bits (T.81), so one peek serves a whole Huffman decode."""
+            if self.n < 16:
+                self._fill(16)
+            a = self.n if self.n < 16 else 16
+            v = ((self.acc >> (self.n - a)) & ((1 << a) - 1)) if a else 0
+            return v << (16 - a), a
+
+        def skip(self, k: int) -> None:
+            # caller guarantees k <= the n_valid its peek16 returned
+            self.n -= k
+
+    def _decode_huff(br, table) -> int:
+        fast8, full = table
+        pk, avail = br.peek16()
+        if avail >= 8:
+            hit = fast8[pk >> 8]
+            if hit is not None:
+                br.skip(hit[1])
+                return hit[0]
+            start = 9  # a <=8-bit code would have hit the fast table
+        else:
+            start = 1
+        for ln in range(start, 17):
+            if ln > avail:
+                raise ValueError("truncated JPEG entropy stream")
+            sym = full.get((pk >> (16 - ln), ln))
             if sym is not None:
+                br.skip(ln)
                 return sym
         raise ValueError("invalid Huffman code in JPEG stream")
 
@@ -2265,9 +2334,18 @@ def _jpeg_codec():
                         raise ValueError("truncated DHT segment")
                     values = list(seg[sp + 17 : sp + 17 + nvals])
                     codes = _canonical_codes(bits, values)
-                    htabs[(tc_id, th)] = {
-                        (code, ln): sym for sym, (code, ln) in codes.items()
-                    }
+                    full = {(code, ln): sym for sym, (code, ln) in codes.items()}
+                    # 8-bit first-level lookup: codes of length <= 8 (the
+                    # overwhelming share of symbols actually emitted)
+                    # resolve with ONE list index off a single peek
+                    # instead of a per-length dict probe loop
+                    fast8 = [None] * 256
+                    for sym, (code, ln) in codes.items():
+                        if ln <= 8 and code < (1 << ln):
+                            base = code << (8 - ln)
+                            for suf in range(1 << (8 - ln)):
+                                fast8[base | suf] = (sym, ln)
+                    htabs[(tc_id, th)] = (fast8, full)
                     sp += 17 + nvals
             elif m in (0xC0, 0xC1, 0xC2):  # baseline / ext. sequential / progressive
                 if len(seg) < 6:

@@ -41,7 +41,12 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k ANN baseline: for each query vector
     (vec_id < {nq}), the {k} nearest candidates by cosine. The query side
     broadcasts; the candidate scan streams — a map-side nested-loop with
-    no shuffle until the final per-query top-k."""
+    no shuffle until the final per-query top-k. Negative result pinned
+    (r9): unrolling the 64-dim dot into element_at products ("for
+    codegen") measured 3-4x SLOWER than this zip_with/aggregate fold at
+    both SFs — each element_at re-enters the array accessor, while the
+    HOF walks the ArrayData once; Spark 4's HOF evaluation is not the
+    bottleneck here. Keep the fold."""
     e = load_table(spark, sf_dir, "embeddings")
     # norms computed ONCE per vector before the join (the pairwise loop
     # would otherwise re-fold dot(v,v) per pair — 3x the HOF work);

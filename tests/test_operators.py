@@ -2367,3 +2367,59 @@ def test_jpeg_malformed_input_fuzz():
             assert w > 0 and h > 0 and c in (1, 3)
             assert px.shape[0] == h and px.shape[1] == w
     assert checked >= 1000, checked
+
+
+def test_png_wav_gif_malformed_input_fuzz():
+    """Same malformed-input discipline for the OTHER three codecs (r9):
+    random truncations / byte flips of valid PNG (all flavors incl.
+    Adam7 + palette), WAV, and GIF streams must raise ValueError /
+    NotImplementedError only — closes the latent escapes a quick audit
+    found (zlib.error through an un-wrapped inflate, struct.error on a
+    short fmt/IHDR/screen-descriptor, ZeroDivisionError on a
+    zero-channel fmt, and a multi-GB zeros() on flipped Adam7 IHDR
+    dimension bytes)."""
+    import numpy as np
+
+    from mlb_win_predictor_spark.operators.multimodal import (
+        gif_decode,
+        gif_encode,
+        png_decode,
+        png_encode,
+        png_encode_palette,
+        wav_decode,
+        wav_encode,
+    )
+
+    rng = np.random.default_rng(20260816)
+    g = (np.arange(19 * 23, dtype=np.uint8) % 251).reshape(19, 23)
+    rgb = np.stack([g, g.T[:19, :23] if False else g, 255 - g], 2)
+    pal = (g % 7).astype(np.uint8)
+    pal_rgb = np.stack([pal * 30, pal * 20, pal * 10], 2).astype(np.uint8)
+    frames = [rgb, np.roll(rgb, 5, axis=1)]
+    streams = [
+        ("png", png_decode, png_encode(g, filters=range(5))),
+        ("png", png_decode, png_encode(rgb, interlace=True)),
+        ("png", png_decode, png_encode_palette(pal_rgb)),
+        ("wav", wav_decode, wav_encode((g.astype(np.int16) * 120 - 11111).reshape(-1, 1))),
+        ("gif", gif_decode, gif_encode(frames)),
+    ]
+    checked = 0
+    for _tag, dec, blob in streams:
+        n = len(blob)
+        muts = [blob[: int(k)] for k in rng.integers(2, n, 80)]
+        for k in rng.integers(0, n, 120):
+            m = bytearray(blob)
+            m[int(k)] ^= int(rng.integers(1, 256))
+            muts.append(bytes(m))
+        for _ in range(40):
+            m = bytearray(blob)
+            for k in rng.integers(0, n, 2):
+                m[int(k)] ^= int(rng.integers(1, 256))
+            muts.append(bytes(m[: int(rng.integers(4, n + 1))]))
+        for m in muts:
+            checked += 1
+            try:
+                dec(m)
+            except (ValueError, NotImplementedError):
+                continue
+    assert checked >= 1000, checked
