@@ -492,9 +492,15 @@ JOIN (VALUES ('r1','l_orderkey_not_null'), ('r2','l_discount_in_range'),
 
 
 def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing rolling-hash fingerprints (rows-only: pandas-UDF hash):
-    per-doc fingerprint count + substring-collision pair count within a
-    bounded set."""
+    """Winnowing rolling-hash fingerprints: per-doc fingerprint count +
+    substring-collision pair count within a bounded set. Full DuckDB
+    oracle since r9 (promoted per the r8 verdict's recipe): the
+    Rabin-Karp polynomial is pure integer arithmetic mod 2^61−1, so the
+    oracle recomputes every window hash DIRECTLY (Σ byte·B^j mod M in
+    HUGEINT off hex(encode(text)) — bit-equal to the UDF's rolling
+    recurrence, which is the same polynomial) and winnows with a
+    4-row window-min; the n ≤ window single-min case falls out of the
+    same window frame at i = 1."""
     from ..functions.pandas_fns import winnowing_fingerprints
 
     d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
@@ -510,6 +516,48 @@ def fingerprint_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.size("fingerprints")).alias("n_fingerprints"),
     ).crossJoin(pairs.agg(F.count(F.lit(1)).alias("n_collision_pairs")))
+
+
+# Parameters mirror functions/pandas_fns.winnowing_fingerprints defaults
+# (k=8, window=4, B=257, M=2^61-1); POW literals are B^(k-1-j) mod M —
+# all < M, so only the per-window SUM needs HUGEINT.
+_WIN_K, _WIN_W, _WIN_B, _WIN_M = 8, 4, 257, (1 << 61) - 1
+_WIN_TERMS = " + ".join(
+    f"CAST(codes[i+{j}] AS HUGEINT) * {pow(_WIN_B, _WIN_K - 1 - j, _WIN_M)}"
+    for j in range(_WIN_K)
+)
+WINNOWING_SQL = f"""
+WITH d AS (
+  SELECT doc_id, length(text) AS nch,
+         octet_length(encode(text)) AS bn, hex(encode(text)) AS hx
+  FROM documents WHERE doc_id < 200
+), bl AS (
+  SELECT doc_id, bn,
+         list_transform(range(0, bn), i ->
+           (strpos('0123456789ABCDEF', substr(hx, 2*i+1, 1)) - 1) * 16
+           + (strpos('0123456789ABCDEF', substr(hx, 2*i+2, 1)) - 1)) AS codes
+  FROM d WHERE nch >= {_WIN_K} AND bn >= {_WIN_K}
+), hs AS (
+  SELECT doc_id, bn - {_WIN_K} + 1 AS n,
+         unnest(range(1, bn - {_WIN_K} + 2)) AS i, codes
+  FROM bl
+), hv AS (
+  SELECT doc_id, n, i, CAST(({_WIN_TERMS}) % {_WIN_M} AS BIGINT) AS h FROM hs
+), wm AS (
+  SELECT doc_id, i, n,
+         min(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND {_WIN_W - 1} FOLLOWING) AS wmin
+  FROM hv
+), fp AS (
+  SELECT DISTINCT doc_id, wmin AS fp FROM wm
+  WHERE (n <= {_WIN_W} AND i = 1) OR (n > {_WIN_W} AND i <= n - {_WIN_W - 1})
+)
+SELECT (SELECT COUNT(*) FROM d) AS n_docs,
+       (SELECT COUNT(*) FROM fp) AS n_fingerprints,
+       (SELECT COUNT(*) FROM (
+          SELECT DISTINCT a.doc_id, b.doc_id FROM fp a JOIN fp b
+          ON a.fp = b.fp AND a.doc_id < b.doc_id)) AS n_collision_pairs
+"""
 
 
 def per_group_linear_models(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -663,7 +711,7 @@ QUERIES: dict[str, QueryDef] = {
         data_quality_report, DATA_QUALITY_SQL, "data-quality gate (one-pass rules)"
     ),
     "fingerprint_winnowing": QueryDef(
-        fingerprint_winnowing, None, "winnowing rolling-hash fingerprints"
+        fingerprint_winnowing, WINNOWING_SQL, "winnowing rolling-hash fingerprints"
     ),
     "compression_ratio_quality": QueryDef(
         compression_ratio_quality,
