@@ -116,6 +116,10 @@ HEADLINE = [
     # corpus. Cross-round totals compare on the common subset.
     "dedup_exact_end_to_end",
     "multimodal_decode_jpeg",
+    # r9: DSIR importance weighting — a full-corpus tokenize + bucket
+    # model, the heaviest new entry this round. Common-subset rule as
+    # above.
+    "dsir_importance_weights",
 ]
 
 

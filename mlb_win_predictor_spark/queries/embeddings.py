@@ -213,9 +213,11 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterative MMR loop runs per-query over a POOL-BOUNDED Arrow batch in
     ``applyInPandas`` ({MMR_POOL} vectors — numpy does k·pool cosine
     ops per group, never the corpus). Deterministic: 6dp-rounded scores,
-    ties broken by cand_id, so retry-stable. Inexpressible in one SQL
-    query (greedy selection is inherently sequential) — rows-only entry;
-    numpy parity is pinned in tests/test_operators.py."""
+    ties broken by cand_id, so retry-stable. Greedy selection is
+    sequential, but K is a compile-time constant — so the r9 DuckDB
+    oracle (``MMR_SQL``) unrolls the loop into K chained argmax CTEs
+    and the entry is fully value-hashed; numpy parity is additionally
+    pinned in tests/test_operators.py."""
     import numpy as np
     import pandas as pd
 
@@ -253,7 +255,11 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ids = pdf["cand_id"].to_numpy()
         n = len(ids)
         sim = (vecs @ vecs.T) / np.outer(norms, norms)
-        np.round(sim, 6, out=sim)  # same grain as the relevance scores
+        # half-away-from-zero at 6dp — the exact op ROUND(x*1e6)/1e6
+        # performs in Spark AND DuckDB (stable_round / sround), so the
+        # r9 SQL oracle replays the same penalty grid; np.round would
+        # round half-to-even and diverge on exact .5 boundaries
+        sim = np.copysign(np.floor(np.abs(sim) * 1e6 + 0.5), sim) / 1e6
         chosen: list[int] = []
         free = list(range(n))
         while free and len(chosen) < MMR_K:
@@ -280,6 +286,97 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _mmr_oracle_sql() -> str:
+    """Unrolled {MMR_K}-step greedy MMR as one DuckDB query (r9 oracle
+    promotion). Greedy selection is sequential, but K is a compile-time
+    constant — so each step is a chained CTE: anti-join the pool against
+    the chosen-so-far set, penalty = MAX pairwise sim to chosen, argmax
+    by ``λ·rel − (1−λ)·penalty`` with cand_id tie-break. Float grain
+    matches the Spark entry op-for-op: rel and sim are 6dp
+    half-away-rounded (the stable_round idiom), the λ blend uses the
+    engine-evaluated ``(1.0 − λ)`` double, and pair norms multiply as
+    ``SQRT(na)*SQRT(nb)`` exactly as numpy's ``outer(norms, norms)``."""
+    lam = MMR_LAMBDA
+    head = f"""
+WITH ex AS (
+  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (
+  SELECT vec_id, SUM(v * v) AS nrm FROM ex GROUP BY 1
+),
+dots AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, SUM(q.v * c.v) AS dot
+  FROM ex q JOIN ex c ON q.i = c.i
+  WHERE q.vec_id < {TOPK_N_QUERIES} AND c.vec_id >= {TOPK_N_QUERIES}
+  GROUP BY 1, 2
+),
+pool AS (
+  SELECT query_id, cand_id, cosine FROM (
+    SELECT d.query_id, d.cand_id,
+           (ROUND(d.dot / SQRT(nq.nrm * nc.nrm) * 1e6) / 1e6) AS cosine,
+           ROW_NUMBER() OVER (
+             PARTITION BY d.query_id
+             ORDER BY (ROUND(d.dot / SQRT(nq.nrm * nc.nrm) * 1e6) / 1e6) DESC,
+                      d.cand_id ASC) AS rnk
+    FROM dots d
+    JOIN norms nq ON nq.vec_id = d.query_id
+    JOIN norms nc ON nc.vec_id = d.cand_id
+  ) WHERE rnk <= {MMR_POOL}
+),
+psim AS (
+  SELECT a.query_id, a.cand_id AS id_a, b.cand_id AS id_b,
+         (ROUND(SUM(ea.v * eb.v)
+                / (SQRT(na.nrm) * SQRT(nb.nrm)) * 1e6) / 1e6) AS sim
+  FROM pool a
+  JOIN pool b ON b.query_id = a.query_id
+  JOIN ex ea ON ea.vec_id = a.cand_id
+  JOIN ex eb ON eb.vec_id = b.cand_id AND eb.i = ea.i
+  JOIN norms na ON na.vec_id = a.cand_id
+  JOIN norms nb ON nb.vec_id = b.cand_id
+  GROUP BY a.query_id, a.cand_id, b.cand_id, na.nrm, nb.nrm
+),
+sel1 AS (
+  SELECT query_id, cand_id, cosine, CAST(1 AS BIGINT) AS mmr_rank FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, cand_id ASC) AS rn
+    FROM pool
+  ) WHERE rn = 1
+),
+chosen1 AS (SELECT * FROM sel1)"""
+    steps = []
+    for k in range(2, MMR_K + 1):
+        steps.append(f""",
+sel{k} AS (
+  SELECT query_id, cand_id, cosine, CAST({k} AS BIGINT) AS mmr_rank FROM (
+    SELECT p.query_id, p.cand_id, p.cosine,
+           ROW_NUMBER() OVER (
+             PARTITION BY p.query_id
+             ORDER BY ({lam} * p.cosine - (1.0 - {lam}) * pen.mx) DESC,
+                      p.cand_id ASC) AS rn
+    FROM pool p
+    JOIN (SELECT ps.query_id, ps.id_a AS cand_id, MAX(ps.sim) AS mx
+          FROM psim ps
+          JOIN chosen{k - 1} ch
+            ON ch.query_id = ps.query_id AND ch.cand_id = ps.id_b
+          GROUP BY 1, 2) pen
+      ON pen.query_id = p.query_id AND pen.cand_id = p.cand_id
+    LEFT JOIN chosen{k - 1} dup
+      ON dup.query_id = p.query_id AND dup.cand_id = p.cand_id
+    WHERE dup.cand_id IS NULL
+  ) WHERE rn = 1
+),
+chosen{k} AS (SELECT * FROM chosen{k - 1} UNION ALL SELECT * FROM sel{k})""")
+    tail = f"""
+SELECT query_id, mmr_rank, cand_id, cosine FROM chosen{MMR_K}
+"""
+    return head + "".join(steps) + tail
+
+
+MMR_SQL = _mmr_oracle_sql()
+
+
 MRL_DIMS = (8, 16, 32, 64)
 
 
@@ -302,10 +399,10 @@ def similarity_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     Values are bit-identical: same products, same fold order. Ranks per
     (d, query) ride one window; recall joins each width's top-k against
     the full-width top-k from the SAME scored table. Deterministic (6dp
-    + id tie-breaks) ⇒ stable rows; not SQL-expressible compactly
-    (per-width rank-join self-comparison) — rows-only, with invariants
-    pinned in tests (full-width recall ≡ 1, bounds, per-width row
-    counts)."""
+    + id tie-breaks) ⇒ full DuckDB oracle since r9
+    (``TRUNCATED_RECALL_SQL`` replays slice→rank→recall); invariants
+    additionally pinned in tests (full-width recall ≡ 1, bounds,
+    per-width row counts)."""
     e = load_table(spark, sf_dir, "embeddings")
     full_d = MRL_DIMS[-1]
 
@@ -390,6 +487,59 @@ def similarity_truncated_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dims")
     )
+
+
+# Full-parity oracle (promoted r9 from rows-only): the eval is fully
+# deterministic — per-width cosines are 6dp-stable-rounded BEFORE the
+# rank (fold-order fuzz ~1e-12 is swallowed, the COSINE_TOPK precedent)
+# and ties break on cand_id — so DuckDB can replay the whole
+# slice→rank→recall pipeline. Prefix dots/norms come from one unnested
+# (vec, i) table filtered to i <= width; the width set rides a VALUES
+# cross join.
+TRUNCATED_RECALL_SQL = f"""
+WITH widths AS (SELECT UNNEST({list(MRL_DIMS)}) AS dims),
+ex AS (
+  SELECT vec_id, CAST(UNNEST(embedding) AS DOUBLE) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+),
+norms AS (
+  SELECT w.dims, e.vec_id, SUM(e.v * e.v) AS nrm
+  FROM widths w JOIN ex e ON e.i <= w.dims
+  GROUP BY 1, 2
+),
+dots AS (
+  SELECT w.dims, q.vec_id AS query_id, c.vec_id AS cand_id,
+         SUM(q.v * c.v) AS dot
+  FROM widths w
+  JOIN ex q ON q.i <= w.dims AND q.vec_id < {TOPK_N_QUERIES}
+  JOIN ex c ON c.i = q.i AND c.vec_id >= {TOPK_N_QUERIES}
+  GROUP BY 1, 2, 3
+),
+topk AS (
+  SELECT dims, query_id, cand_id FROM (
+    SELECT d.dims, d.query_id, d.cand_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY d.dims, d.query_id
+             ORDER BY (ROUND(d.dot / SQRT(nq.nrm * nc.nrm) * 1e6) / 1e6) DESC,
+                      d.cand_id ASC) AS rnk
+    FROM dots d
+    JOIN norms nq ON nq.dims = d.dims AND nq.vec_id = d.query_id
+    JOIN norms nc ON nc.dims = d.dims AND nc.vec_id = d.cand_id
+  ) WHERE rnk <= {TOPK_K}
+),
+truth AS (
+  SELECT query_id AS t_q, cand_id AS t_c FROM topk WHERE dims = {MRL_DIMS[-1]}
+)
+SELECT CAST(t.dims AS BIGINT) AS dims,
+       CAST(COUNT(*) AS BIGINT) AS n_retrieved,
+       (ROUND(SUM(CASE WHEN tr.t_q IS NOT NULL THEN 1 ELSE 0 END)
+              / CAST({TOPK_N_QUERIES * TOPK_K} AS DOUBLE) * 1e6) / 1e6)
+         AS recall_at_k
+FROM topk t
+LEFT JOIN truth tr ON tr.t_q = t.query_id AND tr.t_c = t.cand_id
+GROUP BY 1
+"""
 
 
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -818,12 +968,12 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "mmr_diversified_topk": QueryDef(
         mmr_diversified_topk,
-        None,
+        MMR_SQL,
         "retrieval: MMR diversified re-rank over a pool-bounded Arrow batch",
     ),
     "similarity_truncated_recall": QueryDef(
         similarity_truncated_recall,
-        None,
+        TRUNCATED_RECALL_SQL,
         "similarity: Matryoshka prefix-truncation recall@k eval, one pair pass",
     ),
     "embedding_neardup_pairs": QueryDef(

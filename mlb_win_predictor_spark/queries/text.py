@@ -2053,6 +2053,124 @@ FROM per_doc, total
 """
 
 
+DSIR_BUCKETS = 256  # hashed-feature space: substr(md5(token), 1, 2)
+DSIR_TARGET_SOURCE = "src1"  # stands in for the curated target domain
+
+
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling"): score every raw-corpus document
+    by its hashed-n-gram importance log-weight under a target-domain
+    unigram bag model — the standard step that picks "Wikipedia-like"
+    web documents for a pretraining mix. Target domain = documents from
+    ``{DSIR_TARGET_SOURCE}``; every other document is raw corpus and
+    gets a weight.
+
+    Features are word unigrams hashed into {DSIR_BUCKETS} buckets via
+    ``substr(md5(token), 1, 2)`` — a cross-engine-identical hash (both
+    engines produce the same hex digest, unlike xxhash64/DuckDB-hash
+    which differ), the trick that keeps this entry fully
+    DuckDB-oracle'd. With add-one smoothing over bucket counts t_b
+    (target) and r_b (raw):
+
+        log w(doc) = Σ_b k_b·[ln(t_b+1) − ln(r_b+1)]
+                     + n·[ln(R+B) − ln(T+B)]
+
+    (k_b per-doc bucket counts, Σk_b = n; T/R total target/raw tokens;
+    B = {DSIR_BUCKETS}). Exact-integer counts everywhere, logs applied
+    once at the end, 6dp stable-round — the ``unigram_logprob_quality``
+    parity discipline.
+
+    Scale shape (100 TB): ONE tokenize pass; the (doc, bucket) exchange
+    is the only corpus-∝ shuffle (map-side combined, ≤{DSIR_BUCKETS}
+    rows per doc); the bucket model is ≤{DSIR_BUCKETS} rows → broadcast;
+    totals are a 1-row broadcast. The raw side never joins on token —
+    only on the 1-byte bucket key against a broadcast table."""
+    d = fan_out(load_table(spark, sf_dir, "documents"), min_bytes=2 << 20)
+    toks = d.select(
+        "doc_id",
+        (F.col("source") == DSIR_TARGET_SOURCE).alias("is_target"),
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    )
+    kc = toks.groupBy(
+        "doc_id", "is_target", F.substring(F.md5(F.col("w").cast("binary")), 1, 2).alias("b")
+    ).agg(F.count(F.lit(1)).alias("k"))
+    model = (
+        kc.groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("is_target"), F.col("k")).otherwise(F.lit(0))).alias("t"),
+            F.sum(F.when(~F.col("is_target"), F.col("k")).otherwise(F.lit(0))).alias("r"),
+        )
+        .select(
+            "b",
+            (
+                F.log(F.col("t").cast("double") + 1.0)
+                - F.log(F.col("r").cast("double") + 1.0)
+            ).alias("lr"),
+            "t",
+            "r",
+        )
+    )
+    totals = model.agg(
+        (
+            F.log(F.sum("r").cast("double") + F.lit(float(DSIR_BUCKETS)))
+            - F.log(F.sum("t").cast("double") + F.lit(float(DSIR_BUCKETS)))
+        ).alias("norm")
+    )
+    return (
+        kc.filter(~F.col("is_target"))
+        .join(F.broadcast(model.select("b", "lr")), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("k").cast("long").alias("n_tokens"),
+            F.sum(F.col("k").cast("double") * F.col("lr")).alias("sum_klr"),
+        )
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "doc_id",
+            "n_tokens",
+            stable_round(
+                F.col("sum_klr") + F.col("n_tokens").cast("double") * F.col("norm"),
+                6,
+            ).alias("dsir_logweight"),
+        )
+    )
+
+
+DSIR_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, source = '{DSIR_TARGET_SOURCE}' AS is_target,
+         UNNEST(regexp_split_to_array(TRIM(text), '\s+')) AS w
+  FROM documents
+), kc AS (
+  SELECT doc_id, is_target, substr(md5(w), 1, 2) AS b, COUNT(*) AS k
+  FROM toks GROUP BY 1, 2, 3
+), model AS (
+  SELECT b,
+         LN(CAST(SUM(CASE WHEN is_target THEN k ELSE 0 END) AS DOUBLE) + 1.0)
+       - LN(CAST(SUM(CASE WHEN NOT is_target THEN k ELSE 0 END) AS DOUBLE) + 1.0)
+           AS lr,
+         SUM(CASE WHEN is_target THEN k ELSE 0 END) AS t,
+         SUM(CASE WHEN NOT is_target THEN k ELSE 0 END) AS r
+  FROM kc GROUP BY 1
+), totals AS (
+  SELECT LN(CAST(SUM(r) AS DOUBLE) + {float(DSIR_BUCKETS)})
+       - LN(CAST(SUM(t) AS DOUBLE) + {float(DSIR_BUCKETS)}) AS norm
+  FROM model
+), per_doc AS (
+  SELECT doc_id, CAST(SUM(k) AS BIGINT) AS n_tokens,
+         SUM(CAST(k AS DOUBLE) * lr) AS sum_klr
+  FROM kc JOIN model USING (b)
+  WHERE NOT is_target
+  GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+       (ROUND((sum_klr + CAST(n_tokens AS DOUBLE) * norm) * 1e6) / 1e6)
+         AS dsir_logweight
+FROM per_doc, totals
+"""
+
+
 LLM_PIPE_BUDGET = 800  # binds at every test SF (same as TOKEN_BUDGET)
 LLM_PIPE_BENCH_MOD = 97  # doc_id % mod == 0 stands in for the eval suite
 
@@ -3036,6 +3154,11 @@ QUERIES: dict[str, QueryDef] = {
         unigram_logprob_quality,
         UNIGRAM_LOGPROB_SQL,
         "text: unigram-LM avg negative log-prob (perplexity-proxy filter)",
+    ),
+    "dsir_importance_weights": QueryDef(
+        dsir_importance_weights,
+        DSIR_SQL,
+        "text: DSIR hashed-ngram importance log-weights vs a target domain",
     ),
     "llm_dataset_pipeline": QueryDef(
         llm_dataset_pipeline,

@@ -1044,6 +1044,45 @@ def test_mixture_weights_normalized(spark):
         ) < 1e-3
 
 
+def test_dsir_importance_weights_directional(spark, tmp_path):
+    """DSIR log-weights must rank a raw document that reuses the target
+    domain's vocabulary ABOVE one made of tokens the target has never
+    seen (the paper's importance-ratio semantics), on a planted corpus
+    where the answer is unambiguous. Also: no target-domain doc may
+    appear in the output (weights are for the RAW side only), and every
+    raw doc gets exactly one weight. Value-parity vs DuckDB is pinned
+    separately by the oracle sweep; this pins the SEMANTICS."""
+    from mlb_win_predictor_spark.queries.text import (
+        DSIR_TARGET_SOURCE,
+        dsir_importance_weights,
+    )
+
+    rows_in = [
+        # target domain: a distinctive vocabulary
+        (1, "alpha beta gamma alpha beta", "en", DSIR_TARGET_SOURCE, 0),
+        (2, "beta gamma delta alpha gamma", "en", DSIR_TARGET_SOURCE, 0),
+        # raw corpus: one target-like doc, one alien doc, plus filler
+        # that defines the raw background distribution
+        (100, "alpha beta gamma alpha", "en", "srcX", 0),
+        (101, "zork quux fnord grue", "en", "srcX", 0),
+        (102, "common words common words", "en", "srcY", 0),
+        (103, "common words more words", "en", "srcY", 0),
+    ]
+    spark.createDataFrame(
+        rows_in, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    out = {r.doc_id: r for r in dsir_importance_weights(spark, str(tmp_path)).collect()}
+    assert set(out) == {100, 101, 102, 103}
+    assert out[100].n_tokens == 4 and out[101].n_tokens == 4
+    # same length, so per-doc weights compare directly: target-vocab doc
+    # must beat the alien-vocab doc by a wide margin
+    assert out[100].dsir_logweight > out[101].dsir_logweight + 1.0, (
+        out[100].dsir_logweight,
+        out[101].dsir_logweight,
+    )
+
+
 def test_approx_percentiles_within_rank_error(spark):
     from mlb_win_predictor_spark.queries.extra import (
         approx_percentiles,
