@@ -191,14 +191,59 @@ def test_derived_columns_broadcasts_part_dim(plans):
     assert "SortMergeJoin" not in p
 
 
-def test_cosine_topk_broadcasts_queries(plans):
+def test_cosine_topk_is_map_only_numpy_scan(plans):
+    """r9: the brute-force baseline scores candidates in ONE Arrow-batched
+    numpy matmul per batch — the candidate scan must stay map-only (no
+    join of any kind; the 8×64 query matrix rides the closure) with the
+    per-query top-k window as the only exchange."""
     p = plans["cosine_topk_bruteforce"]
-    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "MapInPandas" in p
+    assert "Join" not in p
+    ex_args = _exchange_arguments(p)
+    assert len(ex_args) == 1 and "hashpartitioning(query_id" in ex_args[0], ex_args
 
 
 def test_no_cartesian_in_catalog(plans):
     for name, p in plans.items():
         assert "CartesianProduct" not in p, f"{name} plans a cartesian product"
+
+
+def _exchange_arguments(p: str) -> list[str]:
+    """Arguments line of every non-broadcast Exchange node in a
+    ``formatted`` plan (the tree section prints ``+- Exchange (6)``; the
+    partitioning lives on the detail section's ``Arguments:`` line)."""
+    import re
+
+    out = []
+    lines = p.splitlines()
+    for i, line in enumerate(lines):
+        if re.match(r"^\(\d+\) Exchange", line.strip()):
+            args = next(
+                (l for l in lines[i : i + 5] if "Arguments:" in l), ""
+            )
+            out.append(args)
+    return out
+
+
+def test_dsir_broadcasts_model_single_corpus_shuffle(plans):
+    """DSIR (r9): the ≤256-row bucket model and the 1-row totals join
+    the per-doc counts as BROADCASTS, and the only shuffles in the plan
+    are aggregation exchanges — no sort-merge join may appear (a
+    shuffled model join would re-exchange the corpus-sized count table
+    at 100 TB for a table that fits in one packet)."""
+    p = plans["dsir_importance_weights"]
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p
+    # every non-broadcast exchange must be an agg hashpartitioning, the
+    # explicit fan_out round-robin, or the SinglePartition collapse of
+    # the <=256-row model/totals side — never a join-key exchange of the
+    # corpus-sized count table
+    for args in _exchange_arguments(p):
+        assert (
+            "hashpartitioning" in args
+            or "roundrobin" in args.lower()
+            or "SinglePartition" in args
+        ), args
 
 
 def test_q6_full_pushdown_narrow_scan(plans):
