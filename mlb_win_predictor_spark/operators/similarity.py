@@ -36,13 +36,57 @@ def exact_topk_cosine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Exact top-k by cosine: broadcast the (small) query side over the
-    corpus scan; one window per query id for the final k."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
-    scored = c.join(F.broadcast(q), F.col("query_id") != F.col("cand_id")).select(
-        "query_id", "cand_id", cosine(F.col("q_vec"), F.col("c_vec")).alias("cos")
+    """Exact top-k by cosine: the query side (small by contract — the
+    truth-oracle callers pass ≤ 32 queries; a real deployment rides a
+    broadcast variable) is collected into a numpy matrix inside an
+    Arrow-batched ``mapInPandas`` closure and each corpus batch is
+    scored in ONE matmul (r9 — the per-pair ``cosine()`` HOF this
+    replaced folded THREE aggregates per pair and measured ~4× slower
+    on the ANN harness's exact leg). Self-pairs are excluded as before;
+    the per-query top-k window is the plan's only exchange. Zero-norm
+    vectors produce non-finite cosines and are dropped (the HOF form
+    yielded NULL, which ranked last — no caller feeds zero vectors)."""
+    import numpy as np
+
+    qrows = sorted(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        ).collect(),
+        key=lambda r: r.query_id,
     )
+    q_mat = np.array([r.q_vec for r in qrows], dtype=np.float64)
+    q_ids = np.array([r.query_id for r in qrows], dtype=np.int64)
+    q_nrm = np.sqrt((q_mat * q_mat).sum(axis=1))
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        nq = len(q_ids)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf["c_vec"].to_list(), dtype=np.float64)
+            c_ids = pdf["cand_id"].to_numpy(np.int64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (v @ q_mat.T) / np.outer(
+                    np.sqrt((v * v).sum(axis=1)), q_nrm
+                )
+            out = pd.DataFrame(
+                {
+                    "query_id": np.tile(q_ids, len(pdf)),
+                    "cand_id": np.repeat(c_ids, nq),
+                    "cos": cos.ravel(),
+                }
+            )
+            out = out[
+                (out["query_id"] != out["cand_id"]) & np.isfinite(out["cos"])
+            ]
+            yield out
+
+    scored = corpus.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
+    ).mapInPandas(score, "query_id long, cand_id long, cos double")
     w = W.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("cand_id").asc())
     return scored.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
 

@@ -821,6 +821,25 @@ def listagg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
 ZONEMAP_LOOKUP_LO, ZONEMAP_LOOKUP_HI = 1000, 2999
 
 
+def zonemap_snapshot_path(sf_dir: str) -> str:
+    """Content-tagged temp location of the zone-map snapshot for one
+    sf_dir — the tag covers the source parquet's (mtime, size), not just
+    its path, so a regenerated dataset invalidates the snapshot. Shared
+    with tests/test_table.py: the r9 full-suite run caught the test
+    rebuilding the PRE-ea99d09 path-only tag, which only ever passed
+    because a stale /tmp dir from before the content-tag change was
+    still on disk — a fresh boot surfaced the mismatch."""
+    import hashlib
+    import os
+    import tempfile
+
+    src = os.path.join(sf_dir, "orders.parquet")
+    st = os.stat(src)
+    sig = f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}"
+    tag = hashlib.md5(sig.encode()).hexdigest()[:10]
+    return os.path.join(tempfile.gettempdir(), f"mlbwp_ztab_{tag}")
+
+
 def versioned_zonemap_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S9 + data skipping — a range lookup served through a committed
     ``VersionedTable`` snapshot's zone-map (``read_pruned``,
@@ -841,17 +860,9 @@ def versioned_zonemap_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     silently serve stale rows (and the first timed run after any data
     refresh honestly pays one snapshot build — the r7 sf1 sweep recorded
     exactly that as its only 'superlinear' point)."""
-    import hashlib
-    import os
-    import tempfile
-
     from ..operators.table import VersionedTable
 
-    src = os.path.join(sf_dir, "orders.parquet")
-    st = os.stat(src)
-    sig = f"{os.path.abspath(sf_dir)}:{st.st_mtime_ns}:{st.st_size}"
-    tag = hashlib.md5(sig.encode()).hexdigest()[:10]
-    t = VersionedTable(os.path.join(tempfile.gettempdir(), f"mlbwp_ztab_{tag}"))
+    t = VersionedTable(zonemap_snapshot_path(sf_dir))
     if t.latest_version() is None:
         orders = load_table(spark, sf_dir, "orders").select(
             "o_orderkey", "o_custkey", "o_totalprice"

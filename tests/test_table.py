@@ -405,21 +405,21 @@ def test_versioned_zonemap_lookup_entry_prunes_files(spark):
     snapshot the entry uses and pin that the narrow key range plans a
     strict subset of the 16 range-clustered files, and that the pruned
     read equals the unpruned filter."""
-    import hashlib
-    import tempfile
-
     from mlb_win_predictor_spark.queries.extra import (
         ZONEMAP_LOOKUP_HI,
         ZONEMAP_LOOKUP_LO,
         versioned_zonemap_lookup,
+        zonemap_snapshot_path,
     )
 
     sf_dir = "/root/testdata/sf0.001"
     out = versioned_zonemap_lookup(spark, sf_dir).collect()[0]  # builds snapshot
     assert out.n_orders > 0 and ZONEMAP_LOOKUP_LO <= out.min_key
     assert out.max_key <= ZONEMAP_LOOKUP_HI
-    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:10]
-    t = VersionedTable(os.path.join(tempfile.gettempdir(), f"mlbwp_ztab_{tag}"))
+    # the SAME content-tagged path the entry builds (r9: the test used to
+    # rebuild the pre-ea99d09 path-only tag and passed only off a stale
+    # /tmp dir; a fresh boot exposed it)
+    t = VersionedTable(zonemap_snapshot_path(sf_dir))
     kept, total = t.pruned_files("o_orderkey", ZONEMAP_LOOKUP_LO, ZONEMAP_LOOKUP_HI)
     assert total == 16
     # the [1000, 2999] range spans ~1/3 of the sf0.001 keyspace (1..6000)
