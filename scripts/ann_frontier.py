@@ -49,13 +49,18 @@ def main() -> None:
         lines.append(f"| {r['op']} | {r['params']} | {r['recall']:.4f} | {r['sec']:.3f} |")
     lines += [
         "",
-        "Reading the frontier: `exact` is the correctness oracle and the cost",
-        "ceiling. LSH recall buys hash tables (collision volume), IVF buys",
-        "probed cells (scan fraction ~ n_probe/n_cells), PQ and SQ8 buy",
-        "re-rank pool — all sweep the same axis, candidate-set size, which is",
-        "also exactly what a 1000-executor deployment pays for in shuffle",
-        "rows. Pick the cheapest operator whose recall clears your target;",
-        "every row's operator has an oracle- or recall-gated catalog entry.",
+        "Reading the frontier: `exact` is the correctness oracle. Since r9 it",
+        "is one Arrow-batched numpy matmul per candidate batch — at this pool",
+        "size (2k vectors) brute force is the FASTEST point on the table, as",
+        "it should be: ANN exists for corpora where n·m dots are unpayable,",
+        "and its local wall times here are index overhead, not the argument.",
+        "The at-scale argument is the candidate-set column: LSH recall buys",
+        "hash tables (collision volume), IVF buys probed cells (scan fraction",
+        "~ n_probe/n_cells), PQ and SQ8 buy re-rank pool — all sweep the same",
+        "axis, candidate-set size, which is exactly what a 1000-executor",
+        "deployment pays for in shuffle rows. Pick the cheapest operator",
+        "whose recall clears your target; every row's operator has an",
+        "oracle- or recall-gated catalog entry.",
         "",
         "```json",
         json.dumps(rows, indent=1),
