@@ -29,6 +29,77 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / F.sqrt(_dot(a, a) * _dot(b, b))
 
 
+def cosine_matmul_scorer(
+    q_ids,
+    q_mat,
+    id_in: str,
+    vec_in: str,
+    score_col: str,
+    rounded: bool,
+    exclude_self: bool = False,
+):
+    """The shared Arrow-batched numpy cosine scorer (r9): returns a
+    ``mapInPandas`` generator that scores every batch of candidate rows
+    against the collected query matrix in ONE float64 matmul. One
+    implementation for ``cosine_topk_bruteforce``, the MMR pooling pass,
+    and ``exact_topk_cosine`` — keeping the rounding grain and the
+    tile/repeat long-form layout in lockstep across all three.
+
+    ``rounded`` applies the cross-engine half-away 6dp grain
+    (``floor(|x|·1e6 + 0.5)·sign/1e6`` — the same IEEE ops as
+    ``stable_round`` / DuckDB ``ROUND(x*1e6)/1e6``) so DuckDB oracles
+    replay the scores; unrounded callers (the ANN truth oracle) get raw
+    float64 with non-finite scores (zero-norm vectors) dropped.
+    ``exclude_self`` removes query_id == cand_id pairs.
+
+    Contract: integer ids (the catalog's vec_id grain); the closure is
+    SELF-CONTAINED (imports inside, captures only the factory args by
+    value) because the driver contract imports from a foreign cwd where
+    executors cannot import this repo. Callers collect the query side —
+    bounded ≤ 32 rows by contract; a broadcast variable at real query
+    counts."""
+    import numpy as np
+
+    q_ids = np.asarray(q_ids, dtype=np.int64)
+    q_mat = np.asarray(q_mat, dtype=np.float64)
+    if q_mat.ndim != 2:  # empty query side → scorer yields nothing
+        q_mat = q_mat.reshape(0, 1)
+    q_nrm2 = (q_mat * q_mat).sum(axis=1)  # SQUARED norms: the divisor is
+    # sqrt(cn²·qn²) — the exact IEEE form the DuckDB oracles use
+    # (SQRT(nq.nrm * nc.nrm)), which can differ from sqrt(cn)·sqrt(qn)
+    # by 1 ulp, enough to flip a 6dp rounding boundary
+
+    def score(batches):
+        import numpy as np
+        import pandas as pd
+
+        nq = len(q_ids)
+        for pdf in batches:
+            if not len(pdf) or not nq:
+                continue
+            v = np.array(pdf[vec_in].to_list(), dtype=np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = (v @ q_mat.T) / np.sqrt(
+                    np.outer((v * v).sum(axis=1), q_nrm2)
+                )
+            if rounded:
+                cos = np.copysign(np.floor(np.abs(cos) * 1e6 + 0.5), cos) / 1e6
+            out = pd.DataFrame(
+                {
+                    "query_id": np.tile(q_ids, len(pdf)),
+                    "cand_id": np.repeat(pdf[id_in].to_numpy(np.int64), nq),
+                    score_col: cos.ravel(),
+                }
+            )
+            if exclude_self:
+                out = out[out["query_id"] != out["cand_id"]]
+            if not rounded:
+                out = out[np.isfinite(out[score_col])]
+            yield out
+
+    return score
+
+
 def exact_topk_cosine(
     queries: DataFrame,
     corpus: DataFrame,
@@ -45,45 +116,24 @@ def exact_topk_cosine(
     on the ANN harness's exact leg). Self-pairs are excluded as before;
     the per-query top-k window is the plan's only exchange. Zero-norm
     vectors produce non-finite cosines and are dropped (the HOF form
-    yielded NULL, which ranked last — no caller feeds zero vectors)."""
-    import numpy as np
-
+    yielded NULL, which ranked last — no caller feeds zero vectors).
+    Integer-id contract (the catalog's vec_id grain); an EMPTY query
+    side returns an empty result, as the old join form did."""
     qrows = sorted(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
         ).collect(),
         key=lambda r: r.query_id,
     )
-    q_mat = np.array([r.q_vec for r in qrows], dtype=np.float64)
-    q_ids = np.array([r.query_id for r in qrows], dtype=np.int64)
-    q_nrm = np.sqrt((q_mat * q_mat).sum(axis=1))
-
-    def score(batches):
-        import numpy as np
-        import pandas as pd
-
-        nq = len(q_ids)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            v = np.array(pdf["c_vec"].to_list(), dtype=np.float64)
-            c_ids = pdf["cand_id"].to_numpy(np.int64)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                cos = (v @ q_mat.T) / np.outer(
-                    np.sqrt((v * v).sum(axis=1)), q_nrm
-                )
-            out = pd.DataFrame(
-                {
-                    "query_id": np.tile(q_ids, len(pdf)),
-                    "cand_id": np.repeat(c_ids, nq),
-                    "cos": cos.ravel(),
-                }
-            )
-            out = out[
-                (out["query_id"] != out["cand_id"]) & np.isfinite(out["cos"])
-            ]
-            yield out
-
+    score = cosine_matmul_scorer(
+        [r.query_id for r in qrows],
+        [r.q_vec for r in qrows],
+        id_in="cand_id",
+        vec_in="c_vec",
+        score_col="cos",
+        rounded=False,
+        exclude_self=True,
+    )
     scored = corpus.select(
         F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
     ).mapInPandas(score, "query_id long, cand_id long, cos double")

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions.scalars import stable_round
+from ..operators.similarity import cosine_matmul_scorer
 from ..session import fan_out, load_table
 from .base import QueryDef
 from .text import BM25_SQL, bm25_score
@@ -51,8 +52,6 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-only; the only shuffle is the final per-query top-k window.
     Float grain: float64 products, half-away 6dp rounding — the same
     ops stable_round performs, so the DuckDB oracle is unchanged."""
-    import numpy as np
-
     e = load_table(spark, sf_dir, "embeddings")
     qrows = sorted(
         e.filter(F.col("vec_id") < TOPK_N_QUERIES)
@@ -60,32 +59,14 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect(),
         key=lambda r: r.vec_id,
     )
-    q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
-    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
-    q_nrm = (q_mat * q_mat).sum(axis=1)
-
-    def score(batches):
-        # self-contained closure (driver contract imports from a foreign
-        # cwd: executors cannot import this repo)
-        import numpy as np
-        import pandas as pd
-
-        nq = len(q_ids)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            v = np.array(pdf["embedding"].to_list(), dtype=np.float64)
-            c_nrm = (v * v).sum(axis=1)
-            cos = (v @ q_mat.T) / np.sqrt(np.outer(c_nrm, q_nrm))
-            cos = np.copysign(np.floor(np.abs(cos) * 1e6 + 0.5), cos) / 1e6
-            yield pd.DataFrame(
-                {
-                    "query_id": np.tile(q_ids, len(pdf)),
-                    "cand_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), nq),
-                    "cosine": cos.ravel(),
-                }
-            )
-
+    score = cosine_matmul_scorer(
+        [r.vec_id for r in qrows],
+        [r.embedding for r in qrows],
+        id_in="vec_id",
+        vec_in="embedding",
+        score_col="cosine",
+        rounded=True,
+    )
     c = e.filter(F.col("vec_id") >= TOPK_N_QUERIES).select("vec_id", "embedding")
     scored = c.mapInPandas(score, "query_id long, cand_id long, cosine double")
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("cand_id").asc())
@@ -253,30 +234,14 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect(),
         key=lambda r: r.vec_id,
     )
-    q_mat = np.array([r.embedding for r in qrows], dtype=np.float64)
-    q_ids = np.array([r.vec_id for r in qrows], dtype=np.int64)
-    q_nrm = (q_mat * q_mat).sum(axis=1)
-
-    def score(batches):
-        import numpy as np
-        import pandas as pd
-
-        nq = len(q_ids)
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            v = np.array(pdf["embedding"].to_list(), dtype=np.float64)
-            c_nrm = (v * v).sum(axis=1)
-            cos = (v @ q_mat.T) / np.sqrt(np.outer(c_nrm, q_nrm))
-            cos = np.copysign(np.floor(np.abs(cos) * 1e6 + 0.5), cos) / 1e6
-            yield pd.DataFrame(
-                {
-                    "query_id": np.tile(q_ids, len(pdf)),
-                    "cand_id": np.repeat(pdf["vec_id"].to_numpy(np.int64), nq),
-                    "cosine": cos.ravel(),
-                }
-            )
-
+    score = cosine_matmul_scorer(
+        [r.vec_id for r in qrows],
+        [r.embedding for r in qrows],
+        id_in="vec_id",
+        vec_in="embedding",
+        score_col="cosine",
+        rounded=True,
+    )
     scored = (
         e.filter(F.col("vec_id") >= TOPK_N_QUERIES)
         .select("vec_id", "embedding")

@@ -908,7 +908,14 @@ def test_incremental_ann_index_matches_batch_and_searches(spark, emb, tmp_path):
     w = {(r.query_id, r.cand_id) for r in want.collect()}
     recall = len(g & w) / len(w)
     assert recall >= 0.6, f"recall {recall} (probing half the cells)"
-    # probing ALL cells over the incremental index reproduces the exact result
+    # probing ALL cells over the incremental index reproduces the exact
+    # result. Caveat (r9): the two sides now score through different
+    # float pipelines (ivf_search_index folds the HOF cosine;
+    # exact_topk_cosine runs the numpy matmul scorer), so equality is
+    # only guaranteed when no two candidates tie within ~1e-15 at the
+    # rank-k boundary — true on this seeded fixture. If this ever flips
+    # on a data change, compare with a boundary-tie tolerance instead of
+    # weakening to recall.
     full = ivf_search_index(queries, cents, idx, k=5, n_probe=8)
     f = {(r.query_id, r.cand_id) for r in full.collect()}
     assert f == w
