@@ -594,7 +594,11 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
     )
-    ranks = pagerank(edges, iterations=5, tol=1e-9)
+    # checkpoint_every=2: two update steps per materialization job —
+    # identical ranks (A/B-pinned), ~5% wall from halved scheduler and
+    # checkpoint round-trips; the tol probe then fires on 2-step deltas
+    # (conservative — see operators/graph.py)
+    ranks = pagerank(edges, iterations=5, tol=1e-9, checkpoint_every=2)
     return (
         ranks.select("node", stable_round(F.col("rank") * 1000, 6).alias("rank_permille"))
         .orderBy(F.desc("rank_permille"), "node")

@@ -1531,6 +1531,25 @@ def test_pagerank_convergence_early_exit(spark):
         assert abs(v - 1.0 / 3.0) < 1e-12
 
 
+def test_pagerank_chained_checkpoint_identical(spark):
+    """``checkpoint_every=2`` chains two update steps into one
+    materialization job (the r9 catalog-entry setting) — the ranks must
+    be BIT-identical to per-step checkpointing (same joins, same fold
+    grain; only the lineage-truncation cadence changes), including when
+    the iteration cap is odd (the last chain is shorter)."""
+    from mlb_win_predictor_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (4, 2)], "src long, dst long"
+    )
+    a = {r.node: r.rank for r in pagerank(df, iterations=5).collect()}
+    b = {
+        r.node: r.rank
+        for r in pagerank(df, iterations=5, checkpoint_every=2).collect()
+    }
+    assert a == b
+
+
 def test_pagerank_power_law_hot_node(spark):
     """Skew probe (r7 verdict #6): a star graph with one hot node — 2000
     spokes all pointing at node 0, node 0 pointing back at every spoke —
