@@ -2139,6 +2139,41 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dsir_bucket_model(spark: SparkSession, sf_dir: str) -> tuple[dict, float]:
+    """Train the DSIR bucket model batch-side and export it driver-side
+    for the STREAMING ingest gate (``streaming.jobs.dsir_select_stream``):
+    returns ({bucket_hex: ln((t_b+1)/(r_b+1))}, norm) — ≤{DSIR_BUCKETS}
+    rows + one scalar, the whole model. The bounded collect is the
+    point: a 2-KB model rides a plan literal into every micro-batch."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        (F.col("source") == DSIR_TARGET_SOURCE).alias("is_target"),
+        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+    )
+    model = (
+        toks.groupBy(
+            F.substring(F.md5(F.col("w").cast("binary")), 1, 2).alias("b")
+        )
+        .agg(
+            F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("t"),
+            F.sum(F.when(~F.col("is_target"), 1).otherwise(0)).alias("r"),
+        )
+        .collect()
+    )
+    import math
+
+    lrs = {
+        row.b: math.log((row.t + 1.0)) - math.log((row.r + 1.0)) for row in model
+    }
+    t_total = sum(row.t for row in model)
+    r_total = sum(row.r for row in model)
+    norm = math.log(r_total + float(DSIR_BUCKETS)) - math.log(
+        t_total + float(DSIR_BUCKETS)
+    )
+    return lrs, norm
+
+
 DSIR_SQL = rf"""
 WITH toks AS (
   SELECT doc_id, source = '{DSIR_TARGET_SOURCE}' AS is_target,

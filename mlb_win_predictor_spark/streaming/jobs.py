@@ -416,6 +416,91 @@ def decontaminate_stream(
     )
 
 
+def dsir_select_stream(
+    new_docs: DataFrame,
+    bucket_logratios: dict[str, float],
+    norm: float,
+    per_token_threshold: float,
+    kept_path: str,
+    checkpoint: str,
+):
+    """Streaming ingest DSIR gate (r9 — the streaming dual of the
+    ``dsir_importance_weights`` catalog entry): each micro-batch of
+    documents is scored against a BATCH-TRAINED hashed-unigram bucket
+    model (Xie et al. 2023) and only documents whose per-token importance
+    log-weight clears ``per_token_threshold`` are kept — "ingest only
+    what looks like the target domain", the streaming form of data
+    selection.
+
+    The model is ≤256 (bucket → ln((t_b+1)/(r_b+1))) entries plus the
+    smoothing normalizer — it ships as a ``create_map`` LITERAL, so the
+    per-batch plan is tokenize → md5-bucket → map lookup → doc rollup:
+    everything map-side except the doc-grain aggregation, no Python UDF,
+    no streaming state, batch-size-only scaling (the same posture as
+    ``decontaminate_stream``). Output is per-epoch directories with
+    overwrite (replay-safe at-least-once; readers take
+    ``read_epoch_union``).
+
+    score(doc) = [Σ_b k_b·lr_b + n·norm] / n  — identical integers and
+    the same one-final-arithmetic float discipline as the batch entry,
+    so a doc scores the SAME whether it arrives in a batch backfill or
+    through this gate (pinned by tests/test_streaming.py)."""
+    items: list = []
+    for b, lr in sorted(bucket_logratios.items()):
+        items.append(F.lit(b))
+        items.append(F.lit(float(lr)))
+    lr_map = F.create_map(*items) if items else F.create_map()
+
+    def gate(batch: DataFrame, epoch_id: int) -> None:
+        toks = F.split(F.trim(F.col("text")), r"\s+")
+        kb = (
+            batch.select("doc_id", F.explode(toks).alias("w"))
+            .select(
+                "doc_id",
+                F.substring(F.md5(F.col("w").cast("binary")), 1, 2).alias("b"),
+            )
+            .groupBy("doc_id", "b")
+            .agg(F.count(F.lit(1)).alias("k"))
+        )
+        scored = (
+            kb.select(
+                "doc_id",
+                "k",
+                # buckets unseen in training fall back to the smoothed
+                # empty-bucket ratio ln(1/1) = 0.0, matching the batch
+                # model's full-outer + coalesce(0) semantics
+                (F.col("k").cast("double") * F.coalesce(lr_map[F.col("b")], F.lit(0.0))).alias("klr"),
+            )
+            .groupBy("doc_id")
+            .agg(
+                F.sum("k").cast("long").alias("n_tokens"),
+                F.sum("klr").alias("sum_klr"),
+            )
+            .select(
+                "doc_id",
+                (
+                    (F.col("sum_klr") + F.col("n_tokens").cast("double") * F.lit(float(norm)))
+                    / F.col("n_tokens").cast("double")
+                ).alias("per_token_logweight"),
+            )
+        )
+        kept = (
+            batch.join(scored, "doc_id", "left")
+            .filter(
+                F.coalesce(F.col("per_token_logweight"), F.lit(float("-inf")))
+                >= F.lit(float(per_token_threshold))
+            )
+            .select("doc_id", "text", "per_token_logweight")
+        )
+        kept.write.mode("overwrite").parquet(f"{kept_path}/epoch={epoch_id}")
+
+    return (
+        new_docs.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
 def media_decode_stream(
     spark,
     media_path: str,

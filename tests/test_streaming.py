@@ -585,6 +585,75 @@ def test_incremental_bitmap_distinct_matches_batch_and_replay_safe(spark, tmp_pa
     assert again == want
 
 
+def test_dsir_select_stream_matches_batch_scores(spark, tmp_path):
+    """Streaming DSIR ingest gate: a document must score IDENTICALLY
+    whether it goes through the batch entry or the streaming gate (same
+    integers, same final arithmetic), the per-token threshold must keep
+    exactly the batch-predicted set, and target-vocab docs must survive
+    a gate that drops alien-vocab docs."""
+    from pyspark.sql import functions as F
+
+    from mlb_win_predictor_spark.queries.text import (
+        DSIR_TARGET_SOURCE,
+        dsir_bucket_model,
+        dsir_importance_weights,
+    )
+    from mlb_win_predictor_spark.streaming.jobs import (
+        dsir_select_stream,
+        read_epoch_union,
+    )
+
+    rows = [
+        (1, "alpha beta gamma alpha beta", "en", DSIR_TARGET_SOURCE, 0),
+        (2, "beta gamma delta alpha gamma", "en", DSIR_TARGET_SOURCE, 0),
+        (100, "alpha beta gamma alpha", "en", "srcX", 0),
+        (101, "zork quux fnord grue", "en", "srcX", 0),
+        (102, "alpha common beta words", "en", "srcY", 0),
+        (103, "unrelated noise tokens here", "en", "srcY", 0),
+    ]
+    base = str(tmp_path / "model_dir")
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import os
+
+    os.makedirs(base)
+    docs.write.parquet(base + "/documents.parquet")
+
+    lrs, norm = dsir_bucket_model(spark, base)
+    batch = {
+        r.doc_id: r.dsir_logweight / r.n_tokens
+        for r in dsir_importance_weights(spark, base).collect()
+    }
+    # threshold between the target-like and alien docs' batch scores
+    thr = (batch[100] + batch[101]) / 2
+    expected_kept = {i for i, s in batch.items() if s >= thr}
+    assert 100 in expected_kept and 101 not in expected_kept
+
+    # stream the RAW corpus side through the gate
+    src = str(tmp_path / "incoming")
+    docs.filter(F.col("source") != DSIR_TARGET_SOURCE).select(
+        "doc_id", "text"
+    ).write.parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    q = dsir_select_stream(
+        stream, lrs, norm, thr, str(tmp_path / "kept"), str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+
+    kept = read_epoch_union(
+        spark,
+        str(tmp_path / "kept"),
+        "doc_id long, text string, per_token_logweight double",
+    )
+    got = {r.doc_id: r.per_token_logweight for r in kept.collect()}
+    assert set(got) == expected_kept
+    for i, s in got.items():
+        # batch entry emits a 6dp stable-rounded logweight; the gate is
+        # unrounded — agreement is bounded by the rounding grain
+        assert abs(s - batch[i]) < 1e-6, (i, s, batch[i])
+
+
 def test_decontaminate_stream_drops_contaminated_keeps_clean(spark, tmp_path):
     """Streaming Bloom decontamination gate: every planted contaminated
     doc (shares a 5-gram with the bench set) must be dropped — Bloom
