@@ -94,3 +94,43 @@ def exact_ntile(
         .withColumn(name, b.cast("int"))
         .drop("_ntile_idx")
     )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    name: str = "running_sum",
+) -> DataFrame:
+    """Distributed PREFIX SUM of ``value_col`` over a total order — the
+    running-total dual of ``dense_global_index``, with the same
+    no-single-partition discipline: a global
+    ``SUM(...) OVER (ORDER BY ...)`` window collapses the dataset into
+    one task; this instead range-partitions by the order columns, sums
+    locally (partition-local sort), and shifts each partition by the
+    driver-side prefix of per-partition totals (num_partitions scalars —
+    the only driver data). Exact for integer values (the offsets are
+    exact integer sums); for floats the fold order differs from the
+    one-task window by partial-sum regrouping (~1e-15)."""
+    base = df.repartitionByRange(*[F.col(c) for c in order_cols])
+    part = base.withColumn("_pid", F.spark_partition_id())
+    w = (
+        W.partitionBy("_pid")
+        .orderBy(*[F.col(c).asc() for c in order_cols])
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    totals = sorted(
+        (r._pid, r.s)
+        for r in part.groupBy("_pid").agg(F.sum(value_col).alias("s")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, s in totals:
+        offsets.append((int(pid), int(acc)))
+        acc += int(s or 0)
+    off_df = df.sparkSession.createDataFrame(offsets, ["_pid", "_offset"])
+    return (
+        part.withColumn("_lc", F.sum(value_col).over(w))
+        .join(F.broadcast(off_df), "_pid")
+        .withColumn(name, (F.col("_offset") + F.col("_lc")).cast("long"))
+        .drop("_pid", "_lc", "_offset")
+    )

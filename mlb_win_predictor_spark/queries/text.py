@@ -2139,6 +2139,54 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_SELECT_BUDGET = 2000  # tokens — binds at every test SF
+
+
+def dsir_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SELECTION step DSIR exists for: spend a fixed token budget on
+    the raw-corpus documents with the highest per-token importance
+    weight (Xie et al. 2023 §3 — rank by importance, take until the
+    budget; the deterministic dual of their Gumbel resampling, same
+    shape as ``token_budget_sample`` but importance-ordered instead of
+    hash-ordered). Composes ``dsir_importance_weights`` with a
+    DISTRIBUTED prefix sum (``operators.indexing.global_running_sum`` —
+    range-partition by the order key, local cumsum, driver-side
+    partition offsets): a bare ``SUM OVER (ORDER BY ...)`` would
+    collapse the doc-grain table into ONE task, the exact-NTILE lesson.
+    Integer token counts make the running total and the budget cut
+    exact on both engines; the order key is the (already 6dp-stable)
+    weight ratio with doc_id tie-break, negated so range partitioning's
+    ascending order is the descending importance order."""
+    from ..operators.indexing import global_running_sum
+
+    weights = dsir_importance_weights(spark, sf_dir)
+    scored = weights.select(
+        "doc_id",
+        "n_tokens",
+        "dsir_logweight",
+        (F.col("dsir_logweight") / F.col("n_tokens").cast("double")).alias(
+            "per_token_logweight"
+        ),
+    ).withColumn("_neg", -F.col("per_token_logweight"))
+    return (
+        global_running_sum(
+            scored, ["_neg", "doc_id"], "n_tokens", name="cum_tokens"
+        )
+        .filter(F.col("cum_tokens") <= DSIR_SELECT_BUDGET)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "dsir_logweight",
+            stable_round(F.col("per_token_logweight"), 6).alias(
+                "per_token_logweight"
+            ),
+            "cum_tokens",
+        )
+    )
+
+
+
+
 def dsir_bucket_model(spark: SparkSession, sf_dir: str) -> tuple[dict, float]:
     """Train the DSIR bucket model batch-side and export it driver-side
     for the STREAMING ingest gate (``streaming.jobs.dsir_select_stream``):
@@ -2205,6 +2253,25 @@ SELECT doc_id, n_tokens,
        (ROUND((sum_klr + CAST(n_tokens AS DOUBLE) * norm) * 1e6) / 1e6)
          AS dsir_logweight
 FROM per_doc, totals
+"""
+
+
+DSIR_SELECT_SQL = rf"""
+WITH weights AS ({DSIR_SQL}),
+ranked AS (
+  SELECT doc_id, n_tokens, dsir_logweight,
+         dsir_logweight / CAST(n_tokens AS DOUBLE) AS per_token_logweight,
+         CAST(SUM(n_tokens) OVER (
+           ORDER BY dsir_logweight / CAST(n_tokens AS DOUBLE) DESC,
+                    doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS BIGINT) AS cum_tokens
+  FROM weights
+)
+SELECT doc_id, n_tokens, dsir_logweight,
+       (ROUND(per_token_logweight * 1e6) / 1e6) AS per_token_logweight,
+       cum_tokens
+FROM ranked WHERE cum_tokens <= {DSIR_SELECT_BUDGET}
 """
 
 
@@ -3196,6 +3263,11 @@ QUERIES: dict[str, QueryDef] = {
         dsir_importance_weights,
         DSIR_SQL,
         "text: DSIR hashed-ngram importance log-weights vs a target domain",
+    ),
+    "dsir_budget_selection": QueryDef(
+        dsir_budget_selection,
+        DSIR_SELECT_SQL,
+        "text: importance-ordered token-budget selection (DSIR step 2)",
     ),
     "llm_dataset_pipeline": QueryDef(
         llm_dataset_pipeline,

@@ -128,6 +128,27 @@ def test_dense_index_no_single_partition_sort(plans):
     assert "rangepartitioning" in p.lower()
 
 
+def test_dsir_budget_selection_no_single_partition_sort(plans):
+    """The DSIR budget cut's global running token total must ride the
+    range-partitioned prefix-sum (operators.indexing.global_running_sum),
+    never a one-task SUM OVER (ORDER BY ...) window. (A SinglePartition
+    exchange DOES legitimately appear — the weights' 1-row totals
+    aggregate — so the pin is on the Window nodes' partition spec, not
+    a blanket exchange scan.)"""
+    import re
+
+    p = plans["dsir_budget_selection"]
+    assert "rangepartitioning" in p.lower()
+    lines = p.splitlines()
+    n_windows = 0
+    for i, line in enumerate(lines):
+        if re.match(r"^\(\d+\) Window", line.strip()):
+            n_windows += 1
+            args = next((l for l in lines[i : i + 5] if "Arguments:" in l), "")
+            assert "_pid" in args, f"unpartitioned window: {args[:120]}"
+    assert n_windows >= 1
+
+
 def test_filtered_topk_prefilters_via_join_key(plans):
     """Filtered ANN must broadcast the query side and use the label
     predicate as a hash-join key (pre-filter) — a cartesian/BNLJ plan
