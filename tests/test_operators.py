@@ -1145,6 +1145,37 @@ def test_dense_global_index_is_dense_and_ordered(spark):
     assert ids == set(range(n))
 
 
+def test_global_running_sum_matches_naive_window(spark):
+    """global_running_sum (the distributed prefix sum behind
+    dsir_budget_selection): exact integer running totals under the
+    requested order — verified against the naive one-task
+    SUM OVER (ORDER BY ...) window on a skewed, duplicate-keyed,
+    negative-valued input (dup order keys exercise the tie-break;
+    negatives exercise the driver-side offset arithmetic)."""
+    import random
+
+    from pyspark.sql.window import Window
+
+    from mlb_win_predictor_spark.operators.indexing import global_running_sum
+
+    rng = random.Random(7)
+    rows = [
+        (i, rng.choice([0, 1, 2, 5, 5, 9]), rng.randint(-50, 100))
+        for i in range(3000)
+    ]
+    df = spark.createDataFrame(rows, "id long, key long, v long")
+    got = {
+        r.id: r.running_sum
+        for r in global_running_sum(df, ["key", "id"], "v").collect()
+    }
+    w = Window.orderBy("key", "id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.id: r.s
+        for r in df.withColumn("s", F.sum("v").over(w)).collect()
+    }
+    assert got == want
+
+
 def test_pq_topk_recall_vs_exact(spark, emb):
     from mlb_win_predictor_spark.operators.similarity import pq_topk
 
