@@ -120,6 +120,44 @@ HEADLINE = [
     # model, the heaviest new entry this round. Common-subset rule as
     # above.
     "dsir_importance_weights",
+    # r10: the DSIR budget cut (global prefix sum), the one r9 entry the
+    # headline never measured (r9 verdict #2).
+    "dsir_budget_selection",
+]
+
+# FROZEN published set (r9 verdict #6): through r9 the compact stdout line
+# shed whichever entries happened to run fastest THAT round, so the
+# published set silently rotated (r9 dropped dedup_exact / bm25_score /
+# tumbling_window_agg relative to r8) and cross-round ratios stopped being
+# apples-to-apples. The line now publishes EXACTLY this list — r9's 65
+# published entries (ordered by their r9 medians, slowest first) plus the
+# new r10 entries — and "omitted" counts the timed-but-unpublished tail.
+# If the line ever outgrows the byte budget, entries are shed from the
+# TAIL of THIS list (deterministic, historically-cheapest first), never by
+# the current run's timings. Full-precision timings for every headline
+# entry are always in BENCH_DETAIL.json regardless.
+COMPACT_PUBLISH = [
+    "pagerank_copurchase", "ml_knn_k_leaderboard", "rfm_segments", "dedup_exact_end_to_end",
+    "llm_dataset_pipeline_neardup", "dedup_jaccard_prefix", "ccnet_perplexity_buckets", "bigram_logprob_quality",
+    "decontaminate_bloom", "recursive_hierarchy_rollup", "multimodal_decode_jpeg", "tfidf_top_terms",
+    "duplicated_span_dedup", "q18_large_orders", "q21_waiting_supplier", "similarity_sq8_rerank",
+    "source_overlap_matrix", "q8_market_share", "dsir_importance_weights", "hybrid_search_rrf",
+    "multimodal_frame_sample_gif", "q7_volume_shipping", "multimodal_decode_png", "lateral_topn_subquery",
+    "zipf_law_fit", "bpe_train_merges", "q5_region_revenue", "flagship_asof_funnel",
+    "q3_shipping_priority", "set_operations", "decontamination_overlap", "mmr_diversified_topk",
+    "crossdoc_dup_fraction", "q10_returned_items", "corpus_prep_pipeline", "unigram_logprob_quality",
+    "q4_order_priority", "kl_divergence_slices", "confusion_matrix_metrics", "nearest_centroid_assign",
+    "quality_filter_funnel", "q13_customer_distribution", "table_diff_reconcile", "top_ngram_coverage",
+    "variant_props_extract", "session_windows", "similarity_filtered_topk", "topk_per_group",
+    "ngram_containment_pairs", "ewma_user_activity", "benford_digit_distribution", "llm_dataset_pipeline",
+    "merge_upsert", "span_removal_stats", "cosine_topk_bruteforce", "vocab_top_terms",
+    "q1_pricing_summary", "q14_promo_revenue", "word_entropy_quality", "rollup_aggregation",
+    "bitmap_distinct_rollup", "theta_audience_overlap", "time_interpolate_linear", "sequence_packing",
+    "time_resample_ffill",
+    # r10 additions go at the END: the tail sheds first, and a new entry
+    # is the only one that can be shed without breaking the published-set
+    # ⊇ prior-round guarantee.
+    "dsir_budget_selection",
 ]
 
 
@@ -273,12 +311,17 @@ def main() -> None:
         json.dump(detail, f, indent=1)
     print(f"full detail (spread, runs): {detail_path}", file=sys.stderr)
 
-    # Compact summary line, hard-budgeted to fit the driver's tail capture:
-    # 2-decimal medians, no spaces. If the headline set ever grows past the
-    # budget, shed the FASTEST queries first (keeping the slowest, which
-    # carry the signal) and record how many were omitted.
-    budget = 1900
-    compact = {n: round(t, 2) for n, t in timings.items()}
+    # Compact summary line, hard-budgeted to fit the driver's 2000-char
+    # tail capture (the line prints LAST, so up to ~budget chars survive
+    # intact): 2-decimal medians, no spaces. The published set is the
+    # FROZEN COMPACT_PUBLISH list (r9 verdict #6) — any shedding walks
+    # that list's tail deterministically, never this run's timings.
+    budget = 1960
+    publish = [n for n in COMPACT_PUBLISH if n in timings]
+    if os.environ.get("BENCH_QUERIES"):
+        publish = list(timings)  # ad-hoc subset runs publish what they ran
+    compact = {n: round(timings[n], 2) for n in publish}
+    omitted = len(timings) - len(compact)
 
     def line_for(qmap: dict[str, float], omitted: int) -> str:
         payload = {
@@ -292,11 +335,9 @@ def main() -> None:
             payload["omitted"] = omitted
         return json.dumps(payload, separators=(",", ":"))
 
-    by_cost = sorted(compact, key=lambda n: compact[n])  # fastest first
-    omitted = 0
     line = line_for(compact, omitted)
-    while len(line) > budget and compact:
-        compact.pop(by_cost[omitted])
+    while len(line) > budget and publish:
+        compact.pop(publish.pop())  # shed the frozen list's tail
         omitted += 1
         line = line_for(compact, omitted)
     print(line)

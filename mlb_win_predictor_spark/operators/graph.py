@@ -164,10 +164,18 @@ def pagerank(
         # materialization job (r9: identical ranks, ~5% wall at sf0.1 —
         # half the scheduler/checkpoint round-trips; lineage depth stays
         # bounded at ``checkpoint_every`` steps). The convergence probe
-        # then compares ranks ``checkpoint_every`` steps apart — a
-        # CONSERVATIVE test (the multi-step delta upper-bounds each
-        # per-step delta for a converging iteration), so tol semantics
-        # only get stricter, never looser.
+        # then compares ranks ``checkpoint_every`` steps apart —
+        # conservative ONLY for monotone (non-oscillatory) convergence,
+        # where each step shrinks the delta so the chain delta upper-
+        # bounds the final per-step delta. An oscillatory mode (an
+        # eigenvalue near −damping) can cancel across 2 steps: x_{t+2}−x_t
+        # scales by |d²−1| while x_{t+1}−x_t scales by |d+1|, ~6-7×
+        # LOOSER at damping 0.85 (ADVICE r9). PageRank's Google matrix is
+        # primitive (all-positive damped jump), so its subdominant modes
+        # decay monotonically in practice and the one caller pins
+        # tol=1e-9, which never fires inside the 5-iteration cap; a
+        # caller with tol semantics that must bind per-step should set
+        # checkpoint_every=1.
         steps = min(max(checkpoint_every, 1), iterations - done)
         new_ranks = ranks
         for _ in range(steps):

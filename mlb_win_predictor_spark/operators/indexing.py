@@ -14,6 +14,19 @@ single-task sort of the universe. This operator produces the identical
    num_partitions integers — the only driver data);
 4. index = partition offset + local row_number − 1 via a broadcast join.
 
+Step 1's output is pinned with an EAGER ``localCheckpoint`` before the
+offsets collect (r9 verdict #1): the offsets job and the returned lazy
+plan are two separate executions, and ``RangePartitioner`` samples its
+boundaries per job — at lossy-sampling scale the two jobs could land
+rows in different partitions, silently applying offsets to a
+partitioning they weren't computed from. The checkpoint materializes
+ONE physical partitioning that both jobs read. A ``persist()`` would
+NOT suffice: a cache is a hint, and an evicted block is silently
+re-computed through a fresh (re-sampled) shuffle — the exact hazard —
+whereas a lost checkpoint block fails loudly. Release is the terminal-
+action owner's job via ``session.release_caches`` (the PPJoin/CCNet/RFM
+cache-lifetime contract, r6 verdict #2).
+
 The ``order_cols`` variant is deterministic and SQL-expressible
 (``ROW_NUMBER() OVER (ORDER BY ...) − 1``), so it is DuckDB-oracle
 checked; the plan-shape test pins that no SinglePartition exchange
@@ -43,8 +56,10 @@ def dense_global_index(
         base = df
         w = W.partitionBy("_pid").orderBy(F.col("_mid").asc())
 
-    part = base.withColumn("_pid", F.spark_partition_id()).withColumn(
-        "_mid", F.monotonically_increasing_id()
+    part = (
+        base.withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)  # pin ONE partitioning for both jobs
     )
     counts = sorted(
         (r._pid, r.n)
@@ -56,7 +71,7 @@ def dense_global_index(
         acc += n
     spark = df.sparkSession
     off_df = spark.createDataFrame(
-        [(int(p), int(o)) for p, o in offsets.items()], ["_pid", "_offset"]
+        [(int(p), int(o)) for p, o in offsets.items()], "_pid int, _offset long"
     )
     indexed = (
         part.withColumn("_rn", F.row_number().over(w))
@@ -109,11 +124,24 @@ def global_running_sum(
     one task; this instead range-partitions by the order columns, sums
     locally (partition-local sort), and shifts each partition by the
     driver-side prefix of per-partition totals (num_partitions scalars —
-    the only driver data). Exact for integer values (the offsets are
-    exact integer sums); for floats the fold order differs from the
-    one-task window by partial-sum regrouping (~1e-15)."""
+    the only driver data). The range-partitioned frame is pinned with an
+    eager ``localCheckpoint`` before the totals collect so the offsets
+    job and the returned plan read ONE physical partitioning (see module
+    docstring). INTEGER value columns only — the partition offsets are
+    accumulated as exact Python ints and the result is a ``long``; a
+    float column would be silently int-truncated, so it is rejected
+    loudly here instead."""
+    kind = dict(df.dtypes).get(value_col, "")
+    if kind not in {"tinyint", "smallint", "int", "bigint", "boolean"}:
+        raise TypeError(
+            f"global_running_sum needs an integral value column; "
+            f"{value_col!r} is {kind or 'missing'} — exact driver-side "
+            f"offsets (and the long result) would truncate floats"
+        )
     base = df.repartitionByRange(*[F.col(c) for c in order_cols])
-    part = base.withColumn("_pid", F.spark_partition_id())
+    part = base.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
     w = (
         W.partitionBy("_pid")
         .orderBy(*[F.col(c).asc() for c in order_cols])
@@ -127,7 +155,7 @@ def global_running_sum(
     for pid, s in totals:
         offsets.append((int(pid), int(acc)))
         acc += int(s or 0)
-    off_df = df.sparkSession.createDataFrame(offsets, ["_pid", "_offset"])
+    off_df = df.sparkSession.createDataFrame(offsets, "_pid int, _offset long")
     return (
         part.withColumn("_lc", F.sum(value_col).over(w))
         .join(F.broadcast(off_df), "_pid")

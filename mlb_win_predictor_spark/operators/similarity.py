@@ -93,8 +93,11 @@ def cosine_matmul_scorer(
             )
             if exclude_self:
                 out = out[out["query_id"] != out["cand_id"]]
-            if not rounded:
-                out = out[np.isfinite(out[score_col])]
+            # both paths: a zero-norm vector yields 0/0 = NaN, and Spark
+            # sorts NaN ABOVE every double — unfiltered it would rank
+            # top-1 for every query (ADVICE r9); drop it like the old
+            # Spark-SQL form's NULL (which sorted last under desc).
+            out = out[np.isfinite(out[score_col])]
             yield out
 
     return score

@@ -1176,6 +1176,34 @@ def test_global_running_sum_matches_naive_window(spark):
     assert got == want
 
 
+def test_global_running_sum_rejects_float_value_column(spark):
+    """The driver-side offsets are exact Python-int sums and the result
+    is a long — a float value column would be silently int-truncated
+    (ADVICE r9), so the operator must refuse it loudly."""
+    from mlb_win_predictor_spark.operators.indexing import global_running_sum
+
+    df = spark.createDataFrame([(1, 1, 1.5)], "id long, key long, v double")
+    with pytest.raises(TypeError, match="integral value column"):
+        global_running_sum(df, ["key", "id"], "v")
+
+
+def test_indexing_family_empty_input(spark):
+    """Empty input must yield an empty result with the output schema —
+    not a createDataFrame schema-inference crash on the zero offsets
+    (ADVICE r9: dsir_budget_selection on a corpus with no raw-side
+    documents)."""
+    from mlb_win_predictor_spark.operators.indexing import (
+        dense_global_index,
+        global_running_sum,
+    )
+
+    empty = spark.createDataFrame([], "id long, key long, v long")
+    gs = global_running_sum(empty, ["key", "id"], "v")
+    assert gs.count() == 0 and "running_sum" in gs.columns
+    di = dense_global_index(empty, ["key"])
+    assert di.count() == 0 and "row_idx" in di.columns
+
+
 def test_pq_topk_recall_vs_exact(spark, emb):
     from mlb_win_predictor_spark.operators.similarity import pq_topk
 

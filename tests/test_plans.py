@@ -120,12 +120,28 @@ def test_join_strategy_hints_respected(spark):
     assert "BroadcastHashJoin" in p2 and "SortMergeJoin" not in p2
 
 
+def assert_single_execution_dense_index(p: str, order_col: str) -> None:
+    """The r9-verdict #1 pin, shared by every indexing-family consumer:
+    the range shuffle must run ONCE, inside the operator's eager
+    ``localCheckpoint`` job — so the consumer plan reads the
+    materialized partitioning (Scan ExistingRDD) and contains NO
+    re-execution of the range exchange (RangePartitioner re-samples its
+    boundaries per job; a second execution could disagree with the one
+    the driver-side offsets were computed from)."""
+    assert "localCheckpoint" in p, "offsets partitioning not pinned"
+    assert "windowspecdefinition(_pid" in p, "window not partition-local"
+    assert f"rangepartitioning({order_col}" not in p, (
+        "range shuffle re-executed by the consumer — offsets job and "
+        "final plan may read different partitionings"
+    )
+
+
 def test_dense_index_no_single_partition_sort(plans):
     """The surrogate-key assignment must not collapse to one partition
     (the naive ROW_NUMBER-over-everything plan does)."""
     p = plans["dense_global_index"]
     assert "SinglePartition" not in p, "global window collapsed to 1 partition"
-    assert "rangepartitioning" in p.lower()
+    assert_single_execution_dense_index(p, "o_orderkey")
 
 
 def test_dsir_budget_selection_no_single_partition_sort(plans):
@@ -138,7 +154,7 @@ def test_dsir_budget_selection_no_single_partition_sort(plans):
     import re
 
     p = plans["dsir_budget_selection"]
-    assert "rangepartitioning" in p.lower()
+    assert_single_execution_dense_index(p, "_neg")
     lines = p.splitlines()
     n_windows = 0
     for i, line in enumerate(lines):
@@ -177,7 +193,7 @@ def test_quantile_binning_no_single_partition_window(plans):
     SinglePartition WindowExec (one task sorts the whole table)."""
     p = plans["quantile_binning"]
     assert "SinglePartition" not in p, "ntile collapsed to 1 partition"
-    assert "rangepartitioning" in p.lower()
+    assert_single_execution_dense_index(p, "o_totalprice")
 
 
 def test_dim_joins_broadcast(plans):
@@ -535,8 +551,7 @@ def test_ccnet_buckets_no_single_partition_window(plans):
     # of the unigram LM; the tercile index itself must be a
     # range-partitioned dense index whose row_number window is
     # partition-local (_pid), never a global sort.
-    assert "rangepartitioning(avg_nll" in p
-    assert "windowspecdefinition(_pid" in p
+    assert_single_execution_dense_index(p, "avg_nll")
     # no NTILE window FUNCTION (the helper's _ntile_idx column is fine)
     assert "ntile(" not in p.lower()
 
@@ -553,8 +568,7 @@ def test_zipf_rank_no_single_partition_window(plans):
     """The vocabulary rank must be the range-partitioned dense index —
     a 10^8-term vocab cannot ride a one-task ROW_NUMBER sort."""
     p = plans["zipf_law_fit"]
-    assert "rangepartitioning(neg_c" in p
-    assert "windowspecdefinition(_pid" in p
+    assert_single_execution_dense_index(p, "neg_c")
 
 
 def test_pagerank_iteration_exchanges_rank_vector_only(spark):
