@@ -581,9 +581,21 @@ def hash_split_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible, layout-independent alternative to randomSplit: the
     same doc always lands in the same split, on any cluster, any
     partitioning, any run — essential for dataset versioning). 80/10/10
-    via xxhash64(doc_id) mod 10; per-split digest. Map-only."""
+    via the first-8-hex-digits-of-md5 integer hash mod 10; per-split
+    digest. Map-only. r10: the gate moved from ``xxhash64`` to the
+    repo's md5-conv hash — an ENGINE-portable function, which is the
+    stronger version of the reproducibility claim this split exists for
+    (the same doc lands in the same split even when the versioned
+    dataset is re-derived outside Spark), and what promotes the entry
+    from rows-only to full DuckDB hash parity. Doc-grain md5 is one
+    hash per row, not per token — scan-cost noise."""
     d = load_table(spark, sf_dir, "documents")
-    bucket = F.pmod(F.xxhash64("doc_id", F.lit(42)), F.lit(10))
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(10),
+    )
     split = (
         F.when(bucket < 8, F.lit("train"))
         .when(bucket < 9, F.lit("dev"))
@@ -592,6 +604,20 @@ def hash_split_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(split.alias("split")).groupBy("split").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+HASH_SPLIT_SQL = """
+WITH b AS (
+  SELECT CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+         % 10 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 8 THEN 'train'
+            WHEN bucket < 9 THEN 'dev'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM b GROUP BY 1
+"""
 
 
 def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -682,7 +708,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: dict[str, QueryDef] = {
     "stratified_sample": QueryDef(stratified_sample, None, "stratified sampleBy"),
     "hash_split_digest": QueryDef(
-        hash_split_digest, None, "deterministic hash train/dev/test split"
+        hash_split_digest, HASH_SPLIT_SQL, "deterministic hash train/dev/test split"
     ),
     "mixture_weights": QueryDef(
         mixture_weights, MIXTURE_WEIGHTS_SQL, "temperature-scaled mixture weights"

@@ -579,9 +579,12 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantum — so the exit never fires here within the cap; the probe is
     piggybacked into the checkpoint job (operators/graph.py) and costs
     ~0.4s total, the price of leaving convergence detection on for
-    graphs that do converge early. Rows-only: iterative float
-    fixed-point, not SQL-expressible at equal precision. Top-20 by
-    (rounded rank, part) for a bounded, deterministic result."""
+    graphs that do converge early. Top-20 by (rounded rank, part) for a
+    bounded, deterministic result. r10: promoted from rows-only to full
+    DuckDB hash parity — ``PAGERANK_SQL`` unrolls the 5 power-iteration
+    steps into chained CTEs with op-for-op float-grain matching (the
+    MMR-unroll move); the contraction damps the per-step ~1e-15
+    fold-order drift, 10 orders below the 6dp output quantum."""
     from ..operators.graph import pagerank
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -604,6 +607,62 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_permille"), "node")
         .limit(20)
     )
+
+
+def _pagerank_oracle_sql(iterations: int = 5) -> str:
+    """DuckDB dual of ``pagerank_copurchase`` — the power iteration
+    unrolled into ``iterations`` chained (contrib, rank) CTE pairs, the
+    same promotion move as the r9 MMR unroll (queries/embeddings.py).
+
+    Float-grain matching, op for op with ``operators.graph.pagerank``:
+    the co-purchase graph is SYMMETRIC, so the dangling set is empty on
+    both engines and Spark's ``+ damping·0.0/n`` term is an exact float
+    no-op (omitted here); the base term evaluates ``(1 − 8.5e-1) / n``
+    — the identical IEEE subtract-then-divide Spark's Python literal
+    performs (scientific notation keeps DuckDB's literal a DOUBLE, not
+    DECIMAL — queries/base.sround); each contribution is
+    ``SUM(rank / deg)`` per dst (fold-order drift ~1e-15/step, damped by
+    the contraction); the output rounds ``(rank * 1e3) * 1e6`` in that
+    exact op order (stable_round of rank_permille). checkpoint_every
+    only chains plans — values are iteration-count functions, so the
+    unroll pins the Spark loop's checkpoint/early-exit plumbing too
+    (tol=1e-9 never fires inside the 5-step cap on this graph)."""
+    head = """
+WITH li AS (SELECT l_orderkey, l_partkey FROM lineitem),
+edges AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM li a JOIN li b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+),
+deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+links AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d USING (src)),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+r0 AS (SELECT node, 1e0 / n AS rank FROM nodes CROSS JOIN nn)"""
+    steps = []
+    for i in range(1, iterations + 1):
+        steps.append(
+            f""",
+c{i} AS (
+  SELECT l.dst AS node, SUM(r.rank / l.deg) AS contrib
+  FROM r{i - 1} r JOIN links l ON r.node = l.src GROUP BY l.dst
+),
+r{i} AS (
+  SELECT nodes.node,
+         (1 - 8.5e-1) / n + 8.5e-1 * COALESCE(c.contrib, 0e0) AS rank
+  FROM nodes CROSS JOIN nn LEFT JOIN c{i} c ON nodes.node = c.node
+)"""
+        )
+    tail = f"""
+SELECT node, (ROUND((rank * 1e3) * 1e6) / 1e6) AS rank_permille
+FROM r{iterations}
+ORDER BY rank_permille DESC, node ASC
+LIMIT 20
+"""
+    return head + "".join(steps) + tail
+
+
+PAGERANK_SQL = _pagerank_oracle_sql()
 
 
 WINSOR_LO = 0.05
@@ -1184,7 +1243,7 @@ QUERIES: dict[str, QueryDef] = {
         cms_heavy_hitters, None, "ops: count-min sketch frequency estimates"
     ),
     "pagerank_copurchase": QueryDef(
-        pagerank_copurchase, None, "ops: PageRank over part co-purchase graph"
+        pagerank_copurchase, PAGERANK_SQL, "ops: PageRank over part co-purchase graph"
     ),
     "winsorize_per_group": QueryDef(
         winsorize_per_group, WINSORIZE_SQL, "ops: percentile capping per group"
