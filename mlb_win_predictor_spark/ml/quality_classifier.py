@@ -35,6 +35,21 @@ TRAIN_BUCKETS = 8  # pmod(xxhash64(doc_id), 10) < 8 → train; rest held out
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
 QUALITY_GATE = 0.064  # corpus-median stopword fraction
 
+# Training-sample cap (r10): every L-BFGS iteration is a full
+# treeAggregate pass over the train slice, so an UNCAPPED train set makes
+# training cost grow linearly with the corpus forever — profiled at 10×
+# data, the ~25 iterations were >80% of the entry's wall (two ~7s
+# treeAggregate stage groups out of 29.8s executor time). The corpus-
+# filter literature trains on a bounded sample and spends the corpus-
+# sized budget on the map-only SCORING pass (GPT-3 appendix A trains on
+# curated-vs-crawl samples, not the crawl); capping makes training cost
+# CONSTANT in corpus size while scoring stays a single narrow pass. The
+# cap gate is the repo's deterministic md5-conv integer hash (salted so
+# it is independent of the train/holdout split), so the sampled train
+# set is identical across runs, retries, and partitionings. At the test
+# SFs (≤5k docs) the cap does not bind and the model is unchanged.
+TRAIN_CAP = 4096
+
 
 def _featurize(docs: DataFrame):
     from pyspark.ml.feature import HashingTF, Tokenizer
@@ -76,7 +91,33 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     lr = LogisticRegression(
         maxIter=25, tol=1e-4, regParam=1e-2, featuresCol="features", labelCol="label"
     )
-    model = lr.fit(feat.filter("is_train"))
+    # bounded train sample (see TRAIN_CAP): one cheap count sizes the
+    # keep fraction; the per-row gate is an exact integer threshold on a
+    # uniform md5-derived hash (the balanced_mixture_sample discipline),
+    # so membership is deterministic and layout-independent. min(1, ...)
+    # means the gate is a no-op until the train pool outgrows the cap.
+    n_pool = docs.count() * TRAIN_BUCKETS / TRAIN_MOD
+    thr = int(min(1.0, TRAIN_CAP / max(n_pool, 1.0)) * (1 << 32))
+    samp_hash = F.conv(
+        F.substring(F.md5(F.concat(F.lit("qc-cap:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    # Right-size the train RDD's layout to the CAP, not the corpus —
+    # but ONLY when the cap binds: the capped sample leaves ≤TRAIN_CAP
+    # rows smeared over corpus-scan parallelism (profiled at 10×: ~25
+    # treeAggregate stages × 32 tasks of ~125 rows — run 0.5s/cpu 0.08s
+    # each, pure per-stage scheduler latency), so one tiny shuffle
+    # (≤TRAIN_CAP hashed vectors) packs it into TRAIN_CAP/512 partitions
+    # and every L-BFGS pass launches ~8 tasks instead of ~32 per tree
+    # level (interleaved A/B at 10×: 4.3→3.9 s). Below the cap the
+    # shuffle is pure loss (interleaved A/B at sf0.1: 1.8→3.1 s — the
+    # exchange plus a second materialization stage cost more than the
+    # latency it saves), so the un-capped path keeps the scan layout.
+    train = feat.filter(F.col("is_train") & (samp_hash < F.lit(thr)))
+    if thr < (1 << 32):  # cap binds: pack the bounded sample
+        train = train.repartition(max(TRAIN_CAP // 512, 1))
+    model = lr.fit(train)
     scored = model.transform(feat)
     pos_prob = F.element_at(vector_to_array("probability"), 2)
     return scored.select(

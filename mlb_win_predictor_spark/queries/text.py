@@ -1993,44 +1993,48 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     + one-final-ln/divide discipline as ``word_entropy_quality``; 6dp
     rounding swallows the ~1e-12 fold-order fuzz of the double Σ.
 
-    The corpus is tokenized ONCE (r9): the per-doc counts ``dc`` are the
-    finest grain, and the corpus vocabulary counts derive from them as
-    ``sum(k) group by w`` — identical integers, but the second
-    regex-split + explode pass over every document (the r8 shape
-    computed ``wc`` from a separate explode of the raw text) is gone.
-    At 100 TB the tokenize pass IS the corpus read; halving it halves
-    the scan+CPU cost of the whole entry.
+    The corpus is tokenized ONCE — structurally, not by exchange reuse
+    (r10): the r9 shape derived ``wc = sum(k) group by w`` and the
+    corpus total as separate BRANCHES off the per-doc counts ``dc``, so
+    the token-grain subtree (scan → split → explode → partial agg)
+    appeared three times in the plan — and Spark 4's AQE did NOT stage-
+    reuse them (profiled at 10× data: three 8 MB-shuffle-read stages,
+    22.2 s executor time vs 0.6 s at base; with AQE off the static plan
+    shows 4 ReusedExchange, with AQE on zero). Relying on optimizer
+    reuse for the single most expensive pass at 100 TB is fragile, so
+    the vocabulary count now rides a WINDOW over the dc exchange —
+    ``c = sum(k) over (partition by w)`` — and the corpus total re-
+    aggregates the DOC-grain result (rows = n_docs, corpus-size-
+    independent relative to token grain); the token-grain subtree
+    appears exactly once. Measured (interleaved A/B, sf1/sf0.1):
+    1.56-4.10 s → 0.90-1.16 s at 10×, 0.64-0.74 → 0.44-0.51 s at base,
+    values identical.
 
     Shuffles: per-doc counts (one exchange off the single tokenize
-    pass), corpus counts (∝ pre-combined (doc,w) pairs, map-side
-    combined), count join (vocab side AQE-broadcast), per-doc rollup.
+    pass), vocabulary window (hash(w) exchange of pre-combined (doc,w)
+    pairs), per-doc rollup, tiny doc-grain total broadcast back.
     No corpus-sized sort, no driver state."""
     d = fan_out(load_table(spark, sf_dir, "documents"), min_bytes=2 << 20)
     toks = d.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
     )
     dc = toks.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("k"))
-    wc = dc.groupBy("w").agg(F.sum("k").alias("c"))
-    total = wc.agg(F.sum("c").cast("double").alias("n_total"))
-    return (
-        dc.join(wc, "w")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("k").cast("long").alias("n_tokens"),
-            F.sum(F.col("k").cast("double") * F.log(F.col("c").cast("double"))).alias(
-                "sum_klnc"
-            ),
-        )
-        .crossJoin(F.broadcast(total))
-        .select(
-            "doc_id",
-            "n_tokens",
-            stable_round(
-                F.log(F.col("n_total"))
-                - F.col("sum_klnc") / F.col("n_tokens").cast("double"),
-                6,
-            ).alias("avg_nll"),
-        )
+    dcw = dc.withColumn("c", F.sum("k").over(W.partitionBy("w")))
+    per_doc = dcw.groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("n_tokens"),
+        F.sum(F.col("k").cast("double") * F.log(F.col("c").cast("double"))).alias(
+            "sum_klnc"
+        ),
+    )
+    total = per_doc.agg(F.sum("n_tokens").cast("double").alias("n_total"))
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        "doc_id",
+        "n_tokens",
+        stable_round(
+            F.log(F.col("n_total"))
+            - F.col("sum_klnc") / F.col("n_tokens").cast("double"),
+            6,
+        ).alias("avg_nll"),
     )
 
 

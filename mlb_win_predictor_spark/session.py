@@ -43,6 +43,17 @@ def _runtime_confs(spark: SparkSession) -> None:
     # rejects; read as long and convert in load_table (truncate ns -> µs,
     # matching DuckDB's cast semantics).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Scan-split sizing (r10): openCostInBytes models opening a file as
+    # that many bytes of scan work; the 4 MiB default assumes seek-bound
+    # spinning storage. Splits are sized max(openCost, input/parallelism)
+    # capped at maxPartitionBytes, so on a 32-core box the default pins
+    # any ≤128 MiB table to ≤ input/4MiB tasks — a single 12 MiB file ran
+    # its whole JSON-parse pipeline on 3 tasks. 1 MiB matches page-cached
+    # NVMe + codegen CPU-bound scans: measured −21% on a 12-entry mixed
+    # headline subset at sf0.1 (11.30→8.88 s, every entry flat-or-faster)
+    # and from_json_struct's 10× leg 1.11→0.56 s. At cluster scale
+    # (≥128 MiB files) bytesPerCore dominates and this conf is inert.
+    spark.conf.set("spark.sql.files.openCostInBytes", str(1 << 20))
     try:
         spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
     except Exception:

@@ -60,8 +60,20 @@ def make_scale(src: str, out: str, factor: int) -> None:
     }
 
     def emit(table: str, select_sql: str) -> None:
+        # Store each shard with the SOURCE table's row-group granularity
+        # (r10): DuckDB's default ROW_GROUP_SIZE (122880) packed the 10×
+        # documents/embeddings tables into ONE row group, and parquet
+        # cannot split within a row group — every scan of those tables at
+        # the scaled SF ran as ONE task, serializing the whole map
+        # pipeline and polluting the scaling ratios with an artifact of
+        # the generator, not the engine (a real 10× table is many files).
+        # One row group per source-sized shard keeps the scaled layout
+        # exactly as splittable per-shard as the driver's own files.
+        n_src = con.execute(f"SELECT COUNT(*) FROM {table}").fetchone()[0]
+        rgs = max(1, min(122880, n_src))
         con.execute(
-            f"COPY ({select_sql}) TO '{out}/{table}.parquet' (FORMAT PARQUET)"
+            f"COPY ({select_sql}) TO '{out}/{table}.parquet' "
+            f"(FORMAT PARQUET, ROW_GROUP_SIZE {rgs})"
         )
         n = con.execute(
             f"SELECT COUNT(*) FROM read_parquet('{out}/{table}.parquet')"
