@@ -121,8 +121,10 @@ HEADLINE = [
     # above.
     "dsir_importance_weights",
     # r10: the DSIR budget cut (global prefix sum), the one r9 entry the
-    # headline never measured (r9 verdict #2).
+    # headline never measured (r9 verdict #2), and the capstone v3
+    # (DSIR-ordered budget, fully oracle-checked).
     "dsir_budget_selection",
+    "llm_dataset_pipeline_dsir",
 ]
 
 # FROZEN published set (r9 verdict #6): through r9 the compact stdout line
@@ -158,6 +160,7 @@ COMPACT_PUBLISH = [
     # is the only one that can be shed without breaking the published-set
     # ⊇ prior-round guarantee.
     "dsir_budget_selection",
+    "llm_dataset_pipeline_dsir",
 ]
 
 

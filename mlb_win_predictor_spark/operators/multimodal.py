@@ -2212,6 +2212,23 @@ def _jpeg_codec():
             return eobrun
 
         def decode_scan(sel, Ss, Se, Ah, Al, data_start):
+            # Spectral-selection / successive-approximation validity
+            # (ITU T.81 §B.2.3) BEFORE choosing a decode branch: a
+            # corrupted header like (Ss=0, Se=63, Ah=3) or (Ss=63, Se=0)
+            # otherwise routes into a branch whose Huffman tables the
+            # populate-guards below never filled (progressive fuzz r10:
+            # KeyError instead of ValueError).
+            if Ss > 63 or Se > 63 or Se < Ss:
+                raise ValueError(f"illegal spectral selection {Ss}..{Se}")
+            if Ss == 0 and Se not in (0, 63):
+                raise ValueError(
+                    "scan from DC must cover Se=0 (progressive DC) or "
+                    "Se=63 (baseline full)"
+                )
+            if Ss == 0 and Se == 63 and (Ah != 0 or Al != 0):
+                raise ValueError(
+                    "full-spectrum scan cannot use successive approximation"
+                )
             segs, end = collect_entropy(data_start)
             seg_i = 0
             br = _BitReader(segs[0])

@@ -2349,12 +2349,17 @@ def _llm_pipe_finish(
     is_bench: Column,
     keep_col: str,
     stage_flags: list[tuple[str, str]],
+    budget_order=None,
 ) -> DataFrame:
     """Stages 4-5 of the capstone flow (benchmark decontamination over the
     ``keep_col`` survivors + per-source token budget) and the attrition
     rollup — ``stage_flags`` is the ordered (output name, flag column)
     list of upstream stages to count, so variants with extra stages get
-    extra columns without touching the shared shuffle shape."""
+    extra columns without touching the shared shuffle shape.
+    ``budget_order`` (r10, the DSIR capstone hook) maps the clean frame
+    to ``(frame, order_cols)``, letting a variant join a per-doc ranking
+    signal and spend each source's budget in that order; None keeps the
+    deterministic md5-hash order (``token_budget_sample``'s rule)."""
     gram5 = lambda df: df.select(  # noqa: E731
         "doc_id",
         F.explode(
@@ -2374,9 +2379,13 @@ def _llm_pipe_finish(
     c = flagged.join(dirty, "doc_id", "left").withColumn(
         "clean", F.col(keep_col) & F.col("dirty").isNull()
     )
+    if budget_order is not None:
+        c, order_cols = budget_order(c)
+    else:
+        order_cols = [F.md5(F.col("doc_id").cast("string")), F.col("doc_id")]
     wb = (
         W.partitionBy("source")
-        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .orderBy(*order_cols)
         .rowsBetween(W.unboundedPreceding, 0)
     )
     b = c.withColumn(
@@ -2479,6 +2488,168 @@ WITH base AS (
               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM c
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_input,
+       CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+       CAST(SUM(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       CAST(SUM(CASE WHEN clean AND cum <= {LLM_PIPE_BUDGET} THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+       CAST(SUM(CASE WHEN clean AND cum <= {LLM_PIPE_BUDGET} THEN n_toks ELSE 0 END) AS BIGINT) AS tokens_final
+FROM b GROUP BY source
+"""
+
+
+def llm_dataset_pipeline_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone v3 — the curation flow with DSIR-ORDERED budget spending
+    (r9 verdict #4): quality gate → exact dedup → benchmark
+    decontamination → per-source token budget spent in descending DSIR
+    per-token importance (Xie et al. 2023) instead of v1's neutral
+    hash order — each source's budget goes to its most target-like
+    documents, which is the selection step DSIR exists for.
+
+    Stages 1-3 and the rollup are ``llm_dataset_pipeline``'s own code
+    (``_llm_pipe_base`` / ``_llm_pipe_finish`` — shared by call, not
+    copy); the ordering stage plugs in through the ``budget_order``
+    hook. The DSIR bucket model is trained INSIDE the pipeline on the
+    non-bench corpus (the eval slice must not influence selection —
+    v1's decontamination argument applied to the ranking model), target
+    class = ``{DSIR_TARGET_SOURCE}`` documents, and every corpus
+    document gets a weight: the ``dsir_importance_weights`` formula
+    verbatim, 6dp-rounded BEFORE ordering so both engines rank
+    identical values (the ``ccnet_perplexity_buckets`` discipline).
+
+    Fully DuckDB-oracle'd: the weight CTEs reuse the dsir entry's
+    SQL shape inside v1's pipeline CTE chain.
+
+    Scale shape on top of v1's windows: one extra (doc, bucket)
+    exchange off the already-tokenized corpus (map-side combined,
+    ≤{DSIR_BUCKETS} rows per doc), a ≤{DSIR_BUCKETS}-row broadcast
+    model, and a doc-grain weights join — no corpus-sized sort, no
+    driver state beyond the broadcast."""
+    toked, flagged, is_bench = _llm_pipe_base(spark, sf_dir)
+
+    def dsir_order(c: DataFrame):
+        kc = (
+            flagged.select(
+                "doc_id",
+                (F.col("source") == DSIR_TARGET_SOURCE).alias("is_target"),
+                F.explode("toks").alias("w"),
+            )
+            .groupBy(
+                "doc_id",
+                "is_target",
+                F.substring(F.md5(F.col("w").cast("binary")), 1, 2).alias("b"),
+            )
+            .agg(F.count(F.lit(1)).alias("k"))
+        )
+        model = kc.groupBy("b").agg(
+            F.sum(F.when(F.col("is_target"), F.col("k")).otherwise(F.lit(0))).alias("t"),
+            F.sum(F.when(~F.col("is_target"), F.col("k")).otherwise(F.lit(0))).alias("r"),
+        ).select(
+            "b",
+            (
+                F.log(F.col("t").cast("double") + 1.0)
+                - F.log(F.col("r").cast("double") + 1.0)
+            ).alias("lr"),
+            "t",
+            "r",
+        )
+        totals = model.agg(
+            (
+                F.log(F.sum("r").cast("double") + F.lit(float(DSIR_BUCKETS)))
+                - F.log(F.sum("t").cast("double") + F.lit(float(DSIR_BUCKETS)))
+            ).alias("norm")
+        )
+        wts = (
+            kc.join(F.broadcast(model.select("b", "lr")), "b")
+            .groupBy("doc_id")
+            .agg(
+                F.sum("k").cast("long").alias("_n"),
+                F.sum(F.col("k").cast("double") * F.col("lr")).alias("_sklr"),
+            )
+            .crossJoin(F.broadcast(totals))
+            .select(
+                "doc_id",
+                stable_round(
+                    F.col("_sklr") + F.col("_n").cast("double") * F.col("norm"), 6
+                ).alias("_lw"),
+            )
+        )
+        c2 = c.join(wts, "doc_id")
+        order = [
+            (F.col("_lw") / F.col("n_toks").cast("double")).desc(),
+            F.col("doc_id").asc(),
+        ]
+        return c2, order
+
+    return _llm_pipe_finish(
+        toked,
+        flagged,
+        is_bench,
+        "keep",
+        [("n_quality", "q"), ("n_dedup", "keep")],
+        budget_order=dsir_order,
+    )
+
+
+LLM_PIPELINE_DSIR_SQL = rf"""
+WITH base AS (
+  SELECT doc_id, source, text, regexp_split_to_array(TRIM(text), '\s+') AS w
+  FROM documents WHERE doc_id % {LLM_PIPE_BENCH_MOD} <> 0
+), qf AS (
+  SELECT doc_id, source, text, w, CAST(len(w) AS BIGINT) AS n_toks,
+         (len(w) >= 20
+          AND CAST(len(list_filter(w, x -> x IN {STOPWORDS})) AS DOUBLE) / len(w) < 0.5
+          AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) > 0.2) AS q
+  FROM base
+), k AS (
+  SELECT *, (q AND doc_id = MIN(CASE WHEN q THEN doc_id END)
+                         OVER (PARTITION BY text)) AS keep
+  FROM qf
+), bench AS (
+  SELECT DISTINCT UNNEST({_LLM_PIPE_GRAM5}) AS gram
+  FROM (SELECT regexp_split_to_array(TRIM(text), '\s+') AS w
+        FROM documents WHERE doc_id % {LLM_PIPE_BENCH_MOD} = 0)
+), kept_grams AS (
+  SELECT doc_id, UNNEST({_LLM_PIPE_GRAM5}) AS gram FROM k WHERE keep
+), dirty AS (
+  SELECT DISTINCT doc_id FROM kept_grams JOIN bench USING (gram)
+), c AS (
+  SELECT k.*, (keep AND dirty.doc_id IS NULL) AS clean
+  FROM k LEFT JOIN dirty ON k.doc_id = dirty.doc_id
+), wtoks AS (
+  SELECT doc_id, source = '{DSIR_TARGET_SOURCE}' AS is_target,
+         UNNEST(w) AS wd
+  FROM base
+), kc AS (
+  SELECT doc_id, is_target, substr(md5(wd), 1, 2) AS b, COUNT(*) AS kk
+  FROM wtoks GROUP BY 1, 2, 3
+), model AS (
+  SELECT b,
+         LN(CAST(SUM(CASE WHEN is_target THEN kk ELSE 0 END) AS DOUBLE) + 1.0)
+       - LN(CAST(SUM(CASE WHEN NOT is_target THEN kk ELSE 0 END) AS DOUBLE) + 1.0)
+           AS lr,
+         SUM(CASE WHEN is_target THEN kk ELSE 0 END) AS t,
+         SUM(CASE WHEN NOT is_target THEN kk ELSE 0 END) AS r
+  FROM kc GROUP BY 1
+), totals AS (
+  SELECT LN(CAST(SUM(r) AS DOUBLE) + {float(DSIR_BUCKETS)})
+       - LN(CAST(SUM(t) AS DOUBLE) + {float(DSIR_BUCKETS)}) AS norm
+  FROM model
+), wts AS (
+  SELECT doc_id,
+         (ROUND((SUM(CAST(kk AS DOUBLE) * lr)
+                 + CAST(CAST(SUM(kk) AS BIGINT) AS DOUBLE) * norm) * 1e6) / 1e6)
+           AS lw
+  FROM kc JOIN model USING (b) CROSS JOIN totals
+  GROUP BY doc_id, norm
+), b AS (
+  SELECT c.*, SUM(CASE WHEN clean THEN n_toks ELSE 0 END) OVER (
+              PARTITION BY source
+              ORDER BY wts.lw / CAST(n_toks AS DOUBLE) DESC, c.doc_id ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM c JOIN wts ON c.doc_id = wts.doc_id
 )
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_input,
@@ -3282,6 +3453,11 @@ QUERIES: dict[str, QueryDef] = {
         llm_dataset_pipeline_neardup,
         None,
         "text: capstone v2 with banded-MinHash near-dedup stage (components, canonical keep)",
+    ),
+    "llm_dataset_pipeline_dsir": QueryDef(
+        llm_dataset_pipeline_dsir,
+        LLM_PIPELINE_DSIR_SQL,
+        "text: capstone v3 - budget spent in DSIR importance order, fully oracle-checked",
     ),
     "zipf_law_fit": QueryDef(
         zipf_law_fit,

@@ -2493,6 +2493,110 @@ def test_jpeg_malformed_input_fuzz():
     assert checked >= 1000, checked
 
 
+def test_jpeg_progressive_scan_fuzz():
+    """Progressive-specific fuzz breadth (r9 verdict #7): the multi-scan
+    progressive path is the newest ~400 lines of bit-twiddling, and the
+    generic whole-stream fuzz only samples its structure uniformly.
+    This targets the progressive machinery by parsing the marker layout
+    and mutating INSIDE it:
+
+    - truncation mid-scan for EVERY scan segment (first DC scan, AC
+      first passes, and the successive-approximation REFINEMENT scans —
+      a truncation mid-refinement leaves coefficients half-refined);
+    - dense byte corruption confined to refinement-scan entropy data
+      (breaks EOB-run lengths and correction bits specifically);
+    - scan-header parameter corruption (Ss/Se/Ah/Al bytes → invalid
+      spectral-selection / approximation combos);
+    - scan-segment surgery: drop a scan, duplicate a refinement scan,
+      and swap two scans (out-of-order refinement must not crash).
+
+    Discipline as the baseline fuzz: ValueError/NotImplementedError or
+    a sane (w, h, c, pixels) decode — never IndexError/struct.error/
+    KeyError/ZeroDivisionError/hang."""
+    import numpy as np
+
+    from mlb_win_predictor_spark.operators.multimodal import jpeg_decode, jpeg_encode
+
+    rng = np.random.default_rng(20260816)
+    yy, xx = np.mgrid[0:24, 0:33]
+    rgb = np.stack(
+        [(yy * 7) % 256, (xx * 5) % 256, ((xx ^ yy) * 3) % 256], 2
+    ).astype(np.uint8)
+    streams = [
+        jpeg_encode(((yy * 5 + xx) % 256).astype(np.uint8), quality=80, progressive=True),
+        jpeg_encode(rgb, quality=85, progressive=True),
+        jpeg_encode(rgb, quality=40, progressive=True),
+    ]
+
+    def scan_segments(blob: bytes) -> list[tuple[int, int, int]]:
+        """(sos_off, entropy_off, entropy_end) per scan — entropy data
+        runs from after the SOS header to the next marker that is not a
+        stuffed 0x00 / RST."""
+        segs, i = [], 2
+        while i < len(blob) - 3:
+            if blob[i] == 0xFF and blob[i + 1] == 0xDA:
+                hlen = int.from_bytes(blob[i + 2 : i + 4], "big")
+                ent = i + 2 + hlen
+                j = ent
+                while j < len(blob) - 1:
+                    if blob[j] == 0xFF and blob[j + 1] not in (0x00, *range(0xD0, 0xD8)):
+                        break
+                    j += 1
+                segs.append((i, ent, j))
+                i = j
+            else:
+                i += 1
+        return segs
+
+    def check(m: bytes) -> None:
+        try:
+            w, h, c, px = jpeg_decode(m)
+        except (ValueError, NotImplementedError):
+            return
+        assert w > 0 and h > 0 and c in (1, 3)
+        assert px.shape[0] == h and px.shape[1] == w
+
+    checked = 0
+    for blob in streams:
+        segs = scan_segments(blob)
+        assert len(segs) >= 4, "progressive encode produced too few scans"
+        for si, (sos, ent, end) in enumerate(segs):
+            # truncation mid-scan: dense sampling inside THIS scan's
+            # entropy data, plus the exact boundaries
+            cuts = {ent, ent + 1, end - 1, end}
+            cuts |= {int(k) for k in rng.integers(ent, max(end, ent + 1), 24)}
+            for k in sorted(cuts):
+                check(blob[:k])
+                checked += 1
+            # entropy corruption confined to the scan (EOB runs /
+            # correction bits); refinement scans are the later ones
+            if end > ent + 1:
+                for k in rng.integers(ent, end, 40):
+                    m = bytearray(blob)
+                    m[int(k)] ^= int(rng.integers(1, 256))
+                    check(bytes(m))
+                    checked += 1
+            # scan-header parameter corruption: last 3 header bytes are
+            # Ss, Se, AhAl — force invalid combos incl. Ss>Se, Al jumps
+            for vals in ((63, 0, 0), (1, 0, 0x10), (0, 63, 0x32), (62, 1, 0x01)):
+                m = bytearray(blob)
+                m[ent - 3 : ent] = bytes(vals)
+                check(bytes(m))
+                checked += 1
+        # scan surgery: drop / duplicate / swap whole scan segments
+        for si in range(len(segs)):
+            sos, _, end = segs[si]
+            check(blob[:sos] + blob[end:])  # drop scan si
+            checked += 1
+            check(blob[:end] + blob[sos:end] + blob[end:])  # duplicate
+            checked += 1
+        (s0, _, e0), (s1, _, e1) = segs[0], segs[-1]
+        swapped = blob[:s0] + blob[s1:e1] + blob[e0:s1] + blob[s0:e0] + blob[e1:]
+        check(swapped)
+        checked += 1
+    assert checked >= 500, checked
+
+
 def test_png_wav_gif_malformed_input_fuzz():
     """Same malformed-input discipline for the OTHER three codecs (r9):
     random truncations / byte flips of valid PNG (all flavors incl.
