@@ -27,13 +27,52 @@ DEPTH = 4
 WIDTH = 512
 
 
-def cms_build(df: DataFrame, key: str, depth: int = DEPTH, width: int = WIDTH) -> DataFrame:
+def _bucket(width: int, hash: str):
+    """Row→bucket expression factory for one of the ``depth`` hash rows.
+
+    ``xxhash64`` (default): JVM-native, the fast path for a corpus-scale
+    build. ``md5``: the repo's engine-portable md5-conv integer hash
+    (first 8 hex digits as an int) over ``"<seed>:<key>"`` — ~4× more
+    per-row CPU, but the WHOLE sketch (cells, counts, estimates) becomes
+    bit-reproducible on any engine that has md5, which is what lets a
+    downstream system re-derive and VERIFY streamed counts (and what
+    promotes the catalog entry to a full DuckDB oracle). Both are
+    uniform enough for the CMS guarantee; pick per workload."""
+    if hash == "xxhash64":
+        return lambda: F.pmod(F.xxhash64("k", "seed"), F.lit(width))
+    if hash == "md5":
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("seed").cast("string"),
+                        F.lit(":"),
+                        F.col("k").cast("string"),
+                    ).cast("binary")
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return lambda: F.pmod(h, F.lit(width))
+    raise ValueError(f"unknown cms hash family {hash!r}")
+
+
+def cms_build(
+    df: DataFrame,
+    key: str,
+    depth: int = DEPTH,
+    width: int = WIDTH,
+    hash: str = "xxhash64",
+) -> DataFrame:
     """One pass: each row lands in ``depth`` (seed, bucket) cells; the
     groupBy is map-side combinable so the shuffle carries at most
     ``depth * width`` rows per partition regardless of input size."""
     seeds = F.explode(F.array(*[F.lit(s) for s in range(depth)])).alias("seed")
     cells = df.select(F.col(key).alias("k"), seeds).select(
-        "seed", F.pmod(F.xxhash64("k", "seed"), F.lit(width)).alias("bucket")
+        "seed", _bucket(width, hash)().alias("bucket")
     )
     return cells.groupBy("seed", "bucket").agg(F.count(F.lit(1)).alias("n"))
 
@@ -47,13 +86,21 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     return out.groupBy("seed", "bucket").agg(F.sum("n").alias("n"))
 
 
-def cms_estimate(sketch: DataFrame, probes: DataFrame, key: str, depth: int = DEPTH, width: int = WIDTH) -> DataFrame:
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key: str,
+    depth: int = DEPTH,
+    width: int = WIDTH,
+    hash: str = "xxhash64",
+) -> DataFrame:
     """Point-frequency estimates for the probe keys: min over the key's
-    ``depth`` cells. The sketch is tiny (≤ depth*width rows) → broadcast;
-    missing cells count 0."""
+    ``depth`` cells (must use the SAME hash family the sketch was built
+    with). The sketch is tiny (≤ depth*width rows) → broadcast; missing
+    cells count 0."""
     seeds = F.explode(F.array(*[F.lit(s) for s in range(depth)])).alias("seed")
     cells = probes.select(F.col(key).alias("k"), seeds).select(
-        "k", "seed", F.pmod(F.xxhash64("k", "seed"), F.lit(width)).alias("bucket")
+        "k", "seed", _bucket(width, hash)().alias("bucket")
     )
     return (
         cells.join(F.broadcast(sketch), ["seed", "bucket"], "left")

@@ -554,15 +554,48 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     built in one map-side-combinable pass and broadcast to serve lookups —
     the mergeable scale path for heavy-hitter detection where the exact
     per-key aggregation (`key_skew_profile`) would itself be the skew
-    problem. Rows-only entry (xxhash64 seeding is not SQL-portable);
-    the CMS guarantee (never undercounts, overshoot ≤ 2N/width w.h.p.)
-    is property-tested in tests/test_operators.py."""
+    problem. r10: promoted to a full DuckDB oracle via the operator's
+    ``hash="md5"`` family (the repo's md5-conv integer hash over
+    "<seed>:<key>") — a VERIFIABLE sketch: any engine with md5 can
+    re-derive the identical cells and estimates, which is the audit
+    property a cross-system count pipeline wants (the fast xxhash64
+    family stays the operator default for corpus-scale builds). The CMS
+    guarantee (never undercounts, overshoot ≤ 2N/width w.h.p.) is
+    property-tested in tests/test_operators.py for BOTH hash families."""
     from ..operators.sketches import cms_build, cms_estimate
 
     e = load_table(spark, sf_dir, "events")
-    sketch = cms_build(e, "user_id")
+    sketch = cms_build(e, "user_id", hash="md5")
     probes = e.select("user_id").distinct()
-    return cms_estimate(sketch, probes, "user_id").orderBy("user_id")
+    return cms_estimate(sketch, probes, "user_id", hash="md5").orderBy("user_id")
+
+
+def _cms_sql() -> str:
+    from ..operators.sketches import DEPTH, WIDTH
+
+    bucket = (
+        "CAST(concat('0x', substr(md5(CAST(seed AS VARCHAR) || ':' "
+        "|| CAST(user_id AS VARCHAR)), 1, 8)) AS UBIGINT) % {w}"
+    ).format(w=WIDTH)
+    return f"""
+WITH seeds AS (SELECT UNNEST(range({DEPTH})) AS seed),
+cells AS (
+  SELECT seed, CAST({bucket} AS BIGINT) AS bucket
+  FROM events CROSS JOIN seeds
+), sketch AS (
+  SELECT seed, bucket, CAST(COUNT(*) AS BIGINT) AS n
+  FROM cells GROUP BY 1, 2
+), pcells AS (
+  SELECT user_id, seed, CAST({bucket} AS BIGINT) AS bucket
+  FROM (SELECT DISTINCT user_id FROM events) CROSS JOIN seeds
+)
+SELECT user_id, MIN(COALESCE(n, 0)) AS est_count
+FROM pcells LEFT JOIN sketch USING (seed, bucket)
+GROUP BY user_id
+"""
+
+
+CMS_SQL = _cms_sql()
 
 
 def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1240,7 +1273,7 @@ QUERIES: dict[str, QueryDef] = {
         kl_divergence_slices, KL_DIVERGENCE_SQL, "ops: KL distribution drift per slice"
     ),
     "cms_heavy_hitters": QueryDef(
-        cms_heavy_hitters, None, "ops: count-min sketch frequency estimates"
+        cms_heavy_hitters, CMS_SQL, "ops: count-min sketch frequency estimates"
     ),
     "pagerank_copurchase": QueryDef(
         pagerank_copurchase, PAGERANK_SQL, "ops: PageRank over part co-purchase graph"

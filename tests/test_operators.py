@@ -1518,6 +1518,17 @@ def test_cms_never_undercounts_and_bounds_overshoot(spark):
     merged = {(r.seed, r.bucket): r.n for r in cms_merge(h1, h2).collect()}
     full = {(r.seed, r.bucket): r.n for r in sketch.collect()}
     assert merged == full
+    # the engine-portable md5 family (the oracle'd catalog variant)
+    # carries the same never-undercount + overshoot guarantee
+    sk_md5 = cms_build(e, "user_id", hash="md5")
+    est5 = {
+        r.user_id: r.est_count
+        for r in cms_estimate(sk_md5, probes, "user_id", hash="md5").collect()
+    }
+    assert set(est5) == set(true)
+    for k, t in true.items():
+        assert est5[k] >= t, (k, est5[k], t)
+        assert est5[k] - t <= 4 * n_total / WIDTH, (k, est5[k], t, n_total)
 
 
 def test_pagerank_matches_numpy_power_iteration(spark):

@@ -693,3 +693,30 @@ def test_private_storage_api_smoke(spark):
     # covers the RDD-level registrations (the checkpoint) that remained
     assert release_caches(spark) >= 1
     assert persistent_rdd_count(spark) == 0
+
+
+def test_llm_pipeline_dsir_plan_shape(plans):
+    """Capstone v3: every window keyed (dedup by text, budget by
+    source) — a SinglePartition window would mean the importance order
+    degraded to a global one-task sort of the corpus; the ≤256-row
+    bucket model and 1-row totals reach the weights branch as
+    broadcasts; no cartesian (the only nested-loop join allowed is the
+    1-row broadcast totals cross)."""
+    import re
+
+    p = plans["llm_dataset_pipeline_dsir"]
+    lines = p.splitlines()
+    n_windows = 0
+    for i, line in enumerate(lines):
+        if re.match(r"^\(\d+\) Window", line.strip()):
+            n_windows += 1
+            args = next((l for l in lines[i : i + 5] if "Arguments:" in l), "")
+            assert "text" in args or "source" in args, (
+                f"unkeyed window: {args[:120]}"
+            )
+    assert n_windows >= 2, "expected dedup + budget windows"
+    # (a SinglePartition exchange legitimately appears — the 1-row
+    # model-totals aggregate, same as dsir_budget_selection; the pin is
+    # on the WINDOW partition specs, which carry the corpus.)
+    assert "BroadcastExchange" in p
+    assert "CartesianProduct" not in p

@@ -637,3 +637,36 @@ def test_bpe_greedy_fold_and_stop_conditions(spark):
 
     with _pytest.raises(ValueError, match="n_merges"):
         bpe_train(words, n_merges=0)
+
+
+def test_llm_pipeline_dsir_shares_stages_and_binds_budget(spark):
+    """Capstone v3 (r10): the DSIR-ordered budget variant must agree
+    with v1 on every SHARED stage (input, quality, dedup, decontam —
+    the ordering only changes WHICH clean docs the budget admits), keep
+    all counters monotone, and bind the budget. The ordering itself is
+    pinned exactly by the DuckDB oracle (the importance CTEs inlined in
+    LLM_PIPELINE_DSIR_SQL); this test pins the composition contract."""
+    from mlb_win_predictor_spark.queries.text import (
+        LLM_PIPE_BUDGET,
+        llm_dataset_pipeline,
+        llm_dataset_pipeline_dsir,
+    )
+
+    v3 = {r.source: r for r in llm_dataset_pipeline_dsir(spark, SF).collect()}
+    v1 = {r.source: r for r in llm_dataset_pipeline(spark, SF).collect()}
+    assert set(v3) == set(v1) and v3
+    for s, r in v3.items():
+        r1 = v1[s]
+        assert (r.n_input, r.n_quality, r.n_dedup, r.n_clean) == (
+            r1.n_input, r1.n_quality, r1.n_dedup, r1.n_clean,
+        ), (s, r, r1)
+        assert r.n_input >= r.n_quality >= r.n_dedup >= r.n_clean >= r.n_final, r
+        assert r.tokens_final <= LLM_PIPE_BUDGET, r
+    assert sum(r.n_clean - r.n_final for r in v3.values()) > 0, "budget vacuous"
+    # the orderings genuinely differ: at least one source admits a
+    # different doc set (token totals differ) under importance order
+    assert any(
+        v3[s].tokens_final != v1[s].tokens_final
+        or v3[s].n_final != v1[s].n_final
+        for s in v3
+    ), "DSIR order indistinguishable from hash order on the corpus"
