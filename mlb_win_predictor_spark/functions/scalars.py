@@ -37,6 +37,26 @@ def stable_round(col: Column | str, k: int) -> Column:
     return F.round(_c(col) * scale, 0) / scale
 
 
+def md5_int32(col: Column | str) -> Column:
+    """The repo's ENGINE-PORTABLE uniform integer hash: the first 8 hex
+    digits of md5(col) as a long in [0, 2^32). Single-sourced here (r10
+    review finding — the idiom was hand-rolled at five sites and each
+    copy had to keep the substring length / base pair in sync with its
+    DuckDB dual). SQL dual, verbatim:
+
+        CAST(concat('0x', substr(md5(<same input>), 1, 8)) AS UBIGINT)
+
+    The input should be (castable to) a string whose TEXT is identical
+    on both engines — e.g. ``CAST(doc_id AS VARCHAR)`` / ``.cast
+    ("string")``; md5 hashes the UTF-8 bytes either way. Uniform enough
+    for sampling gates, bucket hashes, and sketch rows; exact integer
+    compares against thresholds avoid any float boundary (the
+    ``balanced_mixture_sample`` discipline)."""
+    return F.conv(F.substring(F.md5(_c(col).cast("binary")), 1, 8), 16, 10).cast(
+        "long"
+    )
+
+
 def guarded_div(num: Column | str, den: Column | str) -> Column:
     """D1 — NULL if denominator is 0 or NULL, else num/den.
 

@@ -96,13 +96,11 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     # uniform md5-derived hash (the balanced_mixture_sample discipline),
     # so membership is deterministic and layout-independent. min(1, ...)
     # means the gate is a no-op until the train pool outgrows the cap.
+    from ..functions.scalars import md5_int32
+
     n_pool = docs.count() * TRAIN_BUCKETS / TRAIN_MOD
     thr = int(min(1.0, TRAIN_CAP / max(n_pool, 1.0)) * (1 << 32))
-    samp_hash = F.conv(
-        F.substring(F.md5(F.concat(F.lit("qc-cap:"), F.col("doc_id").cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
+    samp_hash = md5_int32(F.concat(F.lit("qc-cap:"), F.col("doc_id").cast("string")))
     # Right-size the train RDD's layout to the CAP, not the corpus —
     # but ONLY when the cap binds: the capped sample leaves ≤TRAIN_CAP
     # rows smeared over corpus-scan parallelism (profiled at 10×: ~25

@@ -40,6 +40,23 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 
+def _ranged(df: DataFrame, order_cols: list[str] | None) -> DataFrame:
+    """The PRE-checkpoint frame: range-partitioned (when ordered) and
+    tagged with the physical partition id. Factored out so the plan-
+    shape tests can still pin the internal shape (parallel range
+    exchange, never a SinglePartition collapse) — the eager checkpoint
+    in the public operators hides everything below it from the
+    consumer's explain()."""
+    base = (
+        df.repartitionByRange(*[F.col(c) for c in order_cols])
+        if order_cols
+        else df
+    )
+    return base.withColumn("_pid", F.spark_partition_id()).withColumn(
+        "_mid", F.monotonically_increasing_id()
+    )
+
+
 def dense_global_index(
     df: DataFrame,
     order_cols: list[str] | None = None,
@@ -50,17 +67,13 @@ def dense_global_index(
     without, the order is the incoming partition order (stable within a
     run, not across layouts)."""
     if order_cols:
-        base = df.repartitionByRange(*[F.col(c) for c in order_cols])
         w = W.partitionBy("_pid").orderBy(*[F.col(c).asc() for c in order_cols])
     else:
-        base = df
         w = W.partitionBy("_pid").orderBy(F.col("_mid").asc())
 
-    part = (
-        base.withColumn("_pid", F.spark_partition_id())
-        .withColumn("_mid", F.monotonically_increasing_id())
-        .localCheckpoint(eager=True)  # pin ONE partitioning for both jobs
-    )
+    part = _ranged(df, order_cols).localCheckpoint(
+        eager=True
+    )  # pin ONE partitioning for both jobs
     counts = sorted(
         (r._pid, r.n)
         for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -132,16 +145,14 @@ def global_running_sum(
     float column would be silently int-truncated, so it is rejected
     loudly here instead."""
     kind = dict(df.dtypes).get(value_col, "")
-    if kind not in {"tinyint", "smallint", "int", "bigint", "boolean"}:
+    if kind not in {"tinyint", "smallint", "int", "bigint"}:
         raise TypeError(
             f"global_running_sum needs an integral value column; "
             f"{value_col!r} is {kind or 'missing'} — exact driver-side "
-            f"offsets (and the long result) would truncate floats"
+            f"offsets (and the long result) would truncate floats "
+            f"(cast booleans to int first; Spark cannot SUM a boolean)"
         )
-    base = df.repartitionByRange(*[F.col(c) for c in order_cols])
-    part = base.withColumn("_pid", F.spark_partition_id()).localCheckpoint(
-        eager=True
-    )
+    part = _ranged(df, order_cols).drop("_mid").localCheckpoint(eager=True)
     w = (
         W.partitionBy("_pid")
         .orderBy(*[F.col(c).asc() for c in order_cols])

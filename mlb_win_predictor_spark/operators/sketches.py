@@ -41,21 +41,13 @@ def _bucket(width: int, hash: str):
     if hash == "xxhash64":
         return lambda: F.pmod(F.xxhash64("k", "seed"), F.lit(width))
     if hash == "md5":
-        h = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("seed").cast("string"),
-                        F.lit(":"),
-                        F.col("k").cast("string"),
-                    ).cast("binary")
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long")
+        from ..functions.scalars import md5_int32
+
+        h = md5_int32(
+            F.concat(
+                F.col("seed").cast("string"), F.lit(":"), F.col("k").cast("string")
+            )
+        )
         return lambda: F.pmod(h, F.lit(width))
     raise ValueError(f"unknown cms hash family {hash!r}")
 

@@ -589,13 +589,10 @@ def hash_split_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
     dataset is re-derived outside Spark), and what promotes the entry
     from rows-only to full DuckDB hash parity. Doc-grain md5 is one
     hash per row, not per token — scan-cost noise."""
+    from ..functions.scalars import md5_int32
+
     d = load_table(spark, sf_dir, "documents")
-    bucket = F.pmod(
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-        ).cast("long"),
-        F.lit(10),
-    )
+    bucket = F.pmod(md5_int32(F.col("doc_id").cast("string")), F.lit(10))
     split = (
         F.when(bucket < 8, F.lit("train"))
         .when(bucket < 9, F.lit("dev"))

@@ -600,19 +600,18 @@ CMS_SQL = _cms_sql()
 
 def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Link analysis over the part co-purchase graph: parts appearing in
-    the same order are bidirectionally linked; up to 5 PageRank
+    the same order are bidirectionally linked; exactly 5 PageRank
     iterations (operators.graph — one edge join + one agg per step,
-    localCheckpoint-truncated lineage) rank the graph's hub parts, with
-    the ``tol`` convergence early-exit wired in (r8 verdict #3): once the
-    max per-node rank delta drops below the output's rounding quantum
-    (rank_permille keeps 6 decimals → 1e-9 in rank), remaining iterations
-    cannot change the result, so the loop stops paying their scheduler
-    latency. Measured honesty note (r9): THIS graph's deltas decay ~7.1×
-    per step and sit at 5.5e-9 after iteration 5 — just above the
-    quantum — so the exit never fires here within the cap; the probe is
-    piggybacked into the checkpoint job (operators/graph.py) and costs
-    ~0.4s total, the price of leaving convergence detection on for
-    graphs that do converge early. Top-20 by (rounded rank, part) for a
+    localCheckpoint-truncated lineage) rank the graph's hub parts.
+    FIXED-iteration contract (r10): the entry is DuckDB-oracle'd by a
+    5-step unroll, so the operator's ``tol`` early-exit (r8 verdict #3,
+    pytest-pinned on the operator) is deliberately NOT wired here — a
+    faster-converging dataset would otherwise exit Spark-side at step 4
+    and silently hash-mismatch the 5-step SQL dual. (On this graph the
+    exit could never fire anyway: deltas decay ~7.1×/step and sit at
+    5.5e-9 after step 5, just above the 1e-9 output quantum — and
+    skipping the probe saves its piggybacked delta join, ~0.4s.)
+    Top-20 by (rounded rank, part) for a
     bounded, deterministic result. r10: promoted from rows-only to full
     DuckDB hash parity — ``PAGERANK_SQL`` unrolls the 5 power-iteration
     steps into chained CTEs with op-for-op float-grain matching (the
@@ -632,9 +631,14 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # checkpoint_every=2: two update steps per materialization job —
     # identical ranks (A/B-pinned), ~5% wall from halved scheduler and
-    # checkpoint round-trips; the tol probe then fires on 2-step deltas
-    # (conservative — see operators/graph.py)
-    ranks = pagerank(edges, iterations=5, tol=1e-9, checkpoint_every=2)
+    # checkpoint round-trips. tol=None (r10, review finding): the DuckDB
+    # oracle unrolls EXACTLY 5 steps, so the entry must be a fixed-
+    # iteration contract — with the probe wired, a faster-converging
+    # dataset (delta < tol by step 4) would early-exit Spark-side and
+    # silently hash-mismatch the 5-step SQL. The early-exit feature
+    # stays on the OPERATOR (pytest-pinned); this entry just doesn't use
+    # it, which also saves the probe's piggybacked delta join (~0.4s).
+    ranks = pagerank(edges, iterations=5, tol=None, checkpoint_every=2)
     return (
         ranks.select("node", stable_round(F.col("rank") * 1000, 6).alias("rank_permille"))
         .orderBy(F.desc("rank_permille"), "node")

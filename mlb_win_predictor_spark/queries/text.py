@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions.ngrams import word_ngrams
-from ..functions.scalars import stable_round
+from ..functions.scalars import md5_int32, stable_round
 from ..operators.indexing import dense_global_index, exact_ntile
 from ..session import fan_out, load_table
 from .base import QueryDef, sround
@@ -932,9 +932,7 @@ def balanced_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             " DIV CAST(n_docs AS DECIMAL(38,0)) AS BIGINT) + 1"
         ).alias("thr"),
     )
-    hashv = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
+    hashv = md5_int32(F.col("doc_id").cast("string"))
     kept = d.join(F.broadcast(thr_tbl), "source").filter(hashv < F.col("thr"))
     return kept.groupBy("source").agg(
         F.max("n_docs").alias("n_docs"),
@@ -2735,9 +2733,7 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = exact_ntile(nll, ["avg_nll", "doc_id"], n, 3, "bucket_id").select(
         "doc_id", "avg_nll", "bucket_id"
     )
-    hashv = F.conv(
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-    ).cast("long")
+    hashv = md5_int32(F.col("doc_id").cast("string"))
     keep_pct = (
         F.when(F.col("bucket_id") == 1, F.lit(CCNET_KEEP_PCT[1]))
         .when(F.col("bucket_id") == 2, F.lit(CCNET_KEEP_PCT[2]))

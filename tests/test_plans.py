@@ -144,6 +144,21 @@ def test_dense_index_no_single_partition_sort(plans):
     assert_single_execution_dense_index(p, "o_orderkey")
 
 
+def test_dense_index_internal_range_partitioning(spark):
+    """The eager checkpoint hides everything below it from a consumer's
+    explain() (r10 review finding), so the consumer-side pins above
+    cannot see a regression INSIDE the operator (e.g. a numPartitions=1
+    exchange before the checkpoint). Pin the pre-checkpoint frame
+    directly: a real parallel range exchange, never SinglePartition."""
+    from mlb_win_predictor_spark.operators.indexing import _ranged
+    from mlb_win_predictor_spark.session import load_table
+
+    o = load_table(spark, SF, "orders").select("o_orderkey")
+    p = plan_of(_ranged(o, ["o_orderkey"]))
+    assert "rangepartitioning(o_orderkey" in p, "internal range exchange gone"
+    assert "SinglePartition" not in p, "operator collapsed to one partition"
+
+
 def test_dsir_budget_selection_no_single_partition_sort(plans):
     """The DSIR budget cut's global running token total must ride the
     range-partitioned prefix-sum (operators.indexing.global_running_sum),
