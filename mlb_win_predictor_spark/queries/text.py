@@ -2807,11 +2807,18 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     Repetitive boilerplate scores LOW (its transitions dominate the
     corpus); incoherent token soup scores HIGH.
 
-    Plan: bigrams are built MAP-SIDE from each doc's token array
-    (transform over an index sequence — no window, no positions
-    shuffle), then one hash agg keyed (u,w) for the model, one keyed u
-    (derived from the same agg, not a rescan), and one broadcast-bounded
-    join back to per-doc bigram counts. Exact integer counts; one final
+    Plan (r10, the unigram tokenize-once lesson): bigrams are built
+    MAP-SIDE from each doc's token array (transform over an index
+    sequence — no window, no positions shuffle), then the corpus bigram
+    and context counts ride WINDOWS over the per-doc agg —
+    ``c_bi = sum(k) over (partition by bi)`` and
+    ``c_ctx = sum(k) over (partition by ctx)`` — instead of branch
+    aggregations joined back: the r9 shape's doc_bi subtree appeared
+    three times in the plan (corpus_bi source, ctx source via corpus_bi,
+    and the final join's left side) and Spark 4's AQE does not
+    stage-reuse duplicated subtrees, so the corpus was re-tokenized per
+    branch. Single subtree now, zero joins: doc_bi exchange, two keyed
+    window exchanges, doc rollup. Exact integer counts; one final
     ln/divide rounded 6dp (same discipline as the unigram entry)."""
     d = fan_out(load_table(spark, sf_dir, "documents"))
     # STAGED projection: tokenize once per doc, THEN build bigrams from
@@ -2845,14 +2852,11 @@ def bigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bi")
         .agg(F.count(F.lit(1)).alias("k"), F.first("ctx").alias("ctx"))
     )
-    corpus_bi = doc_bi.groupBy("bi").agg(
-        F.sum("k").alias("c_bi"), F.first("ctx").alias("ctx")
-    )
-    ctx = corpus_bi.groupBy("ctx").agg(F.sum("c_bi").alias("c_ctx"))
-    model = corpus_bi.join(ctx, "ctx").select("bi", "c_bi", "c_ctx")
+    dbw = doc_bi.withColumn(
+        "c_bi", F.sum("k").over(W.partitionBy("bi"))
+    ).withColumn("c_ctx", F.sum("k").over(W.partitionBy("ctx")))
     return (
-        doc_bi.join(model, "bi")
-        .groupBy("doc_id")
+        dbw.groupBy("doc_id")
         .agg(
             F.sum("k").cast("long").alias("n_bigrams"),
             F.sum(
