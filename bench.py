@@ -190,23 +190,30 @@ def run_query(spark, name: str, sf_dir: str) -> float:
 
 # Ambient-load guard (r6 verdict #3: a loaded box produced two phantom
 # regressions with spreads as large as the deltas). Wait for the 1-min
-# loadavg to drop below the threshold before timing; give up after the
-# timeout and record that the run is load-contaminated.
+# AND 15-min loadavgs to drop below their thresholds before timing;
+# give up after the timeout and record that the run is
+# load-contaminated. The 15-min check is r11 (r10 verdict #2): the r10
+# drift table showed a run started at 1-min≈0 but 15-min 5.98 measured
+# 7% worse than the settled run — recently-hot caches/cpufreq state
+# biases timings even after the instantaneous load drops.
 LOAD_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD_MAX", "1.0"))
+LOAD15_MAX = float(os.environ.get("SPARK_GRAFT_BENCH_LOAD15_MAX", "2.0"))
 LOAD_WAIT_SEC = int(os.environ.get("SPARK_GRAFT_BENCH_LOAD_WAIT", "300"))
 
 
 def wait_for_quiet_box() -> bool:
-    """Spin-wait until 1-min loadavg < LOAD_MAX; True iff quiet."""
+    """Spin-wait until 1-min loadavg < LOAD_MAX and 15-min loadavg <
+    LOAD15_MAX; True iff quiet."""
     deadline = time.monotonic() + LOAD_WAIT_SEC
     while True:
         load = _loadavg()
-        if not load or load[0] < LOAD_MAX:
+        if not load or (load[0] < LOAD_MAX and load[2] < LOAD15_MAX):
             return True
         if time.monotonic() >= deadline:
             print(
-                f"WARNING: box still loaded (1-min loadavg {load[0]}) after "
-                f"{LOAD_WAIT_SEC}s wait; timings may be contaminated",
+                f"WARNING: box still loaded (1/15-min loadavg {load[0]}/"
+                f"{load[2]}) after {LOAD_WAIT_SEC}s wait; timings may be "
+                "contaminated",
                 file=sys.stderr,
             )
             return False

@@ -46,15 +46,18 @@ def md5_int32(col: Column | str) -> Column:
 
         CAST(concat('0x', substr(md5(<same input>), 1, 8)) AS UBIGINT)
 
-    The input should be (castable to) a string whose TEXT is identical
-    on both engines — e.g. ``CAST(doc_id AS VARCHAR)`` / ``.cast
-    ("string")``; md5 hashes the UTF-8 bytes either way. Uniform enough
-    for sampling gates, bucket hashes, and sketch rows; exact integer
-    compares against thresholds avoid any float boundary (the
-    ``balanced_mixture_sample`` discipline)."""
-    return F.conv(F.substring(F.md5(_c(col).cast("binary")), 1, 8), 16, 10).cast(
-        "long"
-    )
+    The input is cast to STRING first (then binary), so any input type
+    hashes its TEXT form — matching the documented VARCHAR contract
+    (r10 advice: a raw numeric column cast straight to binary would
+    hash big-endian bytes while the DuckDB dual hashes the decimal
+    text, a silent cross-engine divergence). Callers no longer need to
+    remember ``.cast("string")``; md5 hashes the UTF-8 bytes either
+    way. Uniform enough for sampling gates, bucket hashes, and sketch
+    rows; exact integer compares against thresholds avoid any float
+    boundary (the ``balanced_mixture_sample`` discipline)."""
+    return F.conv(
+        F.substring(F.md5(_c(col).cast("string").cast("binary")), 1, 8), 16, 10
+    ).cast("long")
 
 
 def guarded_div(num: Column | str, den: Column | str) -> Column:

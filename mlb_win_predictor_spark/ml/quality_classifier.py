@@ -96,13 +96,17 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     # uniform md5-derived hash (the balanced_mixture_sample discipline),
     # so membership is deterministic and layout-independent. min(1, ...)
     # means the gate is a no-op until the train pool outgrows the cap.
+    # The bound is EXPECTED, not hard (r10 advice): n_pool is the
+    # expected 80% split, and the hash gate keeps a binomial count
+    # around TRAIN_CAP — the train set can run a few percent over. That
+    # is fine for its purpose (L-BFGS cost constant in corpus size).
     from ..functions.scalars import md5_int32
 
     n_pool = docs.count() * TRAIN_BUCKETS / TRAIN_MOD
     thr = int(min(1.0, TRAIN_CAP / max(n_pool, 1.0)) * (1 << 32))
     samp_hash = md5_int32(F.concat(F.lit("qc-cap:"), F.col("doc_id").cast("string")))
     # Right-size the train RDD's layout to the CAP, not the corpus —
-    # but ONLY when the cap binds: the capped sample leaves ≤TRAIN_CAP
+    # but ONLY when the cap binds: the capped sample leaves ~TRAIN_CAP
     # rows smeared over corpus-scan parallelism (profiled at 10×: ~25
     # treeAggregate stages × 32 tasks of ~125 rows — run 0.5s/cpu 0.08s
     # each, pure per-stage scheduler latency), so one tiny shuffle

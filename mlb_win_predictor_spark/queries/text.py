@@ -2003,10 +2003,18 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     the vocabulary count now rides a WINDOW over the dc exchange —
     ``c = sum(k) over (partition by w)`` — and the corpus total re-
     aggregates the DOC-grain result (rows = n_docs, corpus-size-
-    independent relative to token grain); the token-grain subtree
-    appears exactly once. Measured (interleaved A/B, sf1/sf0.1):
-    1.56-4.10 s → 0.90-1.16 s at 10×, 0.64-0.74 → 0.44-0.51 s at base,
-    values identical.
+    independent relative to token grain). Measured (interleaved A/B,
+    sf1/sf0.1): 1.56-4.10 s → 0.90-1.16 s at 10×, 0.64-0.74 →
+    0.44-0.51 s at base, values identical.
+
+    ``per_doc`` itself is still consumed TWICE (the n_total aggregate
+    and the final select), and the same no-AQE-stage-reuse finding
+    applies to it — so it is pinned with a lazy ``localCheckpoint``
+    (r11, from r10 advice): the broadcast-total subquery job
+    materializes the doc-grain rows once, and the main stage reads the
+    checkpointed partitions instead of re-running the scan → explode →
+    window chain. Doc-grain rows are tiny relative to token grain, so
+    the pin costs one executor-local write of n_docs rows.
 
     Shuffles: per-doc counts (one exchange off the single tokenize
     pass), vocabulary window (hash(w) exchange of pre-combined (doc,w)
@@ -2023,7 +2031,7 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("k").cast("double") * F.log(F.col("c").cast("double"))).alias(
             "sum_klnc"
         ),
-    )
+    ).localCheckpoint(eager=False)
     total = per_doc.agg(F.sum("n_tokens").cast("double").alias("n_total"))
     return per_doc.crossJoin(F.broadcast(total)).select(
         "doc_id",
@@ -2574,9 +2582,20 @@ def llm_dataset_pipeline_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("_lw"),
             )
         )
-        c2 = c.join(wts, "doc_id")
+        # LEFT join (r11, from r10 advice): wts only covers docs that
+        # produced ≥1 token row — explode drops NULL-text documents —
+        # so an inner join would silently remove those docs from EVERY
+        # rollup counter (n_input onward), breaking the shared-stage
+        # equality with v1 that the pytest pins. A NULL-text doc can
+        # never be `clean`, so its rank just needs to be deterministic:
+        # coalesce the per-token weight to a sentinel below any real
+        # log-weight (sorts last), doc_id tiebreak. SQL dual mirrors
+        # the LEFT JOIN + COALESCE exactly.
+        c2 = c.join(wts, "doc_id", "left")
         order = [
-            (F.col("_lw") / F.col("n_toks").cast("double")).desc(),
+            F.coalesce(
+                F.col("_lw") / F.col("n_toks").cast("double"), F.lit(-1e300)
+            ).desc(),
             F.col("doc_id").asc(),
         ]
         return c2, order
@@ -2645,9 +2664,10 @@ WITH base AS (
 ), b AS (
   SELECT c.*, SUM(CASE WHEN clean THEN n_toks ELSE 0 END) OVER (
               PARTITION BY source
-              ORDER BY wts.lw / CAST(n_toks AS DOUBLE) DESC, c.doc_id ASC
+              ORDER BY COALESCE(wts.lw / CAST(n_toks AS DOUBLE), -1e300) DESC,
+                       c.doc_id ASC
               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-  FROM c JOIN wts ON c.doc_id = wts.doc_id
+  FROM c LEFT JOIN wts ON c.doc_id = wts.doc_id
 )
 SELECT source,
        CAST(COUNT(*) AS BIGINT) AS n_input,
