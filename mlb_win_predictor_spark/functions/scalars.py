@@ -60,6 +60,25 @@ def md5_int32(col: Column | str) -> Column:
     ).cast("long")
 
 
+def md5_int60(col: Column | str) -> Column:
+    """``md5_int32``'s wide sibling: the first 15 hex digits of md5(col)
+    as a long in [0, 2^60) — the ENGINE-PORTABLE shingle/fingerprint
+    hash (r11, the simhash / banded-minhash oracle promotions). 15 hex
+    digits because the value must fit a SIGNED long on Spark and a
+    BIGINT in DuckDB (16 digits can exceed 2^63); 60 bits keeps
+    birthday collisions negligible at catalog scale (n²/2^61). SQL
+    dual, verbatim:
+
+        CAST(CAST(concat('0x', substr(md5(CAST(x AS VARCHAR)), 1, 15))
+             AS UBIGINT) AS BIGINT)
+
+    Same STRING-text contract as ``md5_int32``: the input is cast to
+    string before binary, so both engines hash identical UTF-8 text."""
+    return F.conv(
+        F.substring(F.md5(_c(col).cast("string").cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+
+
 def guarded_div(num: Column | str, den: Column | str) -> Column:
     """D1 — NULL if denominator is 0 or NULL, else num/den.
 

@@ -8,19 +8,57 @@ Four tiers, trading exactness for scale:
 - ``simhash_buckets``        : 64-bit SimHash; near-dups collide on the
   full hash or a band of it — cheapest, coarsest.
 
-All deterministic given seeds (MLlib hash seeds fixed; xxhash64 seed 42),
-but not SQL-expressible — correctness is property-tested against exact
-oracles at small SF (tests/test_operators.py) rather than DuckDB-hashed.
+All deterministic given seeds (MLlib hash seeds fixed; xxhash64 seed 42).
+The MinHash / SimHash family additionally supports a PORTABLE hash family
+(``hash_family="md5"``, r11): shingles/tokens hash through
+``scalars.md5_int60`` and the per-signature hash functions become affine
+permutations ``(a_i·h + b_i) mod p`` over the Mersenne prime p = 2³¹−1 —
+every step exact-integer and re-derivable in DuckDB SQL, so the riding
+catalog entries are FULL value-hash oracles (the r10 ``cms_heavy_hitters``
+precedent). xxhash64 stays the corpus-scale default: one JVM hash per
+shingle per signature beats md5 on throughput, and the portable family
+exists for auditability, not speed. Entries not oracle-promoted are
+property-tested against exact oracles at small SF
+(tests/test_operators.py) rather than DuckDB-hashed.
 """
 
 from __future__ import annotations
 
 from pyspark.ml.feature import CountVectorizer, MinHashLSH
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..functions.ngrams import word_ngrams
+from ..functions.scalars import md5_int60
+
+# Mersenne prime 2^31 - 1: the modulus of the portable affine MinHash
+# permutations. a·(h mod p) + b ≤ (p−1)² + p < 2^63 — no overflow in a
+# signed long (Spark, ANSI on) or a DuckDB BIGINT.
+MINHASH_P = 2147483647
+
+
+def minhash_perm_consts(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the portable affine MinHash
+    family — a pure integer formula (no RNG) so the DuckDB oracle SQL
+    inlines the IDENTICAL constants via an f-string (``a_i`` forced
+    nonzero; constants need only be fixed and well-spread, not
+    cryptographic)."""
+    return [
+        (
+            ((seed * 1000003 + 2 * i + 1) % MINHASH_P) or 1,
+            (seed * 7777777 + i * 104729) % MINHASH_P,
+        )
+        for i in range(num_hashes)
+    ]
+
+
+def _shingle_hash(s: Column, hash_family: str) -> Column:
+    """Shingle string → long: xxhash64 (scale default) or the portable
+    md5-conv 60-bit family (oracle entries)."""
+    if hash_family == "md5":
+        return md5_int60(s)
+    return F.xxhash64(s)
 
 
 def ngram_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
@@ -100,17 +138,34 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 32,
     seed: int = 42,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature table from hashed shingle sets: one map-only
     projection producing ``num_hashes`` ``array_min(transform(...))``
     columns (h0..h{k-1}). Zero shuffle — at corpus scale this is the
-    table you persist."""
+    table you persist.
+
+    ``hash_family="md5"`` (r11): hash i becomes the affine permutation
+    ``(a_i·(h mod p) + b_i) mod p`` over ``minhash_perm_consts`` — exact
+    integer arithmetic a DuckDB oracle reproduces verbatim (and cheaper
+    per signature than a rehash: one multiply-add-mod vs a full
+    xxhash64 pass; the md5 cost was paid once at shingle hashing)."""
+    perms = minhash_perm_consts(num_hashes, seed) if hash_family == "md5" else None
 
     def _minhash(i: int):
         # NB: the transform lambda must take ONE arg — a two-arg lambda
         # receives (element, array_index) and would silently replace the
         # per-signature seed with the element position, collapsing all
         # signatures into one hash function.
+        if perms is not None:
+            a, b = perms[i]
+            return F.array_min(
+                F.transform(
+                    "shingles",
+                    lambda h: (F.lit(a) * (h % F.lit(MINHASH_P)) + F.lit(b))
+                    % F.lit(MINHASH_P),
+                )
+            )
         return F.array_min(
             F.transform("shingles", lambda h: F.xxhash64(h, F.lit(seed + i)))
         )
@@ -129,6 +184,7 @@ def minhash_banded_pairs(
     bands: int = 8,
     seed: int = 42,
     jaccard_threshold: float = 0.5,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Banded MinHash near-dup pairs as pure JVM column expressions — the
     native (no-MLlib) scale path for SURVEY §2.10 near-dedup.
@@ -171,7 +227,9 @@ def minhash_banded_pairs(
     # Set semantics survive w.h.p. (64-bit collisions ~ n²/2⁶⁴).
     sh = ngram_shingles(docs.select(id_col, text_col), text_col, n).select(
         id_col,
-        F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
+        F.transform("shingles", lambda s: _shingle_hash(s, hash_family)).alias(
+            "shingles"
+        ),
     )
     # cache: the hashed shingle sets feed the signature once and BOTH
     # sides of the candidate re-check; the signature table feeds both
@@ -183,7 +241,12 @@ def minhash_banded_pairs(
     # 100 TB pattern).
     sh = sh.persist()
     cand = band_candidate_pairs(
-        sh, id_col, num_hashes=num_hashes, bands=bands, seed=seed
+        sh,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        seed=seed,
+        hash_family=hash_family,
     )
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
@@ -203,22 +266,36 @@ def band_candidate_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Distinct (id_a, id_b) candidate pairs from classic LSH banding over
     hashed shingle sets ``sh`` (columns: id, ``shingles`` array<long>) —
     the candidate-generation half of ``minhash_banded_pairs``, factored
-    out so other re-checks (containment) can ride the same banding."""
+    out so other re-checks (containment) can ride the same banding.
+
+    Portable family: the band signature is the '-'-joined min-hash
+    string instead of an xxhash64 fold (band equality is all banding
+    needs; the string form is what the DuckDB dual's ``string_agg``
+    reproduces)."""
     r = num_hashes // bands
     if bands * r != num_hashes:
         raise ValueError("num_hashes must be divisible by bands")
     # persist: the signature table feeds BOTH sides of the band self-join
     # (num_docs x num_hashes longs — bounded; same discipline as
     # minhash_banded_pairs, whose candidate half this is)
-    mins = minhash_signatures(sh, id_col, num_hashes=num_hashes, seed=seed).persist()
-    band_cols = [
-        F.xxhash64(F.array(*[F.col(f"h{j * r + k}") for k in range(r)]))
-        for j in range(bands)
-    ]
+    mins = minhash_signatures(
+        sh, id_col, num_hashes=num_hashes, seed=seed, hash_family=hash_family
+    ).persist()
+    if hash_family == "md5":
+        band_cols = [
+            F.concat_ws("-", *[F.col(f"h{j * r + k}") for k in range(r)])
+            for j in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.xxhash64(F.array(*[F.col(f"h{j * r + k}") for k in range(r)]))
+            for j in range(bands)
+        ]
     band_rows = mins.select(
         F.col(id_col),
         F.posexplode(F.array(*band_cols)).alias("band_idx", "band_sig"),
@@ -249,6 +326,7 @@ def containment_banded_pairs(
     bottom_k: int = 16,
     max_bucket: int = 64,
     containment_threshold: float = 0.8,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """ASYMMETRIC containment dedup at corpus scale — the executed 100 TB
     path that replaces the exact entry's ``doc_id < cap`` bound
@@ -281,14 +359,21 @@ def containment_banded_pairs(
     direction >= threshold over the candidate set."""
     sh = ngram_shingles(docs.select(id_col, text_col), text_col, n).select(
         id_col,
-        F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
+        F.transform("shingles", lambda s: _shingle_hash(s, hash_family)).alias(
+            "shingles"
+        ),
     )
     # one corpus-scale projection feeds the signatures, the bottom-k
     # postings, and both sides of the re-check (persist: measured 3x on
     # the banded path; the 100 TB pattern is persisting this to storage)
     sh = sh.persist()
     cand_band = band_candidate_pairs(
-        sh, id_col, num_hashes=num_hashes, bands=bands, seed=seed
+        sh,
+        id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        seed=seed,
+        hash_family=hash_family,
     )
     posts = sh.select(
         F.col(id_col),
@@ -590,7 +675,11 @@ def incremental_neardup_filter(
 
 
 def simhash_buckets(
-    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", band_bits: int = 16
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    band_bits: int = 16,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """63-bit SimHash fingerprint + leading-band bucket.
 
@@ -600,20 +689,28 @@ def simhash_buckets(
     Python. 63 bits (not 64) because the packed value lives in a signed
     long and shift amounts must be literals — pow(2, b) covers b <= 62
     exactly. Near-dup candidates share the ``band`` (or the full hash).
+
+    ``hash_family="md5"`` (r11): tokens hash through ``md5_int60`` and
+    the fingerprint is 60-bit — every step (distinct tokens, +1/−1
+    integer votes, sign, bit-pack, leading-band shift) exact-integer
+    and re-derivable in DuckDB, making ``dedup_simhash`` a full
+    value-hash oracle. xxhash64 stays the corpus-scale default (one
+    cheap JVM hash per token; md5 is ~an order costlier per byte).
     """
+    n_bits = 60 if hash_family == "md5" else 63
     toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t, F.lit(42)))
+    hashes = F.transform(toks, lambda t: _token_hash(t, hash_family))
     bit_of = lambda h, b: F.when(  # noqa: E731
         h.bitwiseAND(F.pow(F.lit(2.0), b).cast("long")) != 0, F.lit(1)
     ).otherwise(F.lit(-1))
     bit_votes = F.transform(
-        F.sequence(F.lit(0), F.lit(62)),
+        F.sequence(F.lit(0), F.lit(n_bits - 1)),
         lambda b: F.aggregate(hashes, F.lit(0), lambda acc, h: acc + bit_of(h, b)),
     )
     simhash = F.aggregate(
         F.zip_with(
             bit_votes,
-            F.sequence(F.lit(0), F.lit(62)),
+            F.sequence(F.lit(0), F.lit(n_bits - 1)),
             lambda v, b: F.when(v > 0, F.pow(F.lit(2.0), b).cast("long")).otherwise(
                 F.lit(0).cast("long")
             ),
@@ -622,4 +719,13 @@ def simhash_buckets(
         lambda acc, x: acc.bitwiseOR(x),
     )
     out = docs.select(id_col, simhash.alias("simhash"))
-    return out.withColumn("band", F.shiftrightunsigned(F.col("simhash"), 63 - band_bits))
+    return out.withColumn(
+        "band", F.shiftrightunsigned(F.col("simhash"), n_bits - band_bits)
+    )
+
+
+def _token_hash(t: Column, hash_family: str) -> Column:
+    """SimHash token hash: xxhash64 seed 42 (default) or md5_int60."""
+    if hash_family == "md5":
+        return md5_int60(t)
+    return F.xxhash64(t, F.lit(42))

@@ -248,14 +248,87 @@ def dedup_minhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-star near-dedup, native banded-MinHash path (no MLlib, pure
     column expressions): true-pair count + Jaccard digest. Every emitted
     pair passed the exact-Jaccard re-check, so the digest is exact over
-    the collision-bounded candidate set."""
+    the collision-bounded candidate set.
+
+    Runs the PORTABLE hash family (r11 oracle promotion): shingles hash
+    through ``md5_int60`` and the 32 signature hashes are affine
+    permutations mod 2³¹−1 (``minhash_perm_consts`` — the identical
+    constants are inlined into the SQL dual below), so the WHOLE
+    LSH construction — signatures, 8-band collision set, exact-Jaccard
+    re-check — is re-derivable in DuckDB. xxhash64 stays the operator
+    default and the corpus-scale family (every other minhash entry)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_banded_pairs(docs, jaccard_threshold=0.5)
+    pairs = minhash_banded_pairs(docs, jaccard_threshold=0.5, hash_family="md5")
     return pairs.agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.min("jaccard").alias("min_jaccard"),
         F.max("jaccard").alias("max_jaccard"),
     )
+
+
+def _minhash_perms_values_sql(num_hashes: int = 32, seed: int = 42) -> str:
+    """The portable MinHash permutation constants as a SQL VALUES list —
+    single-sourced from ``operators.dedup.minhash_perm_consts`` so the
+    Spark plan and the DuckDB dual can never drift."""
+    from ..operators.dedup import minhash_perm_consts
+
+    return ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(minhash_perm_consts(num_hashes, seed))
+    )
+
+
+# The Spark plan, op for op: distinct 3-gram shingles -> md5-60bit
+# shingle hash -> 32 affine min-hashes (mod 2^31-1) -> 8 bands of 4,
+# signature string '-'-joined in hash order -> band-collision pairs ->
+# exact-Jaccard re-check at 0.5 -> digest. Integer-exact until the one
+# final int/int division (IEEE-exact on both engines).
+DEDUP_MINHASH_BANDED_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, GREATEST(len(toks) - 2, 0) + 1),
+           i -> array_to_string(list_slice(toks, i, i + 2), ' ')
+         )) AS grams
+  FROM toks
+), sh AS (
+  SELECT doc_id,
+         list_transform(
+           grams,
+           s -> CAST(CAST(concat('0x', substr(md5(s), 1, 15)) AS UBIGINT) AS BIGINT)
+         ) AS shingles
+  FROM g WHERE len(grams) > 0
+), hs AS (
+  SELECT doc_id, UNNEST(shingles) AS h FROM sh
+), perms(i, a, b) AS (
+  SELECT * FROM (VALUES {{PERMS}}) t(i, a, b)
+), mins AS (
+  SELECT doc_id, i, MIN((a * (h % 2147483647) + b) % 2147483647) AS mh
+  FROM hs CROSS JOIN perms GROUP BY 1, 2
+), bandsig AS (
+  SELECT doc_id, i // 4 AS band_idx,
+         string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS sig
+  FROM mins GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandsig a JOIN bandsig b
+    ON a.band_idx = b.band_idx AND a.sig = b.sig AND a.doc_id < b.doc_id
+), pairs AS (
+  SELECT id_a, id_b,
+         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
+           AS jaccard
+  FROM cand
+  JOIN sh sa ON id_a = sa.doc_id
+  JOIN sh sb ON id_b = sb.doc_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       MIN(jaccard) AS min_jaccard,
+       MAX(jaccard) AS max_jaccard
+FROM pairs WHERE jaccard >= 0.5
+""".replace("{PERMS}", _minhash_perms_values_sql())
 
 
 def dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,14 +408,54 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """North-star SimHash fingerprinting: bucket occupancy digest."""
+    """North-star SimHash fingerprinting: bucket occupancy digest.
+
+    Runs the PORTABLE md5-conv hash family (r11 oracle promotion, the
+    ``cms_heavy_hitters`` precedent): token hash = ``md5_int60``, 60-bit
+    fingerprint from exact-integer ±1 votes, leading 16-bit band — every
+    step re-derivable in DuckDB, so the digest is a full value-hash
+    oracle (``DEDUP_SIMHASH_SQL``). The operator's xxhash64 default
+    stays the corpus-scale family (operators/dedup.py::simhash_buckets);
+    its behavior is property-tested separately."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = simhash_buckets(docs)
+    sh = simhash_buckets(docs, hash_family="md5")
     return sh.groupBy("band").agg(F.count(F.lit(1)).alias("n_docs")).agg(
         F.count(F.lit(1)).alias("n_buckets"),
         F.max("n_docs").alias("max_bucket_size"),
         F.sum("n_docs").alias("n_docs_total"),
     )
+
+
+# The Spark plan, op for op: distinct tokens -> md5-60bit token hash ->
+# per-bit +1/-1 votes -> sign -> bit-pack -> leading 16-bit band ->
+# bucket occupancy digest. Integer-exact everywhere; the CROSS JOIN to
+# range(60) is the row-form of Spark's per-bit transform() lambda.
+DEDUP_SIMHASH_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, UNNEST(list_distinct(regexp_split_to_array(TRIM(text), '\s+'))) AS t
+  FROM documents
+), h AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substr(md5(t), 1, 15)) AS UBIGINT) AS BIGINT) AS h
+  FROM toks
+), bits AS (
+  SELECT doc_id, b,
+         SUM(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM h CROSS JOIN (SELECT UNNEST(range(60)) AS b) bb
+  GROUP BY 1, 2
+), fp AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b)
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS simhash
+  FROM bits GROUP BY 1
+), occ AS (
+  SELECT simhash >> 44 AS band, COUNT(*) AS n_docs FROM fp GROUP BY 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       CAST(MAX(n_docs) AS BIGINT) AS max_bucket_size,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs_total
+FROM occ
+"""
 
 
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -762,7 +875,9 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "dedup_minhash_lsh": QueryDef(dedup_minhash_lsh, None, "dedup: MinHash LSH"),
     "dedup_minhash_banded": QueryDef(
-        dedup_minhash_banded, None, "dedup: native banded MinHash"
+        dedup_minhash_banded,
+        DEDUP_MINHASH_BANDED_SQL,
+        "dedup: native banded MinHash (portable hash family)",
     ),
     "dedup_end_to_end": QueryDef(
         dedup_end_to_end, None, "dedup: pairs→components→canonical keep"
@@ -772,7 +887,9 @@ QUERIES: dict[str, QueryDef] = {
         None,
         "dedup: duplicate-cluster size/mass histogram (prices the dedup)",
     ),
-    "dedup_simhash": QueryDef(dedup_simhash, None, "dedup: SimHash"),
+    "dedup_simhash": QueryDef(
+        dedup_simhash, DEDUP_SIMHASH_SQL, "dedup: SimHash (portable hash family)"
+    ),
     "dedup_incremental": QueryDef(
         dedup_incremental, None, "dedup: incremental batch-vs-index"
     ),

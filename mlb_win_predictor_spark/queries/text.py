@@ -580,9 +580,16 @@ def ngram_containment_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     (what ``ngram_containment_pairs`` uses to stay exact-oracle-sized).
     Shuffle is bands + bottom_k rows/doc; every emitted pair is exact at
     the threshold, banding/sketching only bound recall (gated >= 0.9 on
-    planted containment pairs, tests/test_operators.py). Rows-only entry:
-    xxhash64-seeded MinHash isn't SQL-expressible; the exact capped entry
-    is the value-hashed oracle for the shared containment formula."""
+    planted containment pairs, tests/test_operators.py).
+
+    FULL value-hash oracle since r11: the entry runs the PORTABLE hash
+    family (``md5_int60`` shingles + affine-permutation MinHash mod
+    2³¹−1 + '-'-joined band signatures), so the whole candidate
+    construction — 8-band LSH collisions, bottom-16 postings with the
+    df≤64 hot-bucket cut, the union, and the exact containment
+    re-check — is re-derivable in DuckDB
+    (``NGRAM_CONTAINMENT_BANDED_SQL``). xxhash64 stays the operator
+    default (the corpus-scale family)."""
     from ..operators.dedup import containment_banded_pairs
 
     d = fan_out(load_table(spark, sf_dir, "documents"))
@@ -590,7 +597,83 @@ def ngram_containment_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
         d,
         n=NGRAM_N,
         containment_threshold=CONTAINMENT_THRESHOLD,
+        hash_family="md5",
     )
+
+
+def _containment_banded_sql() -> str:
+    """DuckDB dual of ``ngram_containment_banded`` — built by a helper so
+    the permutation VALUES list is single-sourced from
+    ``operators.dedup.minhash_perm_consts`` (drift-proof against the
+    Spark plan's constants)."""
+    from ..operators.dedup import minhash_perm_consts
+
+    perms = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(minhash_perm_consts(32, 42))
+    )
+    return rf"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM documents
+), g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, GREATEST(len(toks) - {NGRAM_N - 1}, 0) + 1),
+           i -> array_to_string(list_slice(toks, i, i + {NGRAM_N - 1}), ' ')
+         )) AS grams
+  FROM toks
+), sh AS (
+  SELECT doc_id,
+         list_transform(
+           grams,
+           s -> CAST(CAST(concat('0x', substr(md5(s), 1, 15)) AS UBIGINT) AS BIGINT)
+         ) AS shingles
+  FROM g WHERE len(grams) > 0
+), hs AS (
+  SELECT doc_id, UNNEST(shingles) AS h FROM sh
+), perms(i, a, b) AS (
+  SELECT * FROM (VALUES {perms}) t(i, a, b)
+), mins AS (
+  SELECT doc_id, i, MIN((a * (h % 2147483647) + b) % 2147483647) AS mh
+  FROM hs CROSS JOIN perms GROUP BY 1, 2
+), bandsig AS (
+  SELECT doc_id, i // 4 AS band_idx,
+         string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS sig
+  FROM mins GROUP BY 1, 2
+), cand_band AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bandsig a JOIN bandsig b
+    ON a.band_idx = b.band_idx AND a.sig = b.sig AND a.doc_id < b.doc_id
+), posts AS (
+  SELECT doc_id, UNNEST(list_slice(list_sort(shingles), 1, 16)) AS g
+  FROM sh
+), cold AS (
+  SELECT g FROM posts GROUP BY g HAVING COUNT(*) <= 64
+), cposts AS (
+  SELECT posts.doc_id, posts.g FROM posts JOIN cold USING (g)
+), cand_bk AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM cposts a JOIN cposts b ON a.g = b.g AND a.doc_id < b.doc_id
+), cand AS (
+  SELECT id_a, id_b FROM cand_band UNION SELECT id_a, id_b FROM cand_bk
+)
+SELECT id_a AS doc_a, id_b AS doc_b,
+       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS BIGINT) AS n_shared,
+       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         / len(sa.shingles) AS containment_a_in_b,
+       CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+         / len(sb.shingles) AS containment_b_in_a
+FROM cand
+JOIN sh sa ON id_a = sa.doc_id
+JOIN sh sb ON id_b = sb.doc_id
+WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / len(sa.shingles) >= {CONTAINMENT_THRESHOLD}
+   OR CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+        / len(sb.shingles) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+NGRAM_CONTAINMENT_BANDED_SQL = _containment_banded_sql()
 
 
 def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3506,8 +3589,9 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "ngram_containment_banded": QueryDef(
         ngram_containment_banded,
-        None,
-        "dedup: containment via banded-MinHash + bottom-k candidates (uncapped scale path)",
+        NGRAM_CONTAINMENT_BANDED_SQL,
+        "dedup: containment via banded-MinHash + bottom-k candidates "
+        "(uncapped scale path, portable hash family)",
     ),
     "quality_filter_funnel": QueryDef(
         quality_filter_funnel,
