@@ -125,6 +125,8 @@ HEADLINE = [
     # (DSIR-ordered budget, fully oracle-checked).
     "dsir_budget_selection",
     "llm_dataset_pipeline_dsir",
+    # r11: the streaming curation capstone (real foreachBatch execution).
+    "llm_dataset_pipeline_stream",
 ]
 
 # FROZEN published set (r9 verdict #6): through r9 the compact stdout line
@@ -161,6 +163,8 @@ COMPACT_PUBLISH = [
     # ⊇ prior-round guarantee.
     "dsir_budget_selection",
     "llm_dataset_pipeline_dsir",
+    # r11 addition (same tail rule): the streaming curation capstone
+    "llm_dataset_pipeline_stream",
 ]
 
 

@@ -2404,6 +2404,21 @@ def llm_dataset_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def llm_quality_expr(toks: Column) -> tuple[Column, Column]:
+    """The capstone quality rule as (n_toks, q) column expressions over a
+    token array: ≥20 tokens, stopword ratio < 0.5, type-token ratio
+    > 0.2. Single-sourced so the STREAMING curation gate
+    (``streaming/jobs.py::llm_curation_stream``) applies bit-identical
+    semantics per micro-batch — shared by call, not copy (the
+    ``_llm_pipe_base``/``_llm_pipe_finish`` discipline)."""
+    n_tok = F.size(toks)
+    sw_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(sw_arr, t)))
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n_tok
+    q = (n_tok >= 20) & (n_stop.cast("double") / n_tok < 0.5) & (ttr > 0.2)
+    return n_tok, q
+
+
 def _llm_pipe_base(spark: SparkSession, sf_dir: str):
     """Stages 1-2 of the capstone flow (quality flags + exact-dedup keep),
     shared verbatim between ``llm_dataset_pipeline`` and the near-dedup
@@ -2415,11 +2430,7 @@ def _llm_pipe_base(spark: SparkSession, sf_dir: str):
     )
     is_bench = F.pmod(F.col("doc_id"), F.lit(LLM_PIPE_BENCH_MOD)) == 0
     corpus = toked.filter(~is_bench)
-    n_tok = F.size("toks")
-    sw_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_stop = F.size(F.filter(F.col("toks"), lambda t: F.array_contains(sw_arr, t)))
-    ttr = F.size(F.array_distinct("toks")).cast("double") / n_tok
-    q = (n_tok >= 20) & (n_stop.cast("double") / n_tok < 0.5) & (ttr > 0.2)
+    n_tok, q = llm_quality_expr(F.col("toks"))
     flagged = corpus.select(
         "doc_id", "source", "text", "toks", n_tok.cast("long").alias("n_toks"), q.alias("q")
     )
@@ -2761,6 +2772,103 @@ SELECT source,
        CAST(SUM(CASE WHEN clean AND cum <= {LLM_PIPE_BUDGET} THEN n_toks ELSE 0 END) AS BIGINT) AS tokens_final
 FROM b GROUP BY source
 """
+
+
+def llm_dataset_pipeline_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone, STREAMING form (r11, r10 verdict #5): the incremental
+    curation pipeline a 100 TB ingest actually runs — quality gate →
+    incremental near-dedup against the persisted MinHash band index →
+    Bloom benchmark decontamination → per-source token budget — executed
+    HERE as a real Structured Streaming query
+    (``streaming/jobs.py::llm_curation_stream``, availableNow trigger
+    over the corpus parquet), then rolled up to the batch capstone's
+    per-source attrition schema from the stream's committed stats
+    epochs.
+
+    Stage semantics are the batch entries' own code shared by call:
+    ``llm_quality_expr`` (stage 1), ``incremental_neardup_filter`` /
+    ``minhash_band_index`` (stage 2 — the ``incremental_dedup_stream``
+    loop), ``_bloom_clean_docs`` (stage 3 — the ``decontaminate_stream``
+    gate), arrival-ordered budget (stage 4; the batch capstones, holding
+    the whole corpus, can order by global hash / DSIR weight instead).
+    Dedup here is banding-only (the incremental index probe) and
+    decontamination is Bloom-FPR-bounded, so counts are NOT expected to
+    hash-match the exact batch entry — the multi-epoch==single-epoch,
+    replay-idempotence, and stream==batch-reference parity contracts are
+    pinned in tests/test_streaming.py::test_llm_curation_stream*.
+
+    Rows-only entry (a streaming query with external table state has no
+    DuckDB dual). State/checkpoint live in a fresh mkdtemp per call —
+    the entry is self-contained and rerun-safe."""
+    import tempfile
+
+    from ..operators.bloom import bloom_build
+    from ..streaming.jobs import llm_curation_stream, read_epoch_union
+
+    d = load_table(spark, sf_dir, "documents")
+    is_bench = F.pmod(F.col("doc_id"), F.lit(LLM_PIPE_BENCH_MOD)) == 0
+    bench_grams = (
+        d.filter(is_bench)
+        .select(F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+        .select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(_word_ngrams(F.col("toks"), 5), lambda g: F.xxhash64(g))
+                )
+            ).alias("gram")
+        )
+        .distinct()
+    )
+    bits = spark.sparkContext.broadcast(bloom_build(bench_grams))
+
+    root = tempfile.mkdtemp(prefix="mlbwp_llm_stream_")
+    # the file streaming source requires a DIRECTORY; expose the single
+    # documents.parquet through a symlink in our scratch dir
+    import os
+
+    os.makedirs(f"{root}/in")
+    os.symlink(
+        os.path.abspath(f"{sf_dir}/documents.parquet"),
+        f"{root}/in/documents.parquet",
+    )
+    stream = (
+        spark.readStream.schema(
+            "doc_id long, text string, lang string, source string, n_chars long"
+        )
+        .parquet(f"{root}/in")
+        .filter(F.pmod(F.col("doc_id"), F.lit(LLM_PIPE_BENCH_MOD)) != 0)
+        .select("doc_id", "source", "text")
+    )
+    q = llm_curation_stream(
+        stream,
+        bits,
+        f"{root}/index",
+        f"{root}/stats",
+        f"{root}/kept",
+        f"{root}/ckpt",
+        budget_per_source=LLM_PIPE_BUDGET,
+    ).start()
+    q.awaitTermination()
+
+    stats = read_epoch_union(
+        spark,
+        f"{root}/stats",
+        "source string, n_input long, n_quality long, n_dedup long, "
+        "n_clean long, n_final long, tokens_final long",
+    )
+    return stats.groupBy("source").agg(
+        *[
+            F.sum(c).cast("long").alias(c)
+            for c in (
+                "n_input",
+                "n_quality",
+                "n_dedup",
+                "n_clean",
+                "n_final",
+                "tokens_final",
+            )
+        ]
+    )
 
 
 def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3561,6 +3669,12 @@ QUERIES: dict[str, QueryDef] = {
         llm_dataset_pipeline_dsir,
         LLM_PIPELINE_DSIR_SQL,
         "text: capstone v3 - budget spent in DSIR importance order, fully oracle-checked",
+    ),
+    "llm_dataset_pipeline_stream": QueryDef(
+        llm_dataset_pipeline_stream,
+        None,
+        "text: capstone, streaming form - one foreachBatch curation loop "
+        "(quality -> incremental near-dedup -> Bloom decontam -> budget)",
     ),
     "zipf_law_fit": QueryDef(
         zipf_law_fit,

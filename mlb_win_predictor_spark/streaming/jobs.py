@@ -23,6 +23,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window as W
 
 def _event_schema(ts_type: T.DataType) -> T.StructType:
     return T.StructType(
@@ -376,41 +377,209 @@ def decontaminate_stream(
     Output is per-epoch directories with overwrite (same replay-safe
     at-least-once layout as ``incremental_dedup_stream``); readers take
     ``read_epoch_union``."""
-    from ..operators.bloom import bloom_might_contain
-    from ..queries.text import _word_ngrams
 
     def gate(batch: DataFrame, epoch_id: int) -> None:
-        toks = F.split(F.trim(F.col("text")), r"\s+")
-        # inner explode + left join back, NOT explode_outer through the
-        # probe: Spark evaluates pandas UDFs in a separate
-        # ArrowEvalPython node over every row regardless of an enclosing
-        # when(), so a NULL gram from a sub-n-token doc would reach the
-        # UDF. Docs with no grams have nothing to probe and are kept via
-        # the left join's coalesce.
-        grams = batch.select("doc_id", toks.alias("toks")).select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        _word_ngrams(F.col("toks"), n), lambda g: F.xxhash64(g)
-                    )
-                )
-            ).alias("gram"),
-        )
-        hits = (
-            grams.filter(bloom_might_contain("gram", bits_broadcast))
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_hits"))
-        )
-        kept = (
-            batch.join(hits, "doc_id", "left")
-            .filter(F.coalesce(F.col("n_hits"), F.lit(0)) == 0)
-            .select("doc_id", "text")
-        )
+        kept = _bloom_clean_docs(batch, bits_broadcast, n).select("doc_id", "text")
         kept.write.mode("overwrite").parquet(f"{kept_path}/epoch={epoch_id}")
 
     return (
         new_docs.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+    )
+
+
+def _bloom_clean_docs(batch: DataFrame, bits_broadcast, n: int) -> DataFrame:
+    """The Bloom zero-hit keep filter, factored so ``decontaminate_stream``
+    and ``llm_curation_stream`` share it by call, not copy: returns the
+    rows of ``batch`` (all columns) whose word-n-gram set has ZERO
+    might-contain hits against the broadcast bitset.
+
+    Inner explode + left join back, NOT explode_outer through the probe:
+    Spark evaluates pandas UDFs in a separate ArrowEvalPython node over
+    every row regardless of an enclosing when(), so a NULL gram from a
+    sub-n-token doc would reach the UDF. Docs with no grams have nothing
+    to probe and are kept via the left join's coalesce."""
+    from ..operators.bloom import bloom_might_contain
+    from ..queries.text import _word_ngrams
+
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grams = batch.select("doc_id", toks.alias("toks")).select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(_word_ngrams(F.col("toks"), n), lambda g: F.xxhash64(g))
+            )
+        ).alias("gram"),
+    )
+    hits = (
+        grams.filter(bloom_might_contain("gram", bits_broadcast))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        batch.join(hits, "doc_id", "left")
+        .filter(F.coalesce(F.col("n_hits"), F.lit(0)) == 0)
+        .drop("n_hits")
+    )
+
+
+def llm_curation_stream(
+    new_docs: DataFrame,
+    bits_broadcast,
+    index_path: str,
+    stats_path: str,
+    kept_path: str,
+    checkpoint: str,
+    budget_per_source: int,
+    gram_n: int = 5,
+):
+    """The STREAMING LLM-curation capstone (r11, r10 verdict #5): the
+    incremental dual of the batch ``llm_dataset_pipeline*`` entries,
+    composed from the gates this module already ships one-by-one — ONE
+    foreachBatch body runs, in stage order per micro-batch:
+
+    1. **quality** — ``queries.text.llm_quality_expr`` (the batch
+       capstone's exact rule, shared by call);
+    2. **incremental near-dedup** — survivors are filtered against the
+       persisted MinHash band index of everything kept by EARLIER
+       epochs (``operators.dedup.incremental_neardup_filter``: batch
+       bands broadcast, corpus never re-shingled), then their bands are
+       appended so later batches dedup against them — exactly
+       ``incremental_dedup_stream``'s loop;
+    3. **Bloom decontamination** — ``_bloom_clean_docs`` zero-hit keep
+       against the broadcast bench-gram bitset (exactly
+       ``decontaminate_stream``'s gate);
+    4. **per-source token budget** — ARRIVAL-ordered spending: prior
+       epochs' spend (read from the committed stats table) + a
+       within-batch (source, doc_id)-ordered running sum; a doc is kept
+       while ``spent_before + cum ≤ budget``. Arrival order is the
+       production semantics — a 100 TB ingest stops admitting a source
+       when its budget fills — where the BATCH capstone, holding the
+       whole corpus, can afford a global md5-hash (v1) or DSIR (v3)
+       spending order; the stream==batch parity test therefore feeds
+       epochs in doc_id order so both orders coincide.
+
+    State lives in three parquet tables, not the streaming engine:
+    ``index_path`` (band index of dedup survivors), ``stats_path``
+    (per-epoch per-source attrition counters — its ``tokens_final`` IS
+    the budget state), ``kept_path`` (the curated corpus). All three are
+    per-epoch directories written with overwrite, and epoch N reads
+    committed state strictly BELOW N — foreachBatch's at-least-once
+    replay reproduces an epoch instead of double-counting it (the
+    ``incremental_dedup_stream`` layout; readers take
+    ``read_epoch_union``).
+
+    Per-batch shuffle shape: the quality gate is map-side; dedup
+    shuffles batch-size band rows (index side streams through a
+    broadcast hash join); the Bloom probe is map-side + a doc-grain
+    rollup; the budget is one window over batch-size rows per source.
+    Nothing scales with corpus size except the index scan, which a
+    bucketed-by-(band_idx, band_sig) layout prunes to matching buckets."""
+    from ..operators.dedup import incremental_neardup_filter, minhash_band_index
+    from ..queries.text import llm_quality_expr
+
+    def curate(batch: DataFrame, epoch_id: int) -> None:
+        spark = batch.sparkSession
+        toked = batch.select(
+            "doc_id",
+            "source",
+            "text",
+            F.split(F.trim(F.col("text")), r"\s+").alias("toks"),
+        )
+        n_tok, q = llm_quality_expr(F.col("toks"))
+        flagged = toked.select(
+            "doc_id", "source", "text", n_tok.cast("long").alias("n_toks"), q.alias("q")
+        )
+        quality = flagged.filter("q").drop("q")
+
+        index = read_epoch_union(
+            spark,
+            index_path,
+            "doc_id long, band_idx int, band_sig long",
+            below=epoch_id,
+        )
+        deduped = incremental_neardup_filter(index, quality).persist()
+        clean = _bloom_clean_docs(deduped, bits_broadcast, gram_n)
+
+        spent = read_epoch_union(
+            spark,
+            stats_path,
+            "source string, n_input long, n_quality long, n_dedup long, "
+            "n_clean long, n_final long, tokens_final long",
+            below=epoch_id,
+        )
+        prior = spent.groupBy("source").agg(
+            F.sum("tokens_final").alias("_spent_before")
+        )
+        wb = (
+            W.partitionBy("source")
+            .orderBy("doc_id")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        selected = (
+            clean.withColumn("_cum", F.sum("n_toks").over(wb))
+            .join(F.broadcast(prior), "source", "left")
+            .filter(
+                F.coalesce(F.col("_spent_before"), F.lit(0)) + F.col("_cum")
+                <= F.lit(int(budget_per_source))
+            )
+            .select("doc_id", "source", "text", "n_toks")
+            .persist()
+        )
+        try:
+            # per-epoch writes, all overwrite — idempotent on replay
+            minhash_band_index(deduped).write.mode("overwrite").parquet(
+                f"{index_path}/epoch={epoch_id}"
+            )
+            stats = (
+                flagged.groupBy("source")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_input"),
+                    F.sum(F.col("q").cast("long")).cast("long").alias("n_quality"),
+                )
+                .join(
+                    deduped.groupBy("source").agg(
+                        F.count(F.lit(1)).cast("long").alias("n_dedup")
+                    ),
+                    "source",
+                    "left",
+                )
+                .join(
+                    clean.groupBy("source").agg(
+                        F.count(F.lit(1)).cast("long").alias("n_clean")
+                    ),
+                    "source",
+                    "left",
+                )
+                .join(
+                    selected.groupBy("source").agg(
+                        F.count(F.lit(1)).cast("long").alias("n_final"),
+                        F.sum("n_toks").cast("long").alias("tokens_final"),
+                    ),
+                    "source",
+                    "left",
+                )
+                .select(
+                    "source",
+                    "n_input",
+                    "n_quality",
+                    *[
+                        F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
+                        for c in ("n_dedup", "n_clean", "n_final", "tokens_final")
+                    ],
+                )
+            )
+            stats.write.mode("overwrite").parquet(f"{stats_path}/epoch={epoch_id}")
+            selected.write.mode("overwrite").parquet(
+                f"{kept_path}/epoch={epoch_id}"
+            )
+        finally:
+            deduped.unpersist()
+            selected.unpersist()
+
+    return (
+        new_docs.writeStream.foreachBatch(curate)
         .option("checkpointLocation", checkpoint)
         .trigger(availableNow=True)
     )

@@ -831,3 +831,195 @@ def test_score_games_stream_exactly_once(spark, tmp_path):
     assert sorted((r.game_id, r.predicted_winner) for r in again) == sorted(
         (r.game_id, r.predicted_winner) for r in got
     )
+
+
+def _llm_curation_fixture_rows():
+    """9 docs exercising every stage of the streaming curation capstone:
+    quality failure (4), cross-epoch near-dup (7 of 3), in-batch near-dup
+    (9 of 8), benchmark contamination (5 quotes the bench sentence), and
+    a budget cut (6 is source A's third 24-token doc against budget 60).
+    Epoch split: docs 1-5 arrive first, 6-9 second (doc_id order, so the
+    single-batch reference spends budget identically)."""
+    bench_sent = "alpha beta gamma delta epsilon zeta eta theta"
+    uniq = lambda tag, k=24: " ".join(f"{tag}tok{j}" for j in range(k))  # noqa: E731
+    contaminated = " ".join(f"c5tok{j}" for j in range(16)) + " " + bench_sent
+    e0 = [
+        (1, "A", uniq("a1")),
+        (2, "A", uniq("a2")),
+        (3, "B", uniq("b1")),
+        (4, "B", "too short to pass the twenty token quality floor"),
+        (5, "B", contaminated),
+    ]
+    e1 = [
+        (6, "A", uniq("a3")),
+        (7, "B", uniq("b1")),  # cross-epoch duplicate of 3
+        (8, "B", uniq("b2")),
+        (9, "B", uniq("b2")),  # in-batch duplicate of 8
+    ]
+    return bench_sent, e0, e1
+
+
+def _llm_curation_bits(spark, bench_sent):
+    from mlb_win_predictor_spark.operators.bloom import bloom_build
+    from mlb_win_predictor_spark.queries.text import _word_ngrams
+
+    bench = (
+        spark.createDataFrame([(bench_sent,)], "text string")
+        .select(F.split(F.trim(F.col("text")), r"\s+").alias("toks"))
+        .select(
+            F.explode(
+                F.array_distinct(
+                    F.transform(_word_ngrams(F.col("toks"), 5), lambda g: F.xxhash64(g))
+                )
+            ).alias("gram")
+        )
+    )
+    return spark.sparkContext.broadcast(bloom_build(bench))
+
+
+def _run_llm_curation(spark, src, root, bits, budget=60):
+    from mlb_win_predictor_spark.streaming import llm_curation_stream
+
+    stream = spark.readStream.schema("doc_id long, source string, text string").parquet(
+        str(src)
+    )
+    q = llm_curation_stream(
+        stream,
+        bits,
+        f"{root}/index",
+        f"{root}/stats",
+        f"{root}/kept",
+        f"{root}/ckpt",
+        budget_per_source=budget,
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+
+def _llm_curation_rollup(spark, root):
+    from mlb_win_predictor_spark.streaming.jobs import read_epoch_union
+
+    stats = read_epoch_union(
+        spark,
+        f"{root}/stats",
+        "source string, n_input long, n_quality long, n_dedup long, "
+        "n_clean long, n_final long, tokens_final long",
+    )
+    cols = ["n_input", "n_quality", "n_dedup", "n_clean", "n_final", "tokens_final"]
+    return {
+        r.source: tuple(r[c] for c in cols)
+        for r in stats.groupBy("source")
+        .agg(*[F.sum(c).cast("long").alias(c) for c in cols])
+        .collect()
+    }
+
+
+def test_llm_curation_stream_stages_and_batch_parity(spark, tmp_path):
+    """The streaming curation capstone over two micro-batches: every
+    stage drops exactly its targets, and the final per-source rollup is
+    IDENTICAL to the batch reference (the same pipeline fed the whole
+    corpus as one batch — valid because the test feeds epochs in doc_id
+    order, making arrival order and the reference's doc_id order agree)."""
+    import pandas as pd
+
+    bench_sent, e0, e1 = _llm_curation_fixture_rows()
+    bits = _llm_curation_bits(spark, bench_sent)
+
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    cols = ["doc_id", "source", "text"]
+    pd.DataFrame(e0, columns=cols).to_parquet(str(src / "b0.parquet"), index=False)
+    pd.DataFrame(e1, columns=cols).to_parquet(str(src / "b1.parquet"), index=False)
+
+    # maxFilesPerTrigger=1 => two genuine epochs in doc_id order
+    from mlb_win_predictor_spark.streaming import llm_curation_stream
+
+    stream = (
+        spark.readStream.schema("doc_id long, source string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    root = str(tmp_path / "multi")
+    q = llm_curation_stream(
+        stream,
+        bits,
+        f"{root}/index",
+        f"{root}/stats",
+        f"{root}/kept",
+        f"{root}/ckpt",
+        budget_per_source=60,
+    ).start()
+    q.processAllAvailable()
+    q.stop()
+
+    from mlb_win_predictor_spark.streaming.jobs import read_epoch_union
+
+    kept = read_epoch_union(
+        spark, f"{root}/kept", "doc_id long, source string, text string, n_toks long"
+    )
+    ids = {r.doc_id for r in kept.collect()}
+    assert ids == {1, 2, 3, 8}, (
+        f"kept {ids}: 4 fails quality, 5 is contaminated, 7 is a cross-epoch "
+        "dup, 9 an in-batch dup, 6 exceeds source A's budget"
+    )
+
+    rollup = _llm_curation_rollup(spark, root)
+    assert rollup["A"] == (3, 3, 3, 3, 2, 48)
+    assert rollup["B"] == (6, 5, 3, 2, 2, 48)
+
+    # batch reference: same pipeline, whole corpus as ONE batch
+    batch_src = tmp_path / "docs_one"
+    batch_src.mkdir()
+    pd.DataFrame(e0 + e1, columns=cols).to_parquet(
+        str(batch_src / "all.parquet"), index=False
+    )
+    ref_root = str(tmp_path / "single")
+    _run_llm_curation(spark, batch_src, ref_root, bits)
+    assert _llm_curation_rollup(spark, ref_root) == rollup, (
+        "multi-epoch stream must equal the single-batch reference"
+    )
+
+
+def test_llm_curation_stream_replay_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: wiping the checkpoint re-delivers
+    both epochs, and the per-epoch overwrite layout must reproduce the
+    same tables instead of double-counting budget or re-appending docs."""
+    import pandas as pd
+
+    bench_sent, e0, e1 = _llm_curation_fixture_rows()
+    bits = _llm_curation_bits(spark, bench_sent)
+    src = tmp_path / "docs_in"
+    src.mkdir()
+    cols = ["doc_id", "source", "text"]
+    pd.DataFrame(e0, columns=cols).to_parquet(str(src / "b0.parquet"), index=False)
+    pd.DataFrame(e1, columns=cols).to_parquet(str(src / "b1.parquet"), index=False)
+
+    from mlb_win_predictor_spark.streaming import llm_curation_stream
+
+    root = str(tmp_path / "state")
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, source string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = llm_curation_stream(
+            stream,
+            bits,
+            f"{root}/index",
+            f"{root}/stats",
+            f"{root}/kept",
+            f"{root}/ckpt",
+            budget_per_source=60,
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    first = _llm_curation_rollup(spark, root)
+    index_rows = spark.read.parquet(f"{root}/index").count()
+    shutil.rmtree(f"{root}/ckpt")
+    run()
+    assert _llm_curation_rollup(spark, root) == first
+    assert spark.read.parquet(f"{root}/index").count() == index_rows
