@@ -84,7 +84,10 @@ def pagerank(
     4.2e-8, 5.5e-9 — geometric ~7.1× per step, so a tol at the output
     rounding quantum (1e-9) fires just past the 5-iteration cap; graphs
     that DO converge early stop paying scheduler latency, and the probe
-    is cheap enough to leave on.
+    is cheap enough to leave on. r11: the probe is STRICT per-step even
+    with ``checkpoint_every > 1`` — tol callers pay one extra
+    checkpoint per chain to pin the state one step before the chain's
+    end (see the loop comment); tol=None callers are untouched.
 
     SKEW (the 100 TB question, r7 verdict): the per-iteration
     ``groupBy("dst")`` on a power-law graph concentrates a hot node's
@@ -163,24 +166,43 @@ def pagerank(
         # ``checkpoint_every`` chains this many update steps into ONE
         # materialization job (r9: identical ranks, ~5% wall at sf0.1 —
         # half the scheduler/checkpoint round-trips; lineage depth stays
-        # bounded at ``checkpoint_every`` steps). The convergence probe
-        # then compares ranks ``checkpoint_every`` steps apart —
-        # conservative ONLY for monotone (non-oscillatory) convergence,
-        # where each step shrinks the delta so the chain delta upper-
-        # bounds the final per-step delta. An oscillatory mode (an
-        # eigenvalue near −damping) can cancel across 2 steps: x_{t+2}−x_t
-        # scales by |d²−1| while x_{t+1}−x_t scales by |d+1|, ~6-7×
-        # LOOSER at damping 0.85 (ADVICE r9). PageRank's Google matrix is
-        # primitive (all-positive damped jump), so its subdominant modes
-        # decay monotonically in practice and the one caller pins
-        # tol=1e-9, which never fires inside the 5-iteration cap; a
-        # caller with tol semantics that must bind per-step should set
-        # checkpoint_every=1.
+        # bounded at ``checkpoint_every`` steps).
         steps = min(max(checkpoint_every, 1), iterations - done)
-        new_ranks = ranks
-        for _ in range(steps):
-            new_ranks = step(new_ranks)
-        track_delta = tol is not None and prev_ck is not None
+        if tol is not None and steps > 1:
+            # STRICT per-step probe (r11, r10 verdict #7): with chaining,
+            # comparing ranks ``checkpoint_every`` steps apart was
+            # conservative only for monotone convergence — an
+            # oscillatory mode (eigenvalue near −damping) cancels across
+            # 2 steps, reading ~6-7× tighter than the true per-step
+            # delta at damping 0.85 (ADVICE r9). So when a tolerance is
+            # actually in force, materialize the chain MINUS its final
+            # step, then run the final step with the delta piggybacked
+            # against that checkpoint: the probe now measures a true
+            # single-step delta for ANY spectrum, no caveat. Cost: one
+            # extra checkpoint job per chain, paid ONLY by tol callers —
+            # the fixed-iteration contract (tol=None, what the catalog
+            # entry pins) keeps the single-job chain and its measured
+            # wall win. Carrying the pre-final-step ranks through the
+            # plan instead would duplicate the chain subtree (Spark 4
+            # AQE does not stage-reuse it — PLANS.md r10), i.e. ~2× the
+            # chain's work; the extra checkpoint is strictly cheaper.
+            mid = ranks
+            for _ in range(steps - 1):
+                mid = step(mid)
+            mid_ck = mid.localCheckpoint(eager=True)
+            if prev_ck is not None:
+                _release_checkpoint(prev_ck)
+            prev_ck = mid_ck
+            new_ranks = step(mid_ck)
+            track_delta = True
+        else:
+            # single-step chains: prev_ck is already exactly one step
+            # behind, so the piggybacked delta is per-step by
+            # construction
+            new_ranks = ranks
+            for _ in range(steps):
+                new_ranks = step(new_ranks)
+            track_delta = tol is not None and prev_ck is not None
         if track_delta:
             # PIGGYBACKED delta (r9): the previous checkpoint carries the
             # same hash(node) partitioning as the update's agg output, so

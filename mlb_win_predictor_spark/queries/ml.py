@@ -235,9 +235,10 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate passes the exact-Jaccard re-check. The MLlib operator
     (``minhash_neardup_pairs``) is retained as a recall cross-check in
     tests/test_operators.py (planted-near-dup recall + agreement with
-    the banded collision set)."""
+    the banded collision set). FULL oracle since r11 via the portable
+    hash family (``DEDUP_MINHASH_LSH_SQL``)."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_banded_pairs(docs, jaccard_threshold=0.1)
+    pairs = minhash_banded_pairs(docs, jaccard_threshold=0.1, hash_family="md5")
     return pairs.agg(
         F.count(F.lit(1)).alias("n_candidate_pairs"),
         F.min(F.lit(1.0) - F.col("jaccard")).alias("min_dist"),
@@ -278,13 +279,16 @@ def _minhash_perms_values_sql(num_hashes: int = 32, seed: int = 42) -> str:
     )
 
 
-# The Spark plan, op for op: distinct 3-gram shingles -> md5-60bit
-# shingle hash -> 32 affine min-hashes (mod 2^31-1) -> 8 bands of 4,
-# signature string '-'-joined in hash order -> band-collision pairs ->
-# exact-Jaccard re-check at 0.5 -> digest. Integer-exact until the one
-# final int/int division (IEEE-exact on both engines).
-DEDUP_MINHASH_BANDED_SQL = rf"""
-WITH toks AS (
+def _minhash_pairs_cte(threshold: float) -> str:
+    """The portable banded-MinHash pair set as a CTE chain
+    (toks → … → pairs) — the Spark plan op for op: distinct 3-gram
+    shingles -> md5-60bit shingle hash -> 32 affine min-hashes (mod
+    2^31-1) -> 8 bands of 4, signature string '-'-joined in hash order
+    -> band-collision pairs -> exact-Jaccard re-check at ``threshold``.
+    Integer-exact until the one final int/int division (IEEE-exact on
+    both engines). Single-sourced so the four SQL duals riding it
+    (banded/LSH digests, end-to-end, cluster profile) cannot drift."""
+    return rf"""toks AS (
   SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM documents
 ), g AS (
   SELECT doc_id,
@@ -303,7 +307,7 @@ WITH toks AS (
 ), hs AS (
   SELECT doc_id, UNNEST(shingles) AS h FROM sh
 ), perms(i, a, b) AS (
-  SELECT * FROM (VALUES {{PERMS}}) t(i, a, b)
+  SELECT * FROM (VALUES {_minhash_perms_values_sql()}) t(i, a, b)
 ), mins AS (
   SELECT doc_id, i, MIN((a * (h % 2147483647) + b) % 2147483647) AS mh
   FROM hs CROSS JOIN perms GROUP BY 1, 2
@@ -316,19 +320,75 @@ WITH toks AS (
   FROM bandsig a JOIN bandsig b
     ON a.band_idx = b.band_idx AND a.sig = b.sig AND a.doc_id < b.doc_id
 ), pairs AS (
-  SELECT id_a, id_b,
-         CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-         / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
-           AS jaccard
-  FROM cand
-  JOIN sh sa ON id_a = sa.doc_id
-  JOIN sh sb ON id_b = sb.doc_id
-)
+  SELECT * FROM (
+    SELECT id_a, id_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(sa.shingles, sb.shingles))) AS DOUBLE)
+             AS jaccard
+    FROM cand
+    JOIN sh sa ON id_a = sa.doc_id
+    JOIN sh sb ON id_b = sb.doc_id
+  ) WHERE jaccard >= {threshold}
+)"""
+
+
+DEDUP_MINHASH_BANDED_SQL = f"""
+WITH {_minhash_pairs_cte(0.5)}
 SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
        MIN(jaccard) AS min_jaccard,
        MAX(jaccard) AS max_jaccard
-FROM pairs WHERE jaccard >= 0.5
-""".replace("{PERMS}", _minhash_perms_values_sql())
+FROM pairs
+"""
+
+DEDUP_MINHASH_LSH_SQL = f"""
+WITH {_minhash_pairs_cte(0.1)}
+SELECT CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+       MIN(1.0 - jaccard) AS min_dist
+FROM pairs
+"""
+
+# min-label connected components via the same WITH RECURSIVE transitive
+# closure the exact-PPJoin sibling (dedup_exact_end_to_end) pins —
+# applied here to the PORTABLE banded-MinHash pair set, which closes the
+# r7 "banded MinHash is seeded-hash probabilistic, hence rows-only"
+# limitation for good.
+_COMPONENTS_CTE = """edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+), reach(node, comp) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.src, r.comp FROM edges e JOIN reach r ON e.dst = r.node
+), comp AS (
+  SELECT node, MIN(comp) AS component FROM reach GROUP BY node
+)"""
+
+DEDUP_END_TO_END_SQL = f"""
+WITH RECURSIVE {_minhash_pairs_cte(0.5)}, {_COMPONENTS_CTE}, removed AS (
+  SELECT node FROM comp WHERE node <> component
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept
+FROM documents d LEFT JOIN removed r ON d.doc_id = r.node
+WHERE r.node IS NULL
+GROUP BY lang
+"""
+
+DEDUP_CLUSTER_PROFILE_SQL = rf"""
+WITH RECURSIVE {_minhash_pairs_cte(0.5)}, {_COMPONENTS_CTE}, clustered AS (
+  SELECT comp.component, d.doc_id,
+         len(regexp_split_to_array(TRIM(d.text), '\s+')) AS n_toks
+  FROM comp JOIN documents d ON comp.node = d.doc_id
+), per_cluster AS (
+  SELECT component, COUNT(*) AS cluster_size, SUM(n_toks) AS cluster_tokens
+  FROM clustered GROUP BY 1
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_tokens) AS BIGINT) AS tokens_in_clusters,
+       CAST((cluster_size - 1) * COUNT(*) AS BIGINT) AS n_removable_docs
+FROM per_cluster GROUP BY cluster_size
+"""
 
 
 def dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -336,9 +396,16 @@ def dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate pairs → connected-component grouping → canonical-keep
     (min doc_id per cluster) → surviving-corpus digest per lang. The
     exact composition an LLM training-data pipeline runs before
-    training."""
+    training.
+
+    FULL value-hash oracle since r11: the pair stage runs the PORTABLE
+    hash family (md5-60bit shingles + affine-permutation MinHash) and
+    the iterative component grouping lands under the same
+    ``WITH RECURSIVE`` transitive closure ``dedup_exact_end_to_end``
+    pins — the r7 "banded MinHash is seeded-hash probabilistic, hence
+    rows-only" limitation is closed."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_banded_pairs(docs, jaccard_threshold=0.5)
+    pairs = minhash_banded_pairs(docs, jaccard_threshold=0.5, hash_family="md5")
     comps = components_from_pairs(pairs)
     kept = keep_canonical_per_component(docs, comps)
     return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
@@ -355,10 +422,11 @@ def dedup_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shuffle shape: the component join touches only clustered docs
     (near-dup density, not the corpus); the histogram aggregates
-    cluster-count rows. Iterative components ⇒ rows-only entry; the
-    mass-conservation invariants are pinned in tests/test_operators.py."""
+    cluster-count rows. FULL oracle since r11 (portable hash family +
+    recursive-CTE components); the mass-conservation invariants stay
+    pinned in tests/test_operators.py."""
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_banded_pairs(docs, jaccard_threshold=0.5)
+    pairs = minhash_banded_pairs(docs, jaccard_threshold=0.5, hash_family="md5")
     comps = components_from_pairs(pairs)
     toks = F.size(F.split(F.trim(F.col("text")), r"\s+"))
     clustered = docs.join(comps, docs["doc_id"] == comps["node"]).select(
@@ -873,19 +941,25 @@ QUERIES: dict[str, QueryDef] = {
         None,
         "text: fasttext-style hashed linear quality classifier (train+score summary)",
     ),
-    "dedup_minhash_lsh": QueryDef(dedup_minhash_lsh, None, "dedup: MinHash LSH"),
+    "dedup_minhash_lsh": QueryDef(
+        dedup_minhash_lsh,
+        DEDUP_MINHASH_LSH_SQL,
+        "dedup: MinHash LSH (portable hash family)",
+    ),
     "dedup_minhash_banded": QueryDef(
         dedup_minhash_banded,
         DEDUP_MINHASH_BANDED_SQL,
         "dedup: native banded MinHash (portable hash family)",
     ),
     "dedup_end_to_end": QueryDef(
-        dedup_end_to_end, None, "dedup: pairs→components→canonical keep"
+        dedup_end_to_end,
+        DEDUP_END_TO_END_SQL,
+        "dedup: pairs→components→canonical keep (portable hash family + recursive-CTE oracle)",
     ),
     "dedup_cluster_profile": QueryDef(
         dedup_cluster_profile,
-        None,
-        "dedup: duplicate-cluster size/mass histogram (prices the dedup)",
+        DEDUP_CLUSTER_PROFILE_SQL,
+        "dedup: duplicate-cluster size/mass histogram (prices the dedup; portable hash family)",
     ),
     "dedup_simhash": QueryDef(
         dedup_simhash, DEDUP_SIMHASH_SQL, "dedup: SimHash (portable hash family)"

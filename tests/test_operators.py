@@ -1601,6 +1601,35 @@ def test_pagerank_convergence_early_exit(spark):
         assert abs(v - 1.0 / 3.0) < 1e-12
 
 
+def test_pagerank_strict_probe_under_chaining(spark):
+    """r11 (r10 verdict #7): with ``tol`` set AND ``checkpoint_every>1``
+    the convergence probe must measure a true SINGLE-step delta (the
+    chain's final step against a pinned pre-final state), not a
+    chain-width delta. Pins: (a) the at-fixpoint 3-cycle still exits on
+    the first chain with ce=2; (b) an unfired tol (too tight to trigger
+    within the cap) leaves the ranks BIT-identical to the fixed-
+    iteration contract — the probe observes, never perturbs."""
+    from mlb_win_predictor_spark.operators.graph import pagerank
+
+    cycle = spark.createDataFrame([(0, 1), (1, 2), (2, 0)], "src long, dst long")
+    got = {
+        r.node: r.rank
+        for r in pagerank(cycle, iterations=50, tol=1e-12, checkpoint_every=2).collect()
+    }
+    for v in got.values():
+        assert abs(v - 1.0 / 3.0) < 1e-12
+
+    df = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (4, 2)], "src long, dst long"
+    )
+    fixed = {r.node: r.rank for r in pagerank(df, iterations=5).collect()}
+    probed = {
+        r.node: r.rank
+        for r in pagerank(df, iterations=5, tol=1e-300, checkpoint_every=2).collect()
+    }
+    assert fixed == probed
+
+
 def test_pagerank_chained_checkpoint_identical(spark):
     """``checkpoint_every=2`` chains two update steps into one
     materialization job (the r9 catalog-entry setting) — the ranks must
