@@ -587,13 +587,16 @@ def minhash_band_index(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """The persistable dedup index of a corpus: one (id, band_idx,
     band_sig) row per LSH band per doc — ``bands`` rows/doc, built in a
     single map-only pass (shingle → 32 min-hashes → band hashes; no
     shuffle). At 100 TB this table is written partitioned/bucketed by
     (band_idx, band_sig) so incremental probes touch only matching
-    buckets; text is never needed again."""
+    buckets; text is never needed again. ``band_sig`` is a long for the
+    xxhash64 default, a '-'-joined STRING for the portable md5 family
+    (r11) — probe and index must use the same family."""
     r = num_hashes // bands
     if bands * r != num_hashes:
         raise ValueError("num_hashes must be divisible by bands")
@@ -605,13 +608,25 @@ def minhash_band_index(
     docs = fan_out(docs)
     sh = ngram_shingles(docs.select(id_col, text_col), text_col, n).select(
         id_col,
-        F.transform("shingles", lambda s: F.xxhash64(s)).alias("shingles"),
+        F.transform("shingles", lambda s: _shingle_hash(s, hash_family)).alias(
+            "shingles"
+        ),
     )
-    mins = minhash_signatures(sh, id_col, num_hashes=num_hashes, seed=seed)
-    band_cols = [
-        F.xxhash64(F.array(*[F.col(f"h{j * r + k}") for k in range(r)]))
-        for j in range(bands)
-    ]
+    mins = minhash_signatures(
+        sh, id_col, num_hashes=num_hashes, seed=seed, hash_family=hash_family
+    )
+    if hash_family == "md5":
+        # portable family: '-'-joined STRING signature (band_sig string),
+        # re-derivable in DuckDB — see band_candidate_pairs
+        band_cols = [
+            F.concat_ws("-", *[F.col(f"h{j * r + k}") for k in range(r)])
+            for j in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.xxhash64(F.array(*[F.col(f"h{j * r + k}") for k in range(r)]))
+            for j in range(bands)
+        ]
     return mins.select(
         F.col(id_col),
         F.posexplode(F.array(*band_cols)).alias("band_idx", "band_sig"),
@@ -627,6 +642,7 @@ def incremental_neardup_filter(
     num_hashes: int = 32,
     bands: int = 8,
     seed: int = 42,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Incremental corpus dedup: keep only new docs that are near-dups of
     neither the already-indexed corpus nor an earlier (smaller-id) doc in
@@ -641,7 +657,14 @@ def incremental_neardup_filter(
     the streaming dedup job (streaming/jobs.py::incremental_dedup_batch).
     """
     new_bands = minhash_band_index(
-        new_docs, id_col, text_col, n=n, num_hashes=num_hashes, bands=bands, seed=seed
+        new_docs,
+        id_col,
+        text_col,
+        n=n,
+        num_hashes=num_hashes,
+        bands=bands,
+        seed=seed,
+        hash_family=hash_family,
     ).persist()
     try:
         probe = new_bands.select(

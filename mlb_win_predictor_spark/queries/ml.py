@@ -279,17 +279,14 @@ def _minhash_perms_values_sql(num_hashes: int = 32, seed: int = 42) -> str:
     )
 
 
-def _minhash_pairs_cte(threshold: float) -> str:
-    """The portable banded-MinHash pair set as a CTE chain
-    (toks → … → pairs) — the Spark plan op for op: distinct 3-gram
-    shingles -> md5-60bit shingle hash -> 32 affine min-hashes (mod
-    2^31-1) -> 8 bands of 4, signature string '-'-joined in hash order
-    -> band-collision pairs -> exact-Jaccard re-check at ``threshold``.
-    Integer-exact until the one final int/int division (IEEE-exact on
-    both engines). Single-sourced so the four SQL duals riding it
-    (banded/LSH digests, end-to-end, cluster profile) cannot drift."""
+def _minhash_bandsig_cte(source: str = "documents") -> str:
+    """CTE chain (toks → … → bandsig) for the portable MinHash band
+    signatures — the Spark plan op for op: distinct 3-gram shingles ->
+    md5-60bit shingle hash -> 32 affine min-hashes (mod 2^31-1) -> 8
+    bands of 4, signature string '-'-joined in hash order. Integer-exact
+    throughout. ``source`` is any relation exposing (doc_id, text)."""
     return rf"""toks AS (
-  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM documents
+  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM {source}
 ), g AS (
   SELECT doc_id,
          list_distinct(list_transform(
@@ -315,7 +312,19 @@ def _minhash_pairs_cte(threshold: float) -> str:
   SELECT doc_id, i // 4 AS band_idx,
          string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS sig
   FROM mins GROUP BY 1, 2
-), cand AS (
+)"""
+
+
+def _minhash_pairs_cte(threshold: float, source: str = "documents") -> str:
+    """``_minhash_bandsig_cte`` extended to the banded pair set
+    (… → cand → pairs): band-collision candidates + exact-Jaccard
+    re-check at ``threshold``, integer-exact until the one final int/int
+    division (IEEE-exact on both engines). ``source`` is any relation
+    exposing (doc_id, text) — the capstone v2 dual feeds the exact-dedup
+    survivors. Single-sourced so the five SQL duals riding it
+    (banded/LSH digests, end-to-end, cluster profile, capstone v2)
+    cannot drift."""
+    return rf"""{_minhash_bandsig_cte(source)}, cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bandsig a JOIN bandsig b
     ON a.band_idx = b.band_idx AND a.sig = b.sig AND a.doc_id < b.doc_id
@@ -390,6 +399,36 @@ SELECT cluster_size,
 FROM per_cluster GROUP BY cluster_size
 """
 
+# The incremental ingest-loop dual: band signatures for ALL docs once,
+# split corpus/batch on the doc_id gate, then the two collision sets
+# (batch vs corpus index, batch vs earlier-in-batch) and the left-anti
+# keep — op for op the Spark entry's plan.
+DEDUP_INCREMENTAL_SQL = f"""
+WITH {_minhash_bandsig_cte()}, corpus_sig AS (
+  SELECT * FROM bandsig WHERE doc_id % 10 <> 0
+), batch_sig AS (
+  SELECT * FROM bandsig WHERE doc_id % 10 = 0
+), hits AS (
+  SELECT DISTINCT b.doc_id
+  FROM batch_sig b JOIN corpus_sig c
+    ON b.band_idx = c.band_idx AND b.sig = c.sig
+  UNION
+  SELECT DISTINCT b.doc_id
+  FROM batch_sig b JOIN batch_sig a
+    ON a.band_idx = b.band_idx AND a.sig = b.sig AND a.doc_id < b.doc_id
+), batch AS (
+  SELECT * FROM documents WHERE doc_id % 10 = 0
+), kept AS (
+  SELECT batch.* FROM batch LEFT JOIN hits ON batch.doc_id = hits.doc_id
+  WHERE hits.doc_id IS NULL
+)
+SELECT CAST((SELECT COUNT(*) FROM batch) AS BIGINT) AS n_batch,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(COALESCE(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END), 0) AS BIGINT)
+         AS n_kept_en
+FROM kept
+"""
+
 
 def dedup_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dedup pipeline as one catalog entry: banded-MinHash
@@ -455,14 +494,21 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrive as a new batch and are filtered against the corpus band index
     + within-batch (operators.dedup.incremental_neardup_filter — index
     probed via broadcast of the batch bands, corpus text untouched).
-    Digest: batch size, kept, dropped."""
+    Digest: batch size, kept, dropped.
+
+    FULL value-hash oracle since r11: runs the PORTABLE hash family
+    (md5-60bit shingles + affine-permutation MinHash, band signatures
+    as '-'-joined strings), so the corpus index, the broadcast probe,
+    and the within-batch collision set are all re-derivable in DuckDB
+    (``DEDUP_INCREMENTAL_SQL``). xxhash64 stays the operator default —
+    the streaming ingest loop (incremental_dedup_stream) keeps it."""
     from ..operators.dedup import incremental_neardup_filter, minhash_band_index
 
     docs = load_table(spark, sf_dir, "documents")
     is_new = F.pmod(F.col("doc_id"), F.lit(10)) == 0
-    corpus_index = minhash_band_index(docs.filter(~is_new))
+    corpus_index = minhash_band_index(docs.filter(~is_new), hash_family="md5")
     batch = docs.filter(is_new)
-    kept = incremental_neardup_filter(corpus_index, batch)
+    kept = incremental_neardup_filter(corpus_index, batch, hash_family="md5")
     return batch.select(F.count(F.lit(1)).alias("n_batch")).join(
         F.broadcast(
             kept.select(
@@ -571,12 +617,52 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Johnson-Lindenstrauss 64->16 Rademacher projection as a map-only
     column expression (seeded sign matrix inlined as literals — zero
     shuffle, no Python). numpy parity + pairwise-distance preservation
-    are pytest-pinned; rows-only here (the seeded sign matrix is not
-    SQL-expressible in DuckDB)."""
+    are pytest-pinned.
+
+    FULL value-hash oracle since r11: the "seeded sign matrix is not
+    SQL-expressible" premise was wrong — the matrix is a driver-side
+    CONSTANT, so the SQL dual inlines the identical ±0.25 literals
+    (out_dim 16 ⇒ scale 1/√16 = 0.25, exactly representable; every
+    product is an exact binary scaling and the fixed left-to-right fold
+    is bit-identical on both engines). Output exploded to
+    (vec_id, dim, val) rows — value-hashable without array-equality
+    semantics; the projection itself is unchanged
+    (``operators.similarity.random_projection``)."""
     from ..operators.similarity import random_projection
 
     e = load_table(spark, sf_dir, "embeddings")
-    return random_projection(e, out_dim=16)
+    proj = random_projection(e, out_dim=16)
+    return proj.select(
+        "vec_id", F.posexplode("projected").alias("dim", "val")
+    ).withColumn("val", F.col("val").cast("double"))
+
+
+def _random_projection_sql(out_dim: int = 16, in_dim: int = 64, seed: int = 42) -> str:
+    """DuckDB dual of ``embedding_random_projection`` — regenerates the
+    SAME Rademacher matrix (np.random.default_rng(seed), the operator's
+    own recipe) and emits each output dim as an explicit left-to-right
+    fold, matching Spark's F.aggregate order term for term."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    signs = rng.integers(0, 2, size=(out_dim, in_dim)) * 2 - 1
+    scale = 1.0 / float(np.sqrt(out_dim))
+    exprs = []
+    for j in range(out_dim):
+        terms = " + ".join(
+            f"CAST(embedding[{i + 1}] AS DOUBLE) * {float(signs[j][i]) * scale!r}"
+            for i in range(in_dim)
+        )
+        exprs.append(f"CAST(CAST((0.0 + {terms}) AS FLOAT) AS DOUBLE)")
+    return f"""
+SELECT vec_id,
+       UNNEST(range({out_dim})) AS dim,
+       UNNEST([{", ".join(exprs)}]) AS val
+FROM embeddings
+"""
+
+
+EMBEDDING_RANDOM_PROJECTION_SQL = _random_projection_sql()
 
 
 def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -896,7 +982,9 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "similarity_ann_ivf": QueryDef(similarity_ann_ivf, None, "similarity: IVF ANN"),
     "embedding_random_projection": QueryDef(
-        embedding_random_projection, None, "similarity: JL random projection (map-only)"
+        embedding_random_projection,
+        EMBEDDING_RANDOM_PROJECTION_SQL,
+        "similarity: JL random projection (map-only, bit-exact oracle)",
     ),
     "similarity_ann_ivf_frozen": QueryDef(
         similarity_ann_ivf_frozen,
@@ -965,7 +1053,9 @@ QUERIES: dict[str, QueryDef] = {
         dedup_simhash, DEDUP_SIMHASH_SQL, "dedup: SimHash (portable hash family)"
     ),
     "dedup_incremental": QueryDef(
-        dedup_incremental, None, "dedup: incremental batch-vs-index"
+        dedup_incremental,
+        DEDUP_INCREMENTAL_SQL,
+        "dedup: incremental batch-vs-index (portable hash family)",
     ),
     "similarity_ann_lsh": QueryDef(similarity_ann_lsh, None, "similarity: LSH ANN"),
     "similarity_ann_pq": QueryDef(similarity_ann_pq, None, "similarity: PQ/ADC ANN"),

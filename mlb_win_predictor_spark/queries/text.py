@@ -2520,8 +2520,14 @@ def llm_dataset_pipeline_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``keep_canonical_per_component``'s rule expressed as a left-anti
     flag so the attrition rollup stays one plan.
 
-    Iterative connected components ⇒ rows-only catalog entry (no SQL
-    dual); tests/test_quality.py pins that a planted paraphrase the
+    FULL value-hash oracle since r11 (was rows-only through r10): the
+    near-dedup stage runs the PORTABLE hash family (md5-60bit shingles
+    + affine-permutation MinHash — ``operators.dedup`` r11) and the
+    iterative component grouping unrolls into the same
+    ``WITH RECURSIVE`` transitive closure ``dedup_exact_end_to_end``
+    pins, so all five stages land under the DuckDB hash. All THREE
+    batch capstones are now fully oracle-checked.
+    tests/test_quality.py still pins that a planted paraphrase the
     exact stage provably misses (different text bytes, Jaccard ≥ 0.5)
     is removed here, plus full stage monotonicity
     n_input ≥ n_quality ≥ n_dedup ≥ n_neardup ≥ n_clean ≥ n_final.
@@ -2535,7 +2541,7 @@ def llm_dataset_pipeline_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     toked, flagged, is_bench = _llm_pipe_base(spark, sf_dir)
     survivors = flagged.filter(F.col("keep")).select("doc_id", "text")
-    pairs = minhash_banded_pairs(survivors, jaccard_threshold=0.5)
+    pairs = minhash_banded_pairs(survivors, jaccard_threshold=0.5, hash_family="md5")
     comps = components_from_pairs(pairs)
     near_drop = comps.filter(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id"), F.lit(1).alias("near_dup")
@@ -2556,6 +2562,68 @@ _LLM_PIPE_GRAM5 = (
     "list_distinct(list_transform(range(1, len(w) - 3), "
     "i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]))"
 )
+
+def _llm_pipeline_neardup_sql() -> str:
+    """DuckDB dual of capstone v2 — v1's CTE chain with the portable
+    banded-MinHash pair set + recursive-CTE components spliced in as
+    stage 3 (the pair/component SQL is ``queries.ml``'s own builder,
+    shared by call, not copy)."""
+    from .ml import _COMPONENTS_CTE, _minhash_pairs_cte
+
+    pairs_cte = _minhash_pairs_cte(
+        0.5, source="(SELECT doc_id, text FROM k WHERE keep)"
+    )
+    return rf"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, source, text, regexp_split_to_array(TRIM(text), '\s+') AS w
+  FROM documents WHERE doc_id % {LLM_PIPE_BENCH_MOD} <> 0
+), qf AS (
+  SELECT doc_id, source, text, w, CAST(len(w) AS BIGINT) AS n_toks,
+         (len(w) >= 20
+          AND CAST(len(list_filter(w, x -> x IN {STOPWORDS})) AS DOUBLE) / len(w) < 0.5
+          AND CAST(len(list_distinct(w)) AS DOUBLE) / len(w) > 0.2) AS q
+  FROM base
+), k AS (
+  SELECT *, (q AND doc_id = MIN(CASE WHEN q THEN doc_id END)
+                         OVER (PARTITION BY text)) AS keep
+  FROM qf
+), {pairs_cte}, {_COMPONENTS_CTE}, near_drop AS (
+  SELECT node AS doc_id FROM comp WHERE node <> component
+), k2 AS (
+  SELECT k.*, (keep AND nd.doc_id IS NULL) AS nkeep
+  FROM k LEFT JOIN near_drop nd ON k.doc_id = nd.doc_id
+), bench AS (
+  SELECT DISTINCT UNNEST({_LLM_PIPE_GRAM5}) AS gram
+  FROM (SELECT regexp_split_to_array(TRIM(text), '\s+') AS w
+        FROM documents WHERE doc_id % {LLM_PIPE_BENCH_MOD} = 0)
+), kept_grams AS (
+  SELECT doc_id, UNNEST({_LLM_PIPE_GRAM5}) AS gram FROM k2 WHERE nkeep
+), dirty AS (
+  SELECT DISTINCT doc_id FROM kept_grams JOIN bench USING (gram)
+), c AS (
+  SELECT k2.*, (nkeep AND dirty.doc_id IS NULL) AS clean
+  FROM k2 LEFT JOIN dirty ON k2.doc_id = dirty.doc_id
+), b AS (
+  SELECT *, SUM(CASE WHEN clean THEN n_toks ELSE 0 END) OVER (
+              PARTITION BY source
+              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM c
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_input,
+       CAST(SUM(CASE WHEN q THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_dedup,
+       CAST(SUM(CASE WHEN nkeep THEN 1 ELSE 0 END) AS BIGINT) AS n_neardup,
+       CAST(SUM(CASE WHEN clean THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+       CAST(SUM(CASE WHEN clean AND cum <= {LLM_PIPE_BUDGET} THEN 1 ELSE 0 END) AS BIGINT) AS n_final,
+       CAST(SUM(CASE WHEN clean AND cum <= {LLM_PIPE_BUDGET} THEN n_toks ELSE 0 END) AS BIGINT) AS tokens_final
+FROM b GROUP BY source
+"""
+
+
+LLM_PIPELINE_NEARDUP_SQL = _llm_pipeline_neardup_sql()
+
 
 LLM_PIPELINE_SQL = rf"""
 WITH base AS (
@@ -3662,8 +3730,9 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "llm_dataset_pipeline_neardup": QueryDef(
         llm_dataset_pipeline_neardup,
-        None,
-        "text: capstone v2 with banded-MinHash near-dedup stage (components, canonical keep)",
+        LLM_PIPELINE_NEARDUP_SQL,
+        "text: capstone v2 with banded-MinHash near-dedup stage "
+        "(portable hash family + recursive-CTE components, fully oracle-checked)",
     ),
     "llm_dataset_pipeline_dsir": QueryDef(
         llm_dataset_pipeline_dsir,
