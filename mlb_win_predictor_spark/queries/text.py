@@ -602,45 +602,18 @@ def ngram_containment_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _containment_banded_sql() -> str:
-    """DuckDB dual of ``ngram_containment_banded`` — built by a helper so
-    the permutation VALUES list is single-sourced from
-    ``operators.dedup.minhash_perm_consts`` (drift-proof against the
-    Spark plan's constants)."""
-    from ..operators.dedup import minhash_perm_consts
+    """DuckDB dual of ``ngram_containment_banded`` — the shared
+    toks→…→bandsig chain is ``queries.ml._minhash_bandsig_cte`` (r11
+    review: a verbatim copy here would silently drift if the portable
+    family ever changes; single-sourced like the five ml.py duals),
+    extended with the bottom-k postings + hot-bucket cut + exact
+    containment re-check this entry adds on top of banding."""
+    from .ml import _minhash_bandsig_cte
 
-    perms = ", ".join(
-        f"({i}, {a}, {b})"
-        for i, (a, b) in enumerate(minhash_perm_consts(32, 42))
-    )
+    if NGRAM_N != 3:  # the shared bandsig chain is written at n=3
+        raise ValueError("NGRAM_CONTAINMENT_BANDED_SQL assumes NGRAM_N == 3")
     return rf"""
-WITH toks AS (
-  SELECT doc_id, regexp_split_to_array(TRIM(text), '\s+') AS toks FROM documents
-), g AS (
-  SELECT doc_id,
-         list_distinct(list_transform(
-           range(1, GREATEST(len(toks) - {NGRAM_N - 1}, 0) + 1),
-           i -> array_to_string(list_slice(toks, i, i + {NGRAM_N - 1}), ' ')
-         )) AS grams
-  FROM toks
-), sh AS (
-  SELECT doc_id,
-         list_transform(
-           grams,
-           s -> CAST(CAST(concat('0x', substr(md5(s), 1, 15)) AS UBIGINT) AS BIGINT)
-         ) AS shingles
-  FROM g WHERE len(grams) > 0
-), hs AS (
-  SELECT doc_id, UNNEST(shingles) AS h FROM sh
-), perms(i, a, b) AS (
-  SELECT * FROM (VALUES {perms}) t(i, a, b)
-), mins AS (
-  SELECT doc_id, i, MIN((a * (h % 2147483647) + b) % 2147483647) AS mh
-  FROM hs CROSS JOIN perms GROUP BY 1, 2
-), bandsig AS (
-  SELECT doc_id, i // 4 AS band_idx,
-         string_agg(CAST(mh AS VARCHAR), '-' ORDER BY i) AS sig
-  FROM mins GROUP BY 1, 2
-), cand_band AS (
+WITH {_minhash_bandsig_cte()}, cand_band AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bandsig a JOIN bandsig b
     ON a.band_idx = b.band_idx AND a.sig = b.sig AND a.doc_id < b.doc_id
@@ -2866,8 +2839,14 @@ def llm_dataset_pipeline_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned in tests/test_streaming.py::test_llm_curation_stream*.
 
     Rows-only entry (a streaming query with external table state has no
-    DuckDB dual). State/checkpoint live in a fresh mkdtemp per call —
-    the entry is self-contained and rerun-safe."""
+    DuckDB dual). State/checkpoint live in a fresh mkdtemp per call and
+    are DELETED before returning (r11 review: the kept-corpus copy +
+    band index + checkpoint are corpus-sized — leaking one per bench/
+    correctness invocation accumulates unboundedly in /tmp); the final
+    rollup is collected first (bounded: one row per source per epoch)
+    and returned as a local DataFrame, so nothing lazy outlives the
+    scratch dir."""
+    import shutil
     import tempfile
 
     from ..operators.bloom import bloom_build
@@ -2907,35 +2886,42 @@ def llm_dataset_pipeline_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.pmod(F.col("doc_id"), F.lit(LLM_PIPE_BENCH_MOD)) != 0)
         .select("doc_id", "source", "text")
     )
-    q = llm_curation_stream(
-        stream,
-        bits,
-        f"{root}/index",
-        f"{root}/stats",
-        f"{root}/kept",
-        f"{root}/ckpt",
-        budget_per_source=LLM_PIPE_BUDGET,
-    ).start()
-    q.awaitTermination()
-
-    stats = read_epoch_union(
-        spark,
-        f"{root}/stats",
-        "source string, n_input long, n_quality long, n_dedup long, "
-        "n_clean long, n_final long, tokens_final long",
+    counters = (
+        "n_input",
+        "n_quality",
+        "n_dedup",
+        "n_clean",
+        "n_final",
+        "tokens_clean",
+        "tokens_final",
     )
-    return stats.groupBy("source").agg(
-        *[
-            F.sum(c).cast("long").alias(c)
-            for c in (
-                "n_input",
-                "n_quality",
-                "n_dedup",
-                "n_clean",
-                "n_final",
-                "tokens_final",
-            )
-        ]
+    try:
+        q = llm_curation_stream(
+            stream,
+            bits,
+            f"{root}/index",
+            f"{root}/stats",
+            f"{root}/kept",
+            f"{root}/ckpt",
+            budget_per_source=LLM_PIPE_BUDGET,
+        ).start()
+        q.awaitTermination()
+
+        stats = read_epoch_union(
+            spark,
+            f"{root}/stats",
+            "source string, n_input long, n_quality long, n_dedup long, "
+            "n_clean long, n_final long, tokens_clean long, tokens_final long",
+        )
+        rows = (
+            stats.groupBy("source")
+            .agg(*[F.sum(c).cast("long").alias(c) for c in counters])
+            .collect()
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "source string, " + ", ".join(f"{c} long" for c in counters)
     )
 
 

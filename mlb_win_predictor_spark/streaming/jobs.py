@@ -450,19 +450,27 @@ def llm_curation_stream(
     3. **Bloom decontamination** — ``_bloom_clean_docs`` zero-hit keep
        against the broadcast bench-gram bitset (exactly
        ``decontaminate_stream``'s gate);
-    4. **per-source token budget** — ARRIVAL-ordered spending: prior
-       epochs' spend (read from the committed stats table) + a
-       within-batch (source, doc_id)-ordered running sum; a doc is kept
-       while ``spent_before + cum ≤ budget``. Arrival order is the
-       production semantics — a 100 TB ingest stops admitting a source
-       when its budget fills — where the BATCH capstone, holding the
-       whole corpus, can afford a global md5-hash (v1) or DSIR (v3)
-       spending order; the stream==batch parity test therefore feeds
-       epochs in doc_id order so both orders coincide.
+    4. **per-source token budget** — ARRIVAL-ordered spending with the
+       batch capstone's CHARGE rule: every clean doc charges its tokens
+       to its source's running total whether or not it is admitted, and
+       a doc is kept while ``charged_before + cum ≤ budget`` (the batch
+       entries' ``cum ≤ BUDGET`` window, split at epoch boundaries).
+       The cross-epoch state is therefore cumulative CLEAN tokens
+       (``tokens_clean`` in the stats table), NOT admitted tokens —
+       carrying only admitted tokens would un-charge every
+       budget-rejected doc at each epoch boundary, making the kept set
+       depend on micro-batch boundaries (caught by this round's
+       review; pinned by the over-budget-then-epoch-boundary case in
+       tests/test_streaming.py). Arrival order is the production
+       semantics — a 100 TB ingest stops admitting a source when its
+       budget fills — where the BATCH capstone, holding the whole
+       corpus, can afford a global md5-hash (v1) or DSIR (v3) spending
+       order; the stream==batch parity test therefore feeds epochs in
+       doc_id order so both orders coincide.
 
     State lives in three parquet tables, not the streaming engine:
     ``index_path`` (band index of dedup survivors), ``stats_path``
-    (per-epoch per-source attrition counters — its ``tokens_final`` IS
+    (per-epoch per-source attrition counters — its ``tokens_clean`` IS
     the budget state), ``kept_path`` (the curated corpus). All three are
     per-epoch directories written with overwrite, and epoch N reads
     committed state strictly BELOW N — foreachBatch's at-least-once
@@ -506,11 +514,13 @@ def llm_curation_stream(
             spark,
             stats_path,
             "source string, n_input long, n_quality long, n_dedup long, "
-            "n_clean long, n_final long, tokens_final long",
+            "n_clean long, n_final long, tokens_clean long, tokens_final long",
             below=epoch_id,
         )
+        # cumulative CLEAN tokens, not admitted tokens: the batch cum
+        # charges every clean doc, so the stream must too (see docstring)
         prior = spent.groupBy("source").agg(
-            F.sum("tokens_final").alias("_spent_before")
+            F.sum("tokens_clean").alias("_spent_before")
         )
         wb = (
             W.partitionBy("source")
@@ -547,7 +557,8 @@ def llm_curation_stream(
                 )
                 .join(
                     clean.groupBy("source").agg(
-                        F.count(F.lit(1)).cast("long").alias("n_clean")
+                        F.count(F.lit(1)).cast("long").alias("n_clean"),
+                        F.sum("n_toks").cast("long").alias("tokens_clean"),
                     ),
                     "source",
                     "left",
@@ -566,7 +577,13 @@ def llm_curation_stream(
                     "n_quality",
                     *[
                         F.coalesce(F.col(c), F.lit(0)).cast("long").alias(c)
-                        for c in ("n_dedup", "n_clean", "n_final", "tokens_final")
+                        for c in (
+                            "n_dedup",
+                            "n_clean",
+                            "n_final",
+                            "tokens_clean",
+                            "tokens_final",
+                        )
                     ],
                 )
             )

@@ -842,19 +842,26 @@ def _llm_curation_fixture_rows():
     single-batch reference spends budget identically)."""
     bench_sent = "alpha beta gamma delta epsilon zeta eta theta"
     uniq = lambda tag, k=24: " ".join(f"{tag}tok{j}" for j in range(k))  # noqa: E731
-    contaminated = " ".join(f"c5tok{j}" for j in range(16)) + " " + bench_sent
+    contaminated = " ".join(f"x5tok{j}" for j in range(16)) + " " + bench_sent
     e0 = [
         (1, "A", uniq("a1")),
         (2, "A", uniq("a2")),
         (3, "B", uniq("b1")),
         (4, "B", "too short to pass the twenty token quality floor"),
         (5, "B", contaminated),
+        # source C pins the cross-epoch CHARGE rule (r11 review): c2 is
+        # clean but over budget (cum 24+48=72 > 60) — it must still
+        # charge its tokens, so c3 in the NEXT epoch sees 72 spent and
+        # is rejected; carrying only admitted tokens would let c3 in.
+        (10, "C", uniq("c1")),
+        (11, "C", uniq("c2", 48)),
     ]
     e1 = [
         (6, "A", uniq("a3")),
         (7, "B", uniq("b1")),  # cross-epoch duplicate of 3
         (8, "B", uniq("b2")),
         (9, "B", uniq("b2")),  # in-batch duplicate of 8
+        (12, "C", uniq("c3")),  # charged-out: prior clean 72 > budget
     ]
     return bench_sent, e0, e1
 
@@ -903,9 +910,17 @@ def _llm_curation_rollup(spark, root):
         spark,
         f"{root}/stats",
         "source string, n_input long, n_quality long, n_dedup long, "
-        "n_clean long, n_final long, tokens_final long",
+        "n_clean long, n_final long, tokens_clean long, tokens_final long",
     )
-    cols = ["n_input", "n_quality", "n_dedup", "n_clean", "n_final", "tokens_final"]
+    cols = [
+        "n_input",
+        "n_quality",
+        "n_dedup",
+        "n_clean",
+        "n_final",
+        "tokens_clean",
+        "tokens_final",
+    ]
     return {
         r.source: tuple(r[c] for c in cols)
         for r in stats.groupBy("source")
@@ -958,14 +973,17 @@ def test_llm_curation_stream_stages_and_batch_parity(spark, tmp_path):
         spark, f"{root}/kept", "doc_id long, source string, text string, n_toks long"
     )
     ids = {r.doc_id for r in kept.collect()}
-    assert ids == {1, 2, 3, 8}, (
+    assert ids == {1, 2, 3, 8, 10}, (
         f"kept {ids}: 4 fails quality, 5 is contaminated, 7 is a cross-epoch "
-        "dup, 9 an in-batch dup, 6 exceeds source A's budget"
+        "dup, 9 an in-batch dup, 6 exceeds source A's budget, 11 exceeds "
+        "C's within its epoch and 12 is charged out by 11 ACROSS the "
+        "epoch boundary"
     )
 
     rollup = _llm_curation_rollup(spark, root)
-    assert rollup["A"] == (3, 3, 3, 3, 2, 48)
-    assert rollup["B"] == (6, 5, 3, 2, 2, 48)
+    assert rollup["A"] == (3, 3, 3, 3, 2, 72, 48)
+    assert rollup["B"] == (6, 5, 3, 2, 2, 48, 48)
+    assert rollup["C"] == (3, 3, 3, 3, 1, 96, 24)
 
     # batch reference: same pipeline, whole corpus as ONE batch
     batch_src = tmp_path / "docs_one"
