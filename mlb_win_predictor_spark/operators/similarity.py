@@ -562,6 +562,75 @@ SEMANTIC_DEDUP_TRAIN_PER_CELL = 64  # training sample vectors per cell
 SEMANTIC_DEDUP_FLAT_ASSIGN_MAX_K = 64  # above this, assign via coarse level
 
 
+def _lloyd_fit_vec(X, k: int, rng, iters: int = 25):
+    """``_lloyd_fit`` with a bincount/add.at centroid update — the per-j
+    boolean-mask update is k python passes per iteration, the r11 sf10
+    profile's driver hotspot once k ∝ corpus (800 masks × 25 iters over
+    a 51k-row sample). Centroid VALUES differ from ``_lloyd_fit`` in the
+    last ulps (np.add.at folds in row order; per-mask mean folds per
+    cluster), so this variant is used only by the two-level fit path —
+    the flat small-k path keeps ``_lloyd_fit`` and its exact values."""
+    import numpy as np
+
+    n = len(X)
+    k = min(k, n)
+    cent = X[rng.integers(n)][None, :]
+    d2 = ((X - cent[0]) ** 2).sum(-1)
+    while cent.shape[0] < k:
+        tot = d2.sum()
+        probs = d2 / tot if tot > 0 else np.full(n, 1.0 / n)
+        new_c = X[rng.choice(n, p=probs)]
+        cent = np.vstack([cent, new_c])
+        d2 = np.minimum(d2, ((X - new_c) ** 2).sum(-1))
+    x_sq = (X * X).sum(1)[:, None]
+    for _ in range(iters):
+        assign = (x_sq - 2.0 * (X @ cent.T) + (cent * cent).sum(1)[None, :]).argmin(1)
+        sums = np.zeros_like(cent)
+        np.add.at(sums, assign, X)
+        counts = np.bincount(assign, minlength=len(cent)).astype(np.float64)
+        new = np.where(counts[:, None] > 0, sums / np.maximum(counts, 1.0)[:, None], cent)
+        if np.allclose(new, cent):
+            break
+        cent = new
+    return cent
+
+
+def _two_level_fit(X, k: int, rng, iters: int = 25):
+    """Hierarchical seeded Lloyd for k ∝ corpus (r11 — the sf1→sf10
+    decade measured the FLAT fit at 13.4× wall for 10× data: with the
+    SemDeDup k ∝ n discipline AND a k-proportional training sample, flat
+    Lloyd is train_n × k ∝ n² on a single driver core). Fit √k coarse
+    centroids on the whole sample, partition the sample once, then fit
+    each nonempty group's share of fine centroids on its own members —
+    distance work drops to ~2·train_n·√k per iteration, and the fit
+    natively produces the (coarse, members) structure the two-level
+    ASSIGN path already consumes (no post-hoc re-clustering of
+    centroids). Deterministic: groups are processed in coarse order and
+    ``rng`` is consumed sequentially."""
+    import numpy as np
+
+    k = min(k, len(X))
+    k2 = int(np.ceil(np.sqrt(k)))
+    coarse = _lloyd_fit_vec(X, k2, rng, iters)
+    owner = (
+        (X * X).sum(1)[:, None] - 2.0 * (X @ coarse.T) + (coarse * coarse).sum(1)[None, :]
+    ).argmin(1)
+    per = len(X) / k  # target sample points per fine cell
+    cents, members, coarse_keep = [], [], []
+    base = 0
+    for g in range(len(coarse)):
+        Xg = X[owner == g]
+        if len(Xg) == 0:
+            continue
+        kg = min(len(Xg), max(1, int(round(len(Xg) / per))))
+        fine = _lloyd_fit_vec(Xg, kg, rng, iters)
+        members.append(np.arange(base, base + len(fine)))
+        base += len(fine)
+        cents.append(fine)
+        coarse_keep.append(g)
+    return np.vstack(cents), coarse[np.array(coarse_keep)], members
+
+
 def _lloyd_fit(X, k: int, rng, iters: int = 25):
     """Seeded numpy Lloyd with kmeans++-style D²-weighted init, O(n·k·d)
     throughout: the init keeps a RUNNING min-distance array (distance to
@@ -630,12 +699,15 @@ def semantic_dedup(
     driver-side with seeded numpy Lloyd on a bounded hash-ordered
     sample (``SEMANTIC_DEDUP_TRAIN_PER_CELL`` vectors per cell), then
     ONE broadcast + one map-only Arrow pass assigns the corpus. Above
-    ``SEMANTIC_DEDUP_FLAT_ASSIGN_MAX_K`` cells the assign is TWO-LEVEL
-    (centroids themselves clustered into √k coarse groups; each vector
-    argmins over √k coarse then ~√k fine members), so per-vector assign
-    cost grows as √k, not k — the same coarse-quantizer shape FAISS
-    IVF uses, and it is the path the sf1 sweep actually executes
-    (k=80 there).
+    ``SEMANTIC_DEDUP_FLAT_ASSIGN_MAX_K`` cells BOTH the fit and the
+    assign are TWO-LEVEL (r11: ``_two_level_fit`` — √k coarse centroids
+    on the whole sample, each group's fine share on its own members;
+    flat Lloyd at k ∝ n with a k-proportional sample is train_n × k ∝
+    n² on one driver core, measured 13.4× wall for 10× data at the
+    sf1→sf10 decade). Each vector then argmins over √k coarse plus ~√k
+    fine members, so per-vector assign cost grows as √k, not k — the
+    same coarse-quantizer shape FAISS IVF uses, and it is the path the
+    sf1 sweep actually executes (k=80 there).
 
     Returns the surviving rows of ``corpus`` (original schema).
     """
@@ -656,26 +728,21 @@ def semantic_dedup(
     )
     X = np.array([list(r.vec) for r in sample], dtype=np.float64)
     rng = np.random.default_rng(seed)
-    cent = _lloyd_fit(X, n_cells, rng)
-    k = len(cent)
-
-    # --- coarse level for large k: cluster the centroids, drop coarse
-    # groups that own no fine centroid (their members re-home to the
-    # next-nearest non-empty group)
-    two_level = k > SEMANTIC_DEDUP_FLAT_ASSIGN_MAX_K
+    # --- large k: the TWO-LEVEL fit (r11) — fit √k coarse on the whole
+    # sample, then each group's share of fine centroids on its own
+    # members. The flat fit re-clustered-for-assign shape was train_n×k
+    # distance work on one driver core, and with both train_n and k ∝ n
+    # that's quadratic (the sf1→sf10 decade measured it at 13.4× wall
+    # for 10× data); two-level is ~2·train_n·√k and hands the assign
+    # path its (coarse, members) structure directly.
+    k_req = min(n_cells, len(X))
+    two_level = k_req > SEMANTIC_DEDUP_FLAT_ASSIGN_MAX_K
     if two_level:
-        k2 = int(np.ceil(np.sqrt(k)))
-        coarse = _lloyd_fit(cent, k2, rng)
-        owner = (
-            (cent * cent).sum(1)[:, None]
-            - 2.0 * (cent @ coarse.T)
-            + (coarse * coarse).sum(1)[None, :]
-        ).argmin(1)
-        nonempty = np.unique(owner)
-        coarse = coarse[nonempty]
-        members = [np.where(owner == g)[0] for g in nonempty]
+        cent, coarse, members = _two_level_fit(X, k_req, rng)
     else:
+        cent = _lloyd_fit(X, k_req, rng)
         coarse, members = None, None
+    k = len(cent)
 
     spark = corpus.sparkSession
     bc = spark.sparkContext.broadcast((cent, coarse, members))

@@ -22,6 +22,11 @@ from mlb_win_predictor_spark.session import get_spark  # noqa: E402
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # r11 (r10 verdict #6): the artifact carries BOTH the sf0.1 frontier
+    # (whose recalls the RUN_SLOW test reproduces — its json block stays
+    # FIRST) and the sf1 frontier over the sharded 10x corpus, so the
+    # recall/latency trade is witnessed at two data scales.
+    sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/.bench/sf1")
     spark = get_spark(app_name="ann-frontier")
     try:
         load = [round(x, 2) for x in os.getloadavg()]
@@ -67,6 +72,32 @@ def main() -> None:
         "```",
         "",
     ]
+    if os.path.isdir(sf1_dir):
+        rows1 = ann_frontier(spark, sf1_dir)
+        n1 = spark.read.parquet(os.path.join(sf1_dir, "embeddings.parquet")).count()
+        lines += [
+            f"## sf1 frontier ({n1} vectors, same {N_QUERIES} queries)",
+            "",
+            f"Same harness over `{sf1_dir}/embeddings.parquet` (the sharded",
+            "10x corpus from scripts/make_scale.py). Recalls at sf1 are",
+            "deterministic too but NOT pinned by the RUN_SLOW test — the",
+            "sharded corpus is generated, not driver-shipped; the json block",
+            "above (sf0.1) remains the reproduction contract.",
+            "",
+            "| operator | params | recall@10 | sec (sf1) |",
+            "|---|---|---|---|",
+        ]
+        for r in rows1:
+            lines.append(
+                f"| {r['op']} | {r['params']} | {r['recall']:.4f} | {r['sec']:.3f} |"
+            )
+        lines += [
+            "",
+            "```json",
+            json.dumps(rows1, indent=1),
+            "```",
+            "",
+        ]
     with open(out, "w") as fh:
         fh.write("\n".join(lines))
     print(f"wrote {out}")
