@@ -214,14 +214,26 @@ def wait_for_quiet_box() -> bool:
     """Spin-wait until 1-min loadavg < LOAD_MAX and 15-min loadavg <
     LOAD15_MAX; True iff quiet."""
     start = time.monotonic()
+    hot1_since: float | None = None
     while True:
         load = _loadavg()
         if not load or (load[0] < LOAD_MAX and load[2] < LOAD15_MAX):
             return True
-        # if only the slow-decaying 15-min average is failing, allow its
-        # own (longer) horizon; a hot 1-min average keeps the short one
-        limit = LOAD15_WAIT_SEC if load[0] < LOAD_MAX else LOAD_WAIT_SEC
-        if time.monotonic() - start >= limit:
+        # Two INDEPENDENT horizons (r12, from r11 advice): the 1-min
+        # condition aborts only after being hot CONTINUOUSLY for
+        # LOAD_WAIT_SEC — a transient 1-min spike while legitimately
+        # waiting out the 15-min decay must not collapse the longer
+        # horizon back to 300 s; the 15-min condition has its own
+        # LOAD15_WAIT_SEC deadline from the start of the wait.
+        now = time.monotonic()
+        if load[0] >= LOAD_MAX:
+            if hot1_since is None:
+                hot1_since = now
+        else:
+            hot1_since = None
+        hot1_for = (now - hot1_since) if hot1_since is not None else 0.0
+        if hot1_for >= LOAD_WAIT_SEC or now - start >= LOAD15_WAIT_SEC:
+            limit = LOAD_WAIT_SEC if hot1_for >= LOAD_WAIT_SEC else LOAD15_WAIT_SEC
             print(
                 f"WARNING: box still loaded (1/15-min loadavg {load[0]}/"
                 f"{load[2]}) after {int(limit)}s wait; timings may be "

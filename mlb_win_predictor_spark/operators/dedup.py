@@ -43,10 +43,18 @@ def minhash_perm_consts(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     family — a pure integer formula (no RNG) so the DuckDB oracle SQL
     inlines the IDENTICAL constants via an f-string (``a_i`` forced
     nonzero; constants need only be fixed and well-spread, not
-    cryptographic)."""
+    cryptographic).
+
+    ``a_i`` is spread MULTIPLICATIVELY (r12): the original
+    ``seed·1000003 + 2i + 1`` family produced near-consecutive odd
+    ``a_i`` — permutation i differed from permutation 0 by an additive
+    drift ``i·(2h + 104729) mod p``, a strongly correlated family whose
+    min-hash estimates are not independent across i. Multiplying by
+    Knuth's 2654435761 per index decorrelates the slopes; the md5-family
+    planted-recall test (tests/test_operators.py) gates it."""
     return [
         (
-            ((seed * 1000003 + 2 * i + 1) % MINHASH_P) or 1,
+            ((seed * 1000003) * (i + 1) * 2654435761) % MINHASH_P or 1,
             (seed * 7777777 + i * 104729) % MINHASH_P,
         )
         for i in range(num_hashes)
@@ -721,7 +729,14 @@ def simhash_buckets(
     cheap JVM hash per token; md5 is ~an order costlier per byte).
     """
     n_bits = 60 if hash_family == "md5" else 63
-    toks = F.array_distinct(F.split(F.trim(F.col(text_col)), r"\s+"))
+    # COALESCE(text,'') — NULL text must behave like empty text on BOTH
+    # engines: without it Spark's aggregate-over-NULL-array folds a NULL
+    # doc to simhash=0/band=0 (counted) while the DuckDB dual's UNNEST
+    # of a NULL token list emits zero rows (dropped) — a latent
+    # n_docs_total mismatch (r11 ADVICE).
+    toks = F.array_distinct(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+")
+    )
     hashes = F.transform(toks, lambda t: _token_hash(t, hash_family))
     bit_of = lambda h, b: F.when(  # noqa: E731
         h.bitwiseAND(F.pow(F.lit(2.0), b).cast("long")) != 0, F.lit(1)

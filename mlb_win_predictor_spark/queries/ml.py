@@ -546,7 +546,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # range(60) is the row-form of Spark's per-bit transform() lambda.
 DEDUP_SIMHASH_SQL = r"""
 WITH toks AS (
-  SELECT doc_id, UNNEST(list_distinct(regexp_split_to_array(TRIM(text), '\s+'))) AS t
+  -- COALESCE mirrors the Spark side: NULL text behaves like '' on both
+  -- engines (UNNEST of a NULL list would drop the doc here while Spark
+  -- folds it to simhash=0 — r11 ADVICE).
+  SELECT doc_id,
+         UNNEST(list_distinct(regexp_split_to_array(TRIM(COALESCE(text, '')), '\s+'))) AS t
   FROM documents
 ), h AS (
   SELECT doc_id,

@@ -268,10 +268,17 @@ def multimodal_sniff_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain text bytes — and the sniffer classifies + extracts
     dims/rate from the first 4 KiB WITHOUT decoding. The per-format
     routing report (counts + dimension sums) is what a media lake
-    consults before spending decode cycles. Map-only; rows-only entry
-    (binary container construction has no SQL dual); per-format
-    correctness incl. truncation totality pinned in
-    tests/test_operators.py."""
+    consults before spending decode cycles. Map-only.
+
+    FULL DuckDB oracle (r12 promotion): every header field the sniffer
+    must extract is an analytically-known function of doc_id (the
+    payload generator keys kind/dims/rate on ``doc_id`` alone —
+    ``w = 2 + id%9``, ``h = 3 + id%7``, rate 8000/16000 by parity), so
+    ``SNIFF_HEADERS_SQL`` derives the expected routing report from
+    first principles and the hash compare verifies the REAL
+    encode→sniff loop (PNG IHDR, JPEG SOF walk, GIF screen descriptor,
+    RIFF fmt chunk) recovers exactly those values. Truncation totality
+    stays pinned in tests/test_operators.py."""
     import struct
 
     from ..operators.multimodal import png_encode, sniff_media, wav_encode

@@ -2919,6 +2919,10 @@ def llm_dataset_pipeline_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         )
     finally:
+        # release the Bloom bitset broadcast (r11 advice: the scratch
+        # dirs were deleted to avoid per-invocation accumulation, but
+        # each call still leaked one broadcast on driver + executors)
+        bits.unpersist(blocking=False)
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         rows, "source string, " + ", ".join(f"{c} long" for c in counters)

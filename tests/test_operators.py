@@ -90,6 +90,42 @@ def test_minhash_banded_finds_planted_near_dups(spark, docs):
     assert all(r.jaccard >= 0.5 for r in rows)
 
 
+def test_minhash_banded_md5_family_recall(spark, docs):
+    """Planted-recall gate for the PORTABLE md5 + affine-permutation
+    family — the one the oracle catalog entries actually execute. The
+    xxhash64 test above does not cover it, and the affine family's
+    inter-permutation independence is a real risk (r12: the original
+    near-consecutive a_i constants were a strongly correlated family;
+    minhash_perm_consts now spreads them multiplicatively and THIS test
+    gates the result)."""
+    base = docs.filter(F.col("doc_id") < 20).select("doc_id", "text")
+    clones = base.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" extraword")).alias("text"),
+    )
+    corpus = base.unionByName(clones)
+    pairs = minhash_banded_pairs(corpus, jaccard_threshold=0.5, hash_family="md5")
+    rows = pairs.collect()
+    found = {(r.id_a, r.id_b) for r in rows}
+    planted = {(i, i + 100000) for i in range(20)}
+    recall = len(found & planted) / len(planted)
+    assert recall >= 0.9, f"md5-family recall {recall} ({len(found)} pairs)"
+    assert all(r.jaccard >= 0.5 for r in rows)
+    # the permutation slopes must be pairwise distinct and well-spread —
+    # a regression guard on the constant formula itself
+    from mlb_win_predictor_spark.operators.dedup import (
+        MINHASH_P,
+        minhash_perm_consts,
+    )
+
+    consts = minhash_perm_consts(32, 42)
+    slopes = [a for a, _ in consts]
+    assert len(set(slopes)) == 32
+    gaps = sorted(abs(x - y) for x, y in zip(sorted(slopes), sorted(slopes)[1:]))
+    assert gaps[0] > 1000, f"near-consecutive a_i reintroduced: min gap {gaps[0]}"
+    assert all(0 < a < MINHASH_P for a in slopes)
+
+
 def test_minhash_banded_pairs_match_exact_jaccard(spark, docs):
     """Banded candidates that survive the re-check must agree with the
     exact pairwise-join Jaccard (operator-vs-oracle, bounded set)."""
