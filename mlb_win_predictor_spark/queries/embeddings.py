@@ -603,15 +603,17 @@ WHERE (ROUND(dot / SQRT(na.nrm * nb.nrm) * 1e6) / 1e6) >= {NEARDUP_MIN_COS}
 """
 
 
-def nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NearestCentroid (SURVEY §2.8 M5 — no MLlib equivalent, custom
-    DataFrame composition): per-label centroids via posexplode + avg,
-    re-assembled to arrays, broadcast, then argmin squared-L2 assignment
-    for vec_id < {cap}. The reference fits sklearn NearestCentroid at
-    modeling/modeling.ipynb:537 (cell 31)."""
-    e = load_table(spark, sf_dir, "embeddings")
+def rounded_centroids(e: DataFrame) -> DataFrame:
+    """Per-label element-wise centroid means over ``embeddings``,
+    6dp-rounded at the CENTROID grain — the cross-engine quantum shared
+    by the Spark plans and the DuckDB duals (``CENTROID_SQL``,
+    ``ML_NEAREST_CENTROID_SQL``): with identical rounded centroids on
+    both engines, only the (6dp-rounded) distance folds can differ, and
+    those agree far below the quantum on this data. Returns
+    ``(c_label, centroid array<double>)``; shuffle is one row per
+    (label, dim) — k·d, independent of corpus size."""
     pos = e.select("vec_id", "label", F.posexplode("embedding").alias("pos", "v"))
-    cent = (
+    return (
         pos.groupBy("label", "pos")
         .agg(
             stable_round(
@@ -626,6 +628,16 @@ def nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("label").alias("c_label"), "centroid")
     )
+
+
+def nearest_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NearestCentroid (SURVEY §2.8 M5 — no MLlib equivalent, custom
+    DataFrame composition): per-label centroids via posexplode + avg,
+    re-assembled to arrays, broadcast, then argmin squared-L2 assignment
+    for vec_id < {cap}. The reference fits sklearn NearestCentroid at
+    modeling/modeling.ipynb:537 (cell 31)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cent = rounded_centroids(e)
     sub = e.filter(F.col("vec_id") < CENTROID_ASSIGN_CAP)
     dist = stable_round(
         F.aggregate(

@@ -14,7 +14,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from ..ml.knn import knn_predict_lsh
-from ..ml.nearest_centroid import fit_nearest_centroid
 from ..operators.dedup import (
     components_from_pairs,
     keep_canonical_per_component,
@@ -70,15 +69,89 @@ def ml_logreg_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def ml_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M5 — custom NearestCentroid (fit=Summarizer.mean, predict=broadcast
-    argmin): per-label assignment counts + accuracy."""
-    df = _emb_features(spark, sf_dir)
-    model = fit_nearest_centroid(df, "features_arr", "label")
-    pred = model.transform(df)
+    """M5 — NearestCentroid leaderboard: per-label assignment counts +
+    accuracy over the WHOLE embeddings table.
+
+    FULL DuckDB oracle (r12 promotion, the ``nearest_centroid_assign``
+    precedent): centroids are 6dp-rounded at the centroid grain
+    (``embeddings.rounded_centroids`` — identical on both engines),
+    per-label squared-L2 distances are 6dp-rounded, and the argmin
+    tie-breaks to the LOWEST label. The scored side stays MAP-ONLY: the
+    k·d centroid table collapses to one broadcast row of
+    array<struct<label,centroid>> sorted by label, and the argmin runs
+    inside a single higher-order fold per input row (strict ``<`` over
+    the label-sorted array = lowest-label tie-break) — no n×k shuffle,
+    no window, unlike the dual's ROW_NUMBER formulation. The unrounded
+    operator (``ml.nearest_centroid.fit_nearest_centroid``, the M5
+    surface) stays numpy-pinned in tests/test_ml.py."""
+    from .embeddings import rounded_centroids
+
+    e = load_table(spark, sf_dir, "embeddings")
+    packed = rounded_centroids(e).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("c_label").cast("long").alias("c_label"), "centroid")
+            )
+        ).alias("cents")
+    )
+    x = F.col("embedding")
+    dist_to = lambda c: stable_round(  # noqa: E731
+        F.aggregate(
+            F.zip_with(
+                x, c, lambda xv, cv: (xv.cast("double") - cv) * (xv.cast("double") - cv)
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+        6,
+    )
+    best = F.aggregate(
+        F.col("cents"),
+        F.struct(
+            F.lit(float("inf")).alias("d"), F.lit(None).cast("long").alias("l")
+        ),
+        lambda acc, cs: F.when(
+            dist_to(cs["centroid"]) < acc["d"],
+            F.struct(dist_to(cs["centroid"]).alias("d"), cs["c_label"].alias("l")),
+        ).otherwise(acc),
+    )
+    pred = e.join(F.broadcast(packed)).select(
+        F.col("label").cast("long").alias("label"), best["l"].alias("prediction")
+    )
     return pred.groupBy("label").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum((F.col("prediction") == F.col("label")).cast("long")).alias("n_correct"),
     )
+
+
+# The Spark plan in row form: 6dp-rounded per-label centroids, 6dp-
+# rounded squared-L2 per (vec, label), argmin by (dist, label) — the
+# ROW_NUMBER dual of the map-only broadcast fold above.
+ML_NEAREST_CENTROID_SQL = """
+WITH flat AS (
+  SELECT vec_id, label, UNNEST(embedding) AS v,
+         generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+), cent AS (
+  SELECT label AS c_label, i,
+         (ROUND(SUM(CAST(v AS DOUBLE)) / COUNT(*) * 1e6) / 1e6) AS cv
+  FROM flat GROUP BY 1, 2
+), dists AS (
+  SELECT flat.vec_id, flat.label AS true_label, cent.c_label,
+         (ROUND(SUM((CAST(flat.v AS DOUBLE) - cent.cv) * (CAST(flat.v AS DOUBLE) - cent.cv)) * 1e6) / 1e6) AS sq_dist
+  FROM flat JOIN cent ON flat.i = cent.i
+  GROUP BY 1, 2, 3
+), pred AS (
+  SELECT vec_id, true_label, c_label,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sq_dist ASC, c_label ASC) AS rn
+  FROM dists
+)
+SELECT CAST(true_label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN c_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+FROM pred WHERE rn = 1
+GROUP BY 1
+"""
 
 
 def ml_knn_lsh_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -832,8 +905,19 @@ SELECT (SELECT COUNT(*) FROM d) AS n_docs,
 
 
 def per_group_linear_models(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-label linear models over embeddings (rows-only: applyInPandas
-    + numpy lstsq): predict dim0 from dims 1-3 within each label."""
+    """Per-label linear models over embeddings (applyInPandas + numpy
+    lstsq — the 'one model per entity' grouped-map pattern): predict
+    dim0 from dims 1-3 within each label.
+
+    FULL DuckDB oracle (r12 promotion): the output now carries the
+    fitted VALUES — intercept, three coefficients, in-sample RMSE, all
+    6dp-rounded — and the dual re-derives them in closed form from the
+    per-group moment matrix (normal equations solved by a generated
+    4x4 Cramer expansion, ``_per_group_ols_sql``). numpy's SVD lstsq
+    and the exact normal-equation solve agree far below the 6dp quantum
+    on full-rank groups; groups with n < 4 return NULL coefficients on
+    both engines (the operator's own guard, mirrored by the dual's
+    CASE)."""
     from ..ml.per_group import fit_linear_per_group
 
     e = load_table(spark, sf_dir, "embeddings").select(
@@ -844,7 +928,98 @@ def per_group_linear_models(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 1).cast("double").alias("y"),
     )
     out = fit_linear_per_group(e, "grp", ["x1", "x2", "x3"], "y")
-    return out.select("grp", "n_rows", F.size("coef").alias("n_coefs"))
+    return out.select(
+        "grp",
+        "n_rows",
+        stable_round(F.element_at("coef", 1), 6).alias("b0"),
+        stable_round(F.element_at("coef", 2), 6).alias("b1"),
+        stable_round(F.element_at("coef", 3), 6).alias("b2"),
+        stable_round(F.element_at("coef", 4), 6).alias("b3"),
+        stable_round(F.col("rmse"), 6).alias("rmse"),
+    )
+
+
+def _per_group_ols_sql() -> str:
+    """DuckDB dual of ``per_group_linear_models``: closed-form OLS with
+    intercept on (x1,x2,x3)→y per group. The 4x4 normal-equation system
+    is solved by Cramer's rule with the determinants EXPANDED
+    programmatically here (24 permutation terms each, 5 determinants) —
+    single-sourced generation, no hand-transcribed algebra to drift.
+    RMSE comes from joining the full-precision coefficients back to the
+    rows (numerically stabler than the moment identity); the final 6dp
+    rounding matches the Spark side's ``stable_round``."""
+    from itertools import permutations
+
+    A = [
+        ["n1", "s1", "s2", "s3"],
+        ["s1", "s11", "s12", "s13"],
+        ["s2", "s12", "s22", "s23"],
+        ["s3", "s13", "s23", "s33"],
+    ]
+    bvec = ["sy", "s1y", "s2y", "s3y"]
+
+    def det(m: list[list[str]]) -> str:
+        terms = []
+        for perm in permutations(range(4)):
+            inv = sum(
+                1 for i in range(4) for j in range(i + 1, 4) if perm[i] > perm[j]
+            )
+            sign = "+" if inv % 2 == 0 else "-"
+            terms.append(f" {sign} {'*'.join(m[i][perm[i]] for i in range(4))}")
+        return "(" + "".join(terms) + ")"
+
+    det_a = det(A)
+    num = []
+    for j in range(4):
+        m = [row[:] for row in A]
+        for i in range(4):
+            m[i][j] = bvec[i]
+        num.append(det(m))
+    coef_cases = ",\n         ".join(
+        f"CASE WHEN n_rows >= 4 THEN {num[j]} / NULLIF({det_a}, 0) END AS c{j}"
+        for j in range(4)
+    )
+    return f"""
+WITH pts AS (
+  SELECT CAST(label AS VARCHAR) AS grp,
+         CAST(embedding[2] AS DOUBLE) AS x1,
+         CAST(embedding[3] AS DOUBLE) AS x2,
+         CAST(embedding[4] AS DOUBLE) AS x3,
+         CAST(embedding[1] AS DOUBLE) AS y
+  FROM embeddings
+  WHERE embedding[1] IS NOT NULL AND embedding[2] IS NOT NULL
+    AND embedding[3] IS NOT NULL AND embedding[4] IS NOT NULL
+), m AS (
+  SELECT grp, COUNT(*) AS n_rows, CAST(COUNT(*) AS DOUBLE) AS n1,
+         SUM(x1) AS s1, SUM(x2) AS s2, SUM(x3) AS s3,
+         SUM(x1*x1) AS s11, SUM(x1*x2) AS s12, SUM(x1*x3) AS s13,
+         SUM(x2*x2) AS s22, SUM(x2*x3) AS s23, SUM(x3*x3) AS s33,
+         SUM(y) AS sy, SUM(x1*y) AS s1y, SUM(x2*y) AS s2y, SUM(x3*y) AS s3y
+  FROM pts GROUP BY 1
+), c AS (
+  SELECT grp, n_rows,
+         {coef_cases}
+  FROM m
+), r AS (
+  SELECT c.grp, c.n_rows, c.c0, c.c1, c.c2, c.c3,
+         CASE WHEN c.n_rows >= 4 THEN
+           SQRT(AVG((p.y - (c.c0 + c.c1*p.x1 + c.c2*p.x2 + c.c3*p.x3))
+                    * (p.y - (c.c0 + c.c1*p.x1 + c.c2*p.x2 + c.c3*p.x3))))
+         END AS rmse_raw
+  FROM c JOIN pts p ON p.grp = c.grp
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT grp, n_rows,
+       ROUND(c0 * 1e6) / 1e6 AS b0,
+       ROUND(c1 * 1e6) / 1e6 AS b1,
+       ROUND(c2 * 1e6) / 1e6 AS b2,
+       ROUND(c3 * 1e6) / 1e6 AS b3,
+       ROUND(rmse_raw * 1e6) / 1e6 AS rmse
+FROM r
+"""
+
+
+PER_GROUP_OLS_SQL = _per_group_ols_sql()
 
 
 def hash_split_digest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1015,7 +1190,7 @@ QUERIES: dict[str, QueryDef] = {
         "text: zlib compression-ratio quality signal (Arrow-batched, map-only)",
     ),
     "per_group_linear_models": QueryDef(
-        per_group_linear_models, None, "per-group numpy linear fits"
+        per_group_linear_models, PER_GROUP_OLS_SQL, "per-group numpy linear fits"
     ),
     "ml_logreg_leaderboard": QueryDef(ml_logreg_leaderboard, None, "M1-M3/M8 LR pipeline"),
     "ml_score_games_merge": QueryDef(
@@ -1023,7 +1198,9 @@ QUERIES: dict[str, QueryDef] = {
         None,
         "E1 2024+ inference: train→save→reload→score→MERGE predicted_winner",
     ),
-    "ml_nearest_centroid": QueryDef(ml_nearest_centroid, None, "M5 NearestCentroid"),
+    "ml_nearest_centroid": QueryDef(
+        ml_nearest_centroid, ML_NEAREST_CENTROID_SQL, "M5 NearestCentroid"
+    ),
     "ml_knn_lsh_vote": QueryDef(ml_knn_lsh_vote, None, "M6 LSH kNN vote"),
     "ml_knn_k_leaderboard": QueryDef(
         ml_knn_k_leaderboard, None, "M6 n_neighbors grid leaderboard (one LSH ranking)"

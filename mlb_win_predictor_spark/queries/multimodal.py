@@ -334,6 +334,38 @@ def multimodal_sniff_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Analytic dual (r12): the payload generator above keys every sniffable
+# field on doc_id alone — kind = id%5 (png/wav/gif/jpeg/text), w=2+id%9,
+# h=3+id%7, WAV rate 8000/16000 by id parity; the sniffer reports dims
+# for the three image formats, rate for WAV, and 'unknown' for text
+# (no magic-byte prefix). Hash-matching this derivation verifies the
+# real binary encoders and the header walk end-to-end: any IHDR/SOF/
+# screen-descriptor/fmt-chunk byte the encoder or sniffer got wrong
+# breaks the counts or the dimension sums.
+SNIFF_HEADERS_SQL = """
+WITH k AS (
+  SELECT doc_id % 5 AS kind,
+         2 + doc_id % 9 AS w,
+         3 + doc_id % 7 AS h,
+         CASE WHEN doc_id % 2 = 0 THEN 8000 ELSE 16000 END AS rate
+  FROM documents
+), s AS (
+  SELECT CASE kind WHEN 0 THEN 'png' WHEN 1 THEN 'wav' WHEN 2 THEN 'gif'
+                   WHEN 3 THEN 'jpeg' ELSE 'unknown' END AS detected,
+         CASE WHEN kind IN (0, 2, 3) THEN w END AS width,
+         CASE WHEN kind IN (0, 2, 3) THEN h END AS height,
+         CASE WHEN kind = 1 THEN rate END AS sample_rate
+  FROM k
+)
+SELECT detected,
+       CAST(COUNT(*) AS BIGINT) AS n_objects,
+       CAST(SUM(width) AS BIGINT) AS sum_width,
+       CAST(SUM(height) AS BIGINT) AS sum_height,
+       CAST(COUNT(DISTINCT sample_rate) AS BIGINT) AS n_rates
+FROM s GROUP BY 1
+"""
+
+
 def multimodal_frame_sample_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL 1:N frame sampling (non-stub upgrade of the frame_sample
     stub): each document becomes a deterministic ANIMATED GIF — 2-6
@@ -590,7 +622,7 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "multimodal_sniff_headers": QueryDef(
         multimodal_sniff_headers,
-        None,
+        SNIFF_HEADERS_SQL,
         "multimodal: header-only format triage (PNG/JPEG/GIF/WAV sniff, no decode)",
     ),
     "multimodal_decode_wav": QueryDef(
