@@ -335,6 +335,7 @@ def containment_banded_pairs(
     max_bucket: int = 64,
     containment_threshold: float = 0.8,
     hash_family: str = "xxhash64",
+    witness: dict | None = None,
 ) -> DataFrame:
     """ASYMMETRIC containment dedup at corpus scale — the executed 100 TB
     path that replaces the exact entry's ``doc_id < cap`` bound
@@ -404,6 +405,14 @@ def containment_banded_pairs(
         .distinct()
     )
     cand = cand_band.unionByName(cand_bk).distinct()
+    if witness is not None:
+        # measurement hook (r12, VERDICT #1): hand the REAL intermediate
+        # frames to the work-metric witness (scripts/work_witness.py) so
+        # candidate-growth linearity is measured on the executed plan,
+        # not a re-derivation that could drift. No effect when None.
+        witness.update(
+            sh=sh, cand_band=cand_band, posts=posts, cand_bk=cand_bk, cand=cand
+        )
     sa = sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -35,6 +35,7 @@ def pagerank(
     damping: float = 0.85,
     tol: float | None = None,
     checkpoint_every: int = 1,
+    witness: dict | None = None,
 ) -> DataFrame:
     """PageRank over a directed edge list ``(src, dst)``.
 
@@ -127,6 +128,12 @@ def pagerank(
         links.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
     ).persist()
     has_dangling = dangling_nodes.count() > 0
+    if witness is not None:
+        # measurement hook (r12, VERDICT #1): per-step work is exactly
+        # one rank⋈links join (|links| contrib rows pre-agg) + one
+        # groupBy over |nodes| — expose the REAL persisted frames so
+        # scripts/work_witness.py records the executed plan's volumes.
+        witness.update(links=links, nodes=nodes, dangling=dangling_nodes)
 
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
 

@@ -21,7 +21,7 @@ from pyspark.sql.window import Window as W
 from ..functions.ngrams import word_ngrams
 from ..functions.scalars import md5_int32, stable_round
 from ..operators.indexing import dense_global_index, exact_ntile
-from ..session import fan_out, load_table
+from ..session import fan_out, input_bytes, load_table
 from .base import QueryDef, sround
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
@@ -2035,6 +2035,12 @@ FROM t LEFT JOIN rem ON t.doc_id = rem.doc_id
 """
 
 
+# Pin the per_doc localCheckpoint only above this documents-parquet
+# size: below it the checkpoint write costs more than re-running the
+# doc-grain subtree (sf0.1 = 0.6 MB skips; sf1 = 5.9 MB and up pin).
+_UNIGRAM_PIN_MIN_BYTES = 4 << 20
+
+
 def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram language-model quality scoring (the cheap stand-in for the
     KenLM-perplexity filter of CCNet/RefinedWeb pipelines): per document,
@@ -2072,11 +2078,23 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     window chain. Doc-grain rows are tiny relative to token grain, so
     the pin costs one executor-local write of n_docs rows.
 
+    SIZE-GATED (r12, r11 verdict #6): at sf0.1 the checkpoint write is
+    ~half the entry's wall (0.45 → 1.00 s) while the duplicated subtree
+    it avoids is cheap — the pin only pays for itself once the
+    tokenize → window chain dominates. Gate on the same input-size
+    estimate ``fan_out`` uses (``session.input_bytes``): below
+    ``_UNIGRAM_PIN_MIN_BYTES`` (4 MiB) of documents parquet, skip the
+    pin (re-running the doc-grain subtree is cheaper); above it, pin
+    (measured sf1→sf10 ratio 2.55× unpinned → 2.03× pinned). Both
+    branches produce identical values — the gate trades plan shape
+    only.
+
     Shuffles: per-doc counts (one exchange off the single tokenize
     pass), vocabulary window (hash(w) exchange of pre-combined (doc,w)
     pairs), per-doc rollup, tiny doc-grain total broadcast back.
     No corpus-sized sort, no driver state."""
-    d = fan_out(load_table(spark, sf_dir, "documents"), min_bytes=2 << 20)
+    raw = load_table(spark, sf_dir, "documents")
+    d = fan_out(raw, min_bytes=2 << 20)
     toks = d.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w")
     )
@@ -2087,7 +2105,9 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("k").cast("double") * F.log(F.col("c").cast("double"))).alias(
             "sum_klnc"
         ),
-    ).localCheckpoint(eager=False)
+    )
+    if input_bytes(raw) >= _UNIGRAM_PIN_MIN_BYTES:
+        per_doc = per_doc.localCheckpoint(eager=False)
     total = per_doc.agg(F.sum("n_tokens").cast("double").alias("n_total"))
     return per_doc.crossJoin(F.broadcast(total)).select(
         "doc_id",
@@ -2253,13 +2273,18 @@ def dsir_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
-def dsir_bucket_model(spark: SparkSession, sf_dir: str) -> tuple[dict, float]:
+def dsir_bucket_model(
+    spark: SparkSession, sf_dir: str, docs: DataFrame | None = None
+) -> tuple[dict, float]:
     """Train the DSIR bucket model batch-side and export it driver-side
     for the STREAMING ingest gate (``streaming.jobs.dsir_select_stream``):
     returns ({bucket_hex: ln((t_b+1)/(r_b+1))}, norm) — ≤{DSIR_BUCKETS}
     rows + one scalar, the whole model. The bounded collect is the
-    point: a 2-KB model rides a plan literal into every micro-batch."""
-    d = load_table(spark, sf_dir, "documents")
+    point: a 2-KB model rides a plan literal into every micro-batch.
+    ``docs`` overrides the training corpus (r12: the DSIR-ordered
+    stream capstone trains on the NON-BENCH slice, batch v3's
+    eval-must-not-influence-selection discipline)."""
+    d = docs if docs is not None else load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         (F.col("source") == DSIR_TARGET_SOURCE).alias("is_target"),
@@ -2815,7 +2840,9 @@ FROM b GROUP BY source
 """
 
 
-def llm_dataset_pipeline_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def llm_dataset_pipeline_stream(
+    spark: SparkSession, sf_dir: str, dsir: bool = False
+) -> DataFrame:
     """Capstone, STREAMING form (r11, r10 verdict #5): the incremental
     curation pipeline a 100 TB ingest actually runs — quality gate →
     incremental near-dedup against the persisted MinHash band index →
@@ -2895,6 +2922,13 @@ def llm_dataset_pipeline_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tokens_clean",
         "tokens_final",
     )
+    # DSIR variant (r12): train the bucket model batch-side on the
+    # NON-BENCH corpus (v3's eval-must-not-influence-selection rule)
+    # and hand it to the stream as a 2-KB literal — within-epoch budget
+    # spending then goes to each source's most target-like docs.
+    model = (
+        dsir_bucket_model(spark, sf_dir, docs=d.filter(~is_bench)) if dsir else None
+    )
     try:
         q = llm_curation_stream(
             stream,
@@ -2904,6 +2938,7 @@ def llm_dataset_pipeline_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{root}/kept",
             f"{root}/ckpt",
             budget_per_source=LLM_PIPE_BUDGET,
+            dsir_model=model,
         ).start()
         q.awaitTermination()
 
@@ -2927,6 +2962,23 @@ def llm_dataset_pipeline_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "source string, " + ", ".join(f"{c} long" for c in counters)
     )
+
+
+def llm_dataset_pipeline_stream_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capstone, STREAMING form with DSIR-ORDERED budget spending (r12,
+    r11 verdict #7): identical scaffolding and stages to
+    ``llm_dataset_pipeline_stream`` (shared BY CALL — the ``dsir`` flag
+    only swaps the spending window's order), with each epoch's
+    per-source budget spent in descending DSIR per-token importance
+    against a batch-trained bucket model instead of arrival order —
+    the stream-feasible half of batch v3's global DSIR order (admission
+    is irreversible across epochs; see
+    ``streaming.jobs.llm_curation_stream``'s docstring for why the
+    other half cannot exist under replay). Rows-only like the base
+    stream entry; within-epoch reorder + multi-epoch==single-batch
+    parity (weight-ordered arrival) pinned in
+    tests/test_streaming.py::test_llm_curation_stream_dsir*."""
+    return llm_dataset_pipeline_stream(spark, sf_dir, dsir=True)
 
 
 def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3734,6 +3786,12 @@ QUERIES: dict[str, QueryDef] = {
         None,
         "text: capstone, streaming form - one foreachBatch curation loop "
         "(quality -> incremental near-dedup -> Bloom decontam -> budget)",
+    ),
+    "llm_dataset_pipeline_stream_dsir": QueryDef(
+        llm_dataset_pipeline_stream_dsir,
+        None,
+        "text: streaming capstone with DSIR-ordered budget spending "
+        "(within-epoch importance order vs a batch-trained bucket model)",
     ),
     "zipf_law_fit": QueryDef(
         zipf_law_fit,

@@ -182,6 +182,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def input_bytes(df: DataFrame) -> int:
+    """Total on-disk bytes of a DataFrame's file-backed inputs, or -1
+    when the source isn't file-backed (the caller falls back to its
+    other guard). The cheap size estimate behind ``fan_out``'s
+    ``min_bytes`` gate and the size-gated plan pins (e.g. the
+    ``unigram_logprob_quality`` checkpoint, r12) — a driver-side stat
+    call, no job."""
+    try:
+        total = 0
+        for p in df.inputFiles():
+            if p.startswith("file:"):
+                p = "/" + p.split(":", 1)[1].lstrip("/")
+            total += os.path.getsize(p)
+        return total
+    except Exception:
+        return -1
+
+
 def fan_out(df: DataFrame, min_bytes: int = 0) -> DataFrame:
     """Round-robin repartition a scan UP TO cluster parallelism — for
     CPU-heavy pre-shuffle pipelines (shingling, gram explode) over
@@ -203,17 +221,8 @@ def fan_out(df: DataFrame, min_bytes: int = 0) -> DataFrame:
     per-row weight: 0 = always (shingling-grade work), ~2 MiB for
     tokenize-grade work. Both guards pass trivially at cluster scale."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if min_bytes:
-        try:
-            total = 0
-            for p in df.inputFiles():
-                if p.startswith("file:"):
-                    p = "/" + p.split(":", 1)[1].lstrip("/")
-                total += os.path.getsize(p)
-            if total < min_bytes:
-                return df
-        except Exception:
-            pass  # non-file source: fall through to the split-count guard
+    if min_bytes and 0 <= input_bytes(df) < min_bytes:
+        return df
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -433,6 +433,7 @@ def llm_curation_stream(
     checkpoint: str,
     budget_per_source: int,
     gram_n: int = 5,
+    dsir_model: tuple[dict[str, float], float] | None = None,
 ):
     """The STREAMING LLM-curation capstone (r11, r10 verdict #5): the
     incremental dual of the batch ``llm_dataset_pipeline*`` entries,
@@ -468,6 +469,25 @@ def llm_curation_stream(
        order; the stream==batch parity test therefore feeds epochs in
        doc_id order so both orders coincide.
 
+       ``dsir_model=(bucket_logratios, norm)`` (r12, r11 verdict #7)
+       upgrades the WITHIN-EPOCH spending order to descending DSIR
+       per-token importance — each epoch's clean docs are scored
+       against the batch-trained hashed-unigram bucket model (the
+       ``dsir_select_stream`` literal-map plan, batch v3's exact float
+       discipline: 6dp-rounded total log-weight, per-token order,
+       doc_id tiebreak) and the budget window spends best-first inside
+       the epoch. This is the STREAM-FEASIBLE half of batch v3's
+       global DSIR order, and exactly half is all a stream can have:
+       admission is irreversible (epoch N's kept docs are already in
+       the published corpus and the band index), so a cross-epoch
+       global importance order is impossible without reprocessing —
+       a later high-weight doc cannot un-admit an earlier low-weight
+       one whose tokens were charged. Multi-epoch therefore equals the
+       single-batch v3 reference exactly WHEN arrival order respects
+       the global weight order across epoch boundaries (the parity
+       fixture constructs this), and degrades gracefully — never
+       incoherently, thanks to the charge rule — when it does not.
+
     State lives in three parquet tables, not the streaming engine:
     ``index_path`` (band index of dedup survivors), ``stats_path``
     (per-epoch per-source attrition counters — its ``tokens_clean`` IS
@@ -484,8 +504,19 @@ def llm_curation_stream(
     rollup; the budget is one window over batch-size rows per source.
     Nothing scales with corpus size except the index scan, which a
     bucketed-by-(band_idx, band_sig) layout prunes to matching buckets."""
+    from ..functions.scalars import stable_round
     from ..operators.dedup import incremental_neardup_filter, minhash_band_index
     from ..queries.text import llm_quality_expr
+
+    lr_map = None
+    dsir_norm = 0.0
+    if dsir_model is not None:
+        lrs, dsir_norm = dsir_model
+        items: list = []
+        for bkt, lr in sorted(lrs.items()):
+            items.append(F.lit(bkt))
+            items.append(F.lit(float(lr)))
+        lr_map = F.create_map(*items) if items else F.create_map()
 
     def curate(batch: DataFrame, epoch_id: int) -> None:
         spark = batch.sparkSession
@@ -522,13 +553,57 @@ def llm_curation_stream(
         prior = spent.groupBy("source").agg(
             F.sum("tokens_clean").alias("_spent_before")
         )
+        if lr_map is not None:
+            # DSIR within-epoch spending order: score the epoch's clean
+            # docs against the broadcast-literal bucket model (batch
+            # v3's exact grain — 6dp-rounded total log-weight, ordered
+            # per-token, doc_id tiebreak; LEFT join + sentinel so a
+            # token-less doc still sorts deterministically last)
+            wts = (
+                clean.select(
+                    "doc_id",
+                    F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+                )
+                .select(
+                    "doc_id",
+                    F.substring(F.md5(F.col("w").cast("binary")), 1, 2).alias("b"),
+                )
+                .groupBy("doc_id", "b")
+                .agg(F.count(F.lit(1)).alias("k"))
+                .groupBy("doc_id")
+                .agg(
+                    F.sum("k").cast("long").alias("_n"),
+                    F.sum(
+                        F.col("k").cast("double")
+                        * F.coalesce(lr_map[F.col("b")], F.lit(0.0))
+                    ).alias("_sklr"),
+                )
+                .select(
+                    "doc_id",
+                    stable_round(
+                        F.col("_sklr")
+                        + F.col("_n").cast("double") * F.lit(float(dsir_norm)),
+                        6,
+                    ).alias("_lw"),
+                )
+            )
+            spend_base = clean.join(wts, "doc_id", "left")
+            spend_order = [
+                F.coalesce(
+                    F.col("_lw") / F.col("n_toks").cast("double"), F.lit(-1e300)
+                ).desc(),
+                F.col("doc_id").asc(),
+            ]
+        else:
+            spend_base = clean
+            spend_order = [F.col("doc_id").asc()]
         wb = (
             W.partitionBy("source")
-            .orderBy("doc_id")
+            .orderBy(*spend_order)
             .rowsBetween(W.unboundedPreceding, 0)
         )
         selected = (
-            clean.withColumn("_cum", F.sum("n_toks").over(wb))
+            spend_base.withColumn("_cum", F.sum("n_toks").over(wb))
             .join(F.broadcast(prior), "source", "left")
             .filter(
                 F.coalesce(F.col("_spent_before"), F.lit(0)) + F.col("_cum")

@@ -3,6 +3,7 @@ to completion over file micro-batches, must agree with its batch dual."""
 
 from __future__ import annotations
 
+import os
 import shutil
 
 import pytest
@@ -996,6 +997,86 @@ def test_llm_curation_stream_stages_and_batch_parity(spark, tmp_path):
     assert _llm_curation_rollup(spark, ref_root) == rollup, (
         "multi-epoch stream must equal the single-batch reference"
     )
+
+
+def test_llm_curation_stream_dsir_order_and_batch_parity(spark, tmp_path):
+    """DSIR-ordered budget variant (r12): within an epoch the budget
+    goes to the most target-like docs, NOT the earliest doc_ids — doc
+    23 (high weight) is admitted over doc 22 (low weight, smaller id) —
+    and multi-epoch equals the single-batch reference when arrival
+    respects the global weight order across epoch boundaries (the
+    stream-feasible contract; a stream cannot un-admit an earlier
+    lower-weight doc, so arbitrary arrival cannot be globally exact)."""
+    import hashlib
+
+    import pandas as pd
+
+    uniq = lambda tag, k=24: " ".join(f"{tag}tok{j}" for j in range(k))  # noqa: E731
+    hi1, lo, hi2 = uniq("t1"), uniq("r1"), uniq("t2")
+    b1, b2 = uniq("s1"), uniq("s2")
+    bucket = lambda w: hashlib.md5(w.encode()).hexdigest()[:2]  # noqa: E731
+    # model: every token bucket of the two high docs scores +1; low-doc
+    # tokens score only by (rare) bucket collision — guard that the low
+    # doc cannot reach the high docs' per-token weight of 1.0
+    lrs = {bucket(w): 1.0 for w in (hi1 + " " + hi2).split()}
+    assert sum(bucket(w) in lrs for w in lo.split()) < 24
+    model = (lrs, 0.0)
+
+    bench_sent = "alpha beta gamma delta epsilon zeta eta theta"
+    bits = _llm_curation_bits(spark, bench_sent)
+    cols = ["doc_id", "source", "text"]
+    # arrival respects global weight order: both high-weight A docs
+    # arrive in epoch 0, the low-weight one in epoch 1
+    e0 = [(21, "A", hi1), (23, "A", hi2), (31, "B", b1)]
+    e1 = [(22, "A", lo), (32, "B", b2)]
+
+    from mlb_win_predictor_spark.streaming import llm_curation_stream
+    from mlb_win_predictor_spark.streaming.jobs import read_epoch_union
+
+    def run(root, batches):
+        src = tmp_path / f"in_{os.path.basename(root)}"
+        src.mkdir()
+        for i, rows in enumerate(batches):
+            pd.DataFrame(rows, columns=cols).to_parquet(
+                str(src / f"b{i}.parquet"), index=False
+            )
+        stream = (
+            spark.readStream.schema("doc_id long, source string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        q = llm_curation_stream(
+            stream,
+            bits,
+            f"{root}/index",
+            f"{root}/stats",
+            f"{root}/kept",
+            f"{root}/ckpt",
+            budget_per_source=48,
+            dsir_model=model,
+        ).start()
+        q.processAllAvailable()
+        q.stop()
+        kept = read_epoch_union(
+            spark,
+            f"{root}/kept",
+            "doc_id long, source string, text string, n_toks long",
+        )
+        return {r.doc_id for r in kept.collect()}, _llm_curation_rollup(spark, root)
+
+    multi_ids, multi_rollup = run(str(tmp_path / "multi"), [e0, e1])
+    # A's 48-token budget goes to 21+23 (weight 1.0 each); 22 is charged
+    # but rejected. B admits both 24-token docs exactly at budget.
+    assert multi_ids == {21, 23, 31, 32}, multi_ids
+    assert multi_rollup["A"] == (3, 3, 3, 3, 2, 72, 48)
+    assert multi_rollup["B"] == (2, 2, 2, 2, 2, 48, 48)
+
+    # single-batch reference: all five docs in ONE epoch — admission of
+    # 23 over the smaller-id 22 now REQUIRES the within-epoch DSIR
+    # reorder, and the rollup must match the multi-epoch run exactly
+    single_ids, single_rollup = run(str(tmp_path / "single"), [e0 + e1])
+    assert single_ids == multi_ids
+    assert single_rollup == multi_rollup
 
 
 def test_llm_curation_stream_replay_idempotent(spark, tmp_path):
