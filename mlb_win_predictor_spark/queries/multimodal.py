@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scalars import stable_round
 from ..operators.multimodal import to_media_column
 from ..session import fan_out, load_table
 from .base import QueryDef
@@ -156,9 +157,12 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
     alternating), encoded to REAL RIFF/WAVE bytes and decoded back by
     the full parser (``operators.multimodal.wav_decode``: chunk walk,
     fmt validation, frame alignment). Both stages Arrow-batched map-only
-    mapInPandas; codec ships by value. Rows-only entry; sample-exact
-    round-trip, spec gating, and the ``binaryFile`` real-file path are
-    pinned in tests/test_operators.py."""
+    mapInPandas; codec ships by value. FULL DuckDB oracle since r12
+    (``DECODE_WAV_SQL``: the signal is the text bytes tiled, so every
+    digest value — counts, durations, per-group RMS — is analytically
+    derivable with exact-integer moment sums); sample-exact round-trip,
+    spec gating, and the ``binaryFile`` real-file path are pinned in
+    tests/test_operators.py."""
     from ..operators.multimodal import decode_wav_media, wav_encode
 
     enc = wav_encode
@@ -197,12 +201,82 @@ def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
         encode_batches, schema="doc_id long, mime string, payload binary"
     )
     decoded = decode_wav_media(media)
-    return decoded.groupBy("sample_rate", "n_channels").agg(
+    # total duration = sum(frames)/rate, ONE exact-integer division per
+    # group rather than a float fold of per-clip frames/rate terms: the
+    # fold lands exactly on a 4dp half-way point whenever sum(frames)
+    # divides the rate that way (sf0.001 hits 9526/8000 = 1.19075), and
+    # then partial-sum order decides the round — the same small-
+    # denominator-rational trap stable_round exists for.
+    g = decoded.groupBy("sample_rate", "n_channels").agg(
         F.count(F.lit(1)).alias("n_audio"),
         F.sum("n_samples").cast("long").alias("sum_samples"),
-        F.round(F.sum("duration_s"), 4).alias("total_duration_s"),
-        F.round(F.avg("rms"), 3).alias("avg_rms"),
+        stable_round(F.avg("rms"), 3).alias("avg_rms"),
     )
+    return g.select(
+        "sample_rate",
+        "n_channels",
+        "n_audio",
+        "sum_samples",
+        stable_round(
+            F.col("sum_samples").cast("double") / F.col("sample_rate"), 4
+        ).alias("total_duration_s"),
+        "avg_rms",
+    )
+
+
+# Analytic dual (r12, the sniff_headers move extended to SIGNAL VALUES):
+# the PCM signal is the document's text bytes tiled to
+# (64 + id%101)·c samples, shifted/scaled to ((b−128)·256)², so every
+# digest column is derivable from (doc_id, text) alone — per-doc
+# sum-of-squares is an exact BIGINT (≤ 328·16384·65536 < 2^53: no float
+# fold anywhere before the final division + sqrt, which are identical
+# IEEE ops on both engines; numpy's pairwise mean over integers is
+# exact for the same reason). Hash-matching this derivation verifies
+# the REAL RIFF encode → chunk-walk decode round-trip end to end: any
+# byte the encoder or parser mishandled shifts a count, a duration or
+# an RMS. The corpus is ASCII (checked: octet_length == length), so
+# unicode(char) == utf-8 byte.
+DECODE_WAV_SQL = """
+WITH d AS (
+  SELECT doc_id AS i,
+         CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS c,
+         64 + doc_id % 101 AS frames,
+         CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS rate,
+         CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END AS t
+  FROM documents
+), bb AS (
+  SELECT i, generate_subscripts(cs, 1) AS pos, UNNEST(cs) AS ch
+  FROM (SELECT i, string_split(t, '') AS cs FROM d)
+), sq AS (
+  SELECT i, pos,
+         CAST((unicode(ch) - 128) * (unicode(ch) - 128) AS BIGINT) AS sq
+  FROM bb
+), agg AS (
+  SELECT i, COUNT(*) AS len_b, SUM(sq) AS s_all FROM sq GROUP BY 1
+), pre AS (
+  SELECT sq.i, SUM(sq.sq) AS p_r
+  FROM sq
+  JOIN (SELECT d.i, (d.frames * d.c) % agg.len_b AS r
+        FROM d JOIN agg ON d.i = agg.i) rr
+    ON sq.i = rr.i AND sq.pos <= rr.r
+  GROUP BY 1
+), per AS (
+  SELECT d.i, d.rate, d.c, d.frames,
+         SQRT(
+           (((d.frames * d.c) // agg.len_b) * agg.s_all + COALESCE(pre.p_r, 0))
+           * 65536.0 / (d.frames * d.c)
+         ) AS rms
+  FROM d JOIN agg ON d.i = agg.i LEFT JOIN pre ON d.i = pre.i
+)
+SELECT CAST(rate AS INTEGER) AS sample_rate,
+       CAST(c AS INTEGER) AS n_channels,
+       CAST(COUNT(*) AS BIGINT) AS n_audio,
+       CAST(SUM(frames) AS BIGINT) AS sum_samples,
+       -- one exact-integer division per group (see the Spark side)
+       ROUND(CAST(SUM(frames) AS DOUBLE) / rate * 1e4) / 1e4 AS total_duration_s,
+       ROUND(AVG(rms) * 1e3) / 1e3 AS avg_rms
+FROM per GROUP BY rate, c
+"""
 
 
 def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -375,9 +449,11 @@ def multimodal_frame_sample_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     palette lookup, disposal compositing) and emits every 2nd composited
     frame as its own row. Digest: per frame-count, clips + sampled rows
     + mean decoded red channel (analytically known for solid frames —
-    pinned exactly in tests/test_operators.py). Rows-only (binary
-    container round-trip has no SQL dual); both stages Arrow-batched
-    map-only mapInPandas."""
+    pinned exactly in tests/test_operators.py). FULL DuckDB oracle
+    since r12: that same analytic knowledge IS the dual
+    (``FRAME_SAMPLE_GIF_SQL`` derives the digest from doc_id alone, so
+    the hash compare exercises the whole GIF89a round-trip). Both
+    stages Arrow-batched map-only mapInPandas."""
     from ..operators.multimodal import gif_encode, sample_gif_frames
 
     enc = gif_encode
@@ -419,11 +495,38 @@ def multimodal_frame_sample_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("doc_id").alias("n_clips"),
             F.count(F.lit(1)).alias("n_sampled_frames"),
-            F.round(F.avg("mean_r"), 3).alias("avg_mean_r"),
-            F.round(F.avg("delay_cs"), 3).alias("avg_delay_cs"),
+            stable_round(F.avg("mean_r"), 3).alias("avg_mean_r"),
+            stable_round(F.avg("delay_cs"), 3).alias("avg_delay_cs"),
         )
         .orderBy("n_frames")
     )
+
+
+# Analytic dual (r12): clips are doc_id-keyed solid-frame GIFs —
+# n_frames = 2 + id%5, frame k's composited red channel is exactly
+# (id + 37k) % 256 (solid fill, full-frame disposal), every frame's
+# delay is 4 + id%3, and the 1:2 sampler emits frames {0,2,4}∩range
+# (the max_frames=8 cap never binds at ≤6 frames). All averaged values
+# are integer-valued doubles, so the group sums are EXACT on both
+# engines and the only float op is one final division. Hash-matching
+# verifies the whole GIF89a round-trip — palette build, variable-width
+# LZW, GCE delays, interlace row ordering (every even doc), disposal
+# compositing, the sampler's stride — against first principles.
+FRAME_SAMPLE_GIF_SQL = """
+WITH d AS (
+  SELECT doc_id AS i, 2 + doc_id % 5 AS n_frames, 4 + doc_id % 3 AS delay
+  FROM documents
+), s AS (
+  SELECT i, n_frames, delay, UNNEST(range(0, n_frames, 2)) AS fk
+  FROM d
+)
+SELECT CAST(n_frames AS INTEGER) AS n_frames,
+       CAST(COUNT(DISTINCT i) AS BIGINT) AS n_clips,
+       CAST(COUNT(*) AS BIGINT) AS n_sampled_frames,
+       ROUND(AVG(CAST((i + 37 * fk) % 256 AS DOUBLE)) * 1e3) / 1e3 AS avg_mean_r,
+       ROUND(AVG(CAST(delay AS DOUBLE)) * 1e3) / 1e3 AS avg_delay_cs
+FROM s GROUP BY 1
+"""
 
 
 def multimodal_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -627,7 +730,7 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "multimodal_decode_wav": QueryDef(
         multimodal_decode_wav,
-        None,
+        DECODE_WAV_SQL,
         "multimodal: REAL WAV encode->decode round-trip (RIFF/PCM16 parser, signal stats)",
     ),
     "multimodal_audio_features": QueryDef(
@@ -642,7 +745,7 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "multimodal_frame_sample_gif": QueryDef(
         multimodal_frame_sample_gif,
-        None,
+        FRAME_SAMPLE_GIF_SQL,
         "multimodal: REAL animated-GIF 1:N frame sampling (LZW codec, disposal compositing)",
     ),
     "multimodal_resize_png": QueryDef(
