@@ -69,9 +69,13 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     codec has no scope gate left). Both stages are Arrow-batched
     map-only mapInPandas; the codec ships by value in the closures.
 
-    Rows-only entry (a codec round-trip has no SQL dual); pixel-exact
-    round-trip, spec-literal palette/16-bit vectors, and the real-file
-    ``read_binary_files`` path are pinned in tests/test_operators.py."""
+    FULL DuckDB oracle since r12 (``DECODE_PNG_SQL``: every variant
+    tiles the text bytes, so each image's pixel mean is an exact
+    integer ratio derivable from per-byte moments — the hash compare
+    exercises filters 0-4, palette packing, tRNS→RGBA and 16-bit
+    samples end to end); pixel-exact round-trip, spec-literal
+    palette/16-bit vectors, and the real-file ``read_binary_files``
+    path are pinned in tests/test_operators.py."""
     from ..operators.multimodal import (
         decode_png_media,
         png_encode,
@@ -146,8 +150,74 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_images"),
         F.sum("width").cast("long").alias("sum_width"),
         F.sum("height").cast("long").alias("sum_height"),
-        F.round(F.avg("mean_px"), 3).alias("avg_mean_px"),
+        stable_round(F.avg("mean_px"), 3).alias("avg_mean_px"),
     )
+
+
+# Analytic dual (r12): all five PNG variants tile the document's text
+# bytes, so each decoded image's pixel mean is an exact integer ratio
+# derivable from three per-byte functions — the byte itself (gray/RGB/
+# 16-bit), byte%16 mapped through the arithmetic palette (channel sum
+# 25·idx), and byte%4 mapped through the tRNS palette (RGB sum + alpha:
+# 0/525/318/750). Every sum is exact BIGINT (numpy's pairwise mean over
+# integers is exact too); the only float ops are one division per doc
+# and the final group average. Hash-matching verifies the complete PNG
+# round-trip — filters 0-4, 4-bit palette packing, tRNS→RGBA expansion,
+# 16-bit samples, CRC/inflate/unfilter — against first principles.
+DECODE_PNG_SQL = """
+WITH d AS (
+  SELECT doc_id AS i, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h,
+         doc_id % 5 AS v,
+         CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END AS t
+  FROM documents
+), geo AS (
+  SELECT *, CASE WHEN v = 1 THEN w * h * 3 ELSE w * h END AS need FROM d
+), bb AS (
+  SELECT i, generate_subscripts(cs, 1) AS pos, UNNEST(cs) AS ch
+  FROM (SELECT i, string_split(t, '') AS cs FROM d)
+), f AS (
+  SELECT i, pos,
+         CAST(unicode(ch) AS BIGINT) AS g,
+         CAST(unicode(ch) % 16 AS BIGINT) AS m16,
+         CAST(CASE unicode(ch) % 4 WHEN 0 THEN 0 WHEN 1 THEN 525
+                                   WHEN 2 THEN 318 ELSE 750 END AS BIGINT) AS t4
+  FROM bb
+), agg AS (
+  SELECT i, COUNT(*) AS len_b, SUM(g) AS sg, SUM(m16) AS sm, SUM(t4) AS st
+  FROM f GROUP BY 1
+), pre AS (
+  SELECT f.i, SUM(f.g) AS pg, SUM(f.m16) AS pm, SUM(f.t4) AS pt
+  FROM f
+  JOIN (SELECT geo.i, geo.need % agg.len_b AS r
+        FROM geo JOIN agg USING (i)) rr
+    ON f.i = rr.i AND f.pos <= rr.r
+  GROUP BY 1
+), per AS (
+  SELECT geo.i, geo.v, geo.w, geo.h, geo.need, geo.need // agg.len_b AS q,
+         agg.sg, agg.sm, agg.st,
+         COALESCE(pre.pg, 0) AS pg, COALESCE(pre.pm, 0) AS pm,
+         COALESCE(pre.pt, 0) AS pt
+  FROM geo JOIN agg USING (i) LEFT JOIN pre USING (i)
+), m AS (
+  SELECT i, w, h,
+         CASE v WHEN 0 THEN 1 WHEN 4 THEN 1 WHEN 3 THEN 4 ELSE 3 END
+           AS n_channels,
+         CASE v
+           WHEN 0 THEN CAST(q * sg + pg AS DOUBLE) / need
+           WHEN 1 THEN CAST(q * sg + pg AS DOUBLE) / need
+           WHEN 2 THEN CAST(25 * (q * sm + pm) AS DOUBLE) / (3 * need)
+           WHEN 3 THEN CAST(q * st + pt AS DOUBLE) / (4 * need)
+           ELSE CAST(257 * (q * sg + pg) AS DOUBLE) / need
+         END AS mean_px
+  FROM per
+)
+SELECT CAST(n_channels AS INTEGER) AS n_channels,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       CAST(SUM(w) AS BIGINT) AS sum_width,
+       CAST(SUM(h) AS BIGINT) AS sum_height,
+       ROUND(AVG(mean_px) * 1e3) / 1e3 AS avg_mean_px
+FROM m GROUP BY 1
+"""
 
 
 def multimodal_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -740,7 +810,7 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "multimodal_decode_png": QueryDef(
         multimodal_decode_png,
-        None,
+        DECODE_PNG_SQL,
         "multimodal: REAL PNG encode->decode round-trip (pure-Python codec, CRC+inflate+unfilter)",
     ),
     "multimodal_frame_sample_gif": QueryDef(

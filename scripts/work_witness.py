@@ -195,6 +195,20 @@ def jpeg_decode_stage_probe(spark: SparkSession, sf_dir: str) -> dict:
         "decode_stage_executor_cpu_ms": round(
             (top.get("executorCpuTime") or 0) / 1e6
         ),
+        # ALL new stages, by run time. NB: mapInPandas work executes in
+        # PYTHON workers — executorCpuTime counts only the JVM task
+        # thread (Arrow shuttling), so for codec stages run_ms is the
+        # work signal and cpu_ms is expected to be tiny. The
+        # load-insensitive evidence is numTasks (fan-out) — run_ms is
+        # ambient-load-contaminated like any wall measure.
+        "stages": [
+            {
+                "tasks": s.get("numTasks"),
+                "run_ms": s.get("executorRunTime"),
+                "cpu_ms": round((s.get("executorCpuTime") or 0) / 1e6),
+            }
+            for s in sorted(new, key=lambda s: -(s.get("executorRunTime") or 0))
+        ],
     }
 
 
@@ -203,7 +217,19 @@ def main() -> None:
     ap.add_argument("--a", default="/root/repo/.bench/sf1")
     ap.add_argument("--b", default="/root/repo/.bench/sf10")
     ap.add_argument("--out", default="/root/repo/WITNESS_SF10.json")
+    ap.add_argument("--jpeg-only", action="store_true")
     args = ap.parse_args()
+
+    if args.jpeg_only:
+        spark = build_session()
+        out = {}
+        for tag, sf in (("a", args.a), ("b", args.b)):
+            out[tag] = {"sf": sf, "jpeg_decode": jpeg_decode_stage_probe(spark, sf)}
+        print(json.dumps(out, indent=2))
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
+        spark.stop()
+        return
 
     spark = build_session()
     out: dict = {"sf_a": args.a, "sf_b": args.b, "loadavg_note": (
