@@ -28,10 +28,19 @@ def main() -> None:
     # recall/latency trade is witnessed at two data scales.
     sf1_dir = os.environ.get("SPARK_GRAFT_SF1_DIR", "/root/repo/.bench/sf1")
     spark = get_spark(app_name="ann-frontier")
-    try:
-        load = [round(x, 2) for x in os.getloadavg()]
-    except OSError:
-        load = []
+
+    def _load() -> list[float]:
+        # stamped PER SECTION (r12, r11 verdict #4: the r11 artifact's
+        # sf0.1 timing column was taken at loadavg ≈ 20 and the sf1
+        # section carried no stamp at all — a repo that gates bench.py
+        # on both loadavg horizons must disclose the conditions of
+        # every published timing column)
+        try:
+            return [round(x, 2) for x in os.getloadavg()]
+        except OSError:
+            return []
+
+    load = _load()
     rows = ann_frontier(spark, sf_dir)
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "ANN.md")
     n_corpus = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet")).count()
@@ -73,10 +82,13 @@ def main() -> None:
         "",
     ]
     if os.path.isdir(sf1_dir):
+        load1 = _load()
         rows1 = ann_frontier(spark, sf1_dir)
         n1 = spark.read.parquet(os.path.join(sf1_dir, "embeddings.parquet")).count()
         lines += [
             f"## sf1 frontier ({n1} vectors, same {N_QUERIES} queries)",
+            "",
+            f"loadavg at section start: {load1}.",
             "",
             f"Same harness over `{sf1_dir}/embeddings.parquet` (the sharded",
             "10x corpus from scripts/make_scale.py). Recalls at sf1 are",
