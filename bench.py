@@ -127,6 +127,8 @@ HEADLINE = [
     "llm_dataset_pipeline_dsir",
     # r11: the streaming curation capstone (real foreachBatch execution).
     "llm_dataset_pipeline_stream",
+    # r12: the DSIR-ordered streaming capstone variant.
+    "llm_dataset_pipeline_stream_dsir",
 ]
 
 # FROZEN published set (r9 verdict #6): through r9 the compact stdout line
@@ -165,6 +167,8 @@ COMPACT_PUBLISH = [
     "llm_dataset_pipeline_dsir",
     # r11 addition (same tail rule): the streaming curation capstone
     "llm_dataset_pipeline_stream",
+    # r12 addition (same tail rule): the DSIR-ordered stream variant
+    "llm_dataset_pipeline_stream_dsir",
 ]
 
 

@@ -51,10 +51,19 @@ def minhash_perm_consts(num_hashes: int, seed: int) -> list[tuple[int, int]]:
     drift ``i·(2h + 104729) mod p``, a strongly correlated family whose
     min-hash estimates are not independent across i. Multiplying by
     Knuth's 2654435761 per index decorrelates the slopes; the md5-family
-    planted-recall test (tests/test_operators.py) gates it."""
+    planted-recall test (tests/test_operators.py) gates it.
+
+    Seed-robust by construction (r12 review: a naive
+    ``seed·const·(i+1) % p`` collapses EVERY slope through ``or 1`` at
+    seed=0): the base folds the seed into [1, p−1] first, and since p
+    is prime and neither factor is ≡ 0 (mod p), ``base`` is nonzero —
+    so the ``a_i = base·(i+1) mod p`` are pairwise DISTINCT and nonzero
+    for any seed and any num_hashes < p."""
+    base = ((seed % (MINHASH_P - 1)) + 1) * 1000003 % MINHASH_P
+    base = base * 2654435761 % MINHASH_P
     return [
         (
-            ((seed * 1000003) * (i + 1) * 2654435761) % MINHASH_P or 1,
+            base * (i + 1) % MINHASH_P,
             (seed * 7777777 + i * 104729) % MINHASH_P,
         )
         for i in range(num_hashes)

@@ -354,7 +354,9 @@ def _png_codec():
         idat = zlib.compress(b"".join(parts), 6)
         return SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", idat) + _chunk(b"IEND", b"")
 
-    def png_encode_palette(pixels, depth: int | None = None, trns=None) -> bytes:
+    def png_encode_palette(
+        pixels, depth: int | None = None, trns=None, palette=None
+    ) -> bytes:
         """Encode an (h, w, 3) uint8 RGB array as a REAL indexed-color
         PNG (color type 3): PLTE built from the image's distinct colors
         (spec limit 256 — no quantizer, same discipline as gif_encode),
@@ -362,14 +364,34 @@ def _png_codec():
         {1, 2, 4, 8} bits per index (default: the smallest depth that
         fits the palette). Filters cycle (0, 2) — None and Up, the two
         that are byte-transparent at sub-byte depths — so the decoder's
-        filter path is exercised on packed scanlines too."""
+        filter path is exercised on packed scanlines too.
+
+        ``palette`` (r12, review finding): an EXPLICIT (n, 3) palette in
+        caller-chosen order. Without it the PLTE is ``np.unique`` of the
+        colors actually present, so a positional ``trns`` table silently
+        re-aligns whenever an image happens to omit a palette entry —
+        callers pairing trns with a fixed color↔alpha mapping (the
+        decode_png catalog generator) must pass the palette explicitly.
+        Every pixel must exactly match a palette row."""
         px = np.asarray(pixels, dtype=np.uint8)
         if px.ndim != 3 or px.shape[2] != 3:
             raise ValueError("palette encode expects an (h, w, 3) RGB array")
         h, w = px.shape[:2]
         if h == 0 or w == 0:
             raise ValueError("palette encode expects a non-empty image")
-        palette, inverse = np.unique(px.reshape(-1, 3), axis=0, return_inverse=True)
+        if palette is not None:
+            pal = np.asarray(palette, dtype=np.uint8)
+            if pal.ndim != 2 or pal.shape[1] != 3:
+                raise ValueError("explicit palette must be (n, 3)")
+            flat = px.reshape(-1, 3)
+            eq = (flat[:, None, :] == pal[None, :, :]).all(axis=2)
+            if not eq.any(axis=1).all():
+                raise ValueError("pixel color not present in explicit palette")
+            palette, inverse = pal, eq.argmax(axis=1)
+        else:
+            palette, inverse = np.unique(
+                px.reshape(-1, 3), axis=0, return_inverse=True
+            )
         if len(palette) > 256:
             raise ValueError(f"{len(palette)} distinct colors > 256 (no quantizer)")
         min_depth = next(d for d in (1, 2, 4, 8) if len(palette) <= (1 << d))

@@ -86,7 +86,15 @@ def ml_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface) stays numpy-pinned in tests/test_ml.py."""
     from .embeddings import rounded_centroids
 
-    e = load_table(spark, sf_dir, "embeddings")
+    # symmetric NULL/empty-embedding guard (r12 review, the simhash-fix
+    # class): the dual's UNNEST emits no rows for a NULL/[] embedding —
+    # the vec would vanish there while the fold here counted it with a
+    # NULL prediction. Element-level NULLs inside a non-empty array
+    # remain out of contract (the embeddings schema is non-null float
+    # lists).
+    e = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("embedding").isNotNull() & (F.size("embedding") > 0)
+    )
     packed = rounded_centroids(e).agg(
         F.array_sort(
             F.collect_list(
@@ -105,15 +113,17 @@ def ml_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
-    best = F.aggregate(
-        F.col("cents"),
-        F.struct(
-            F.lit(float("inf")).alias("d"), F.lit(None).cast("long").alias("l")
-        ),
-        lambda acc, cs: F.when(
-            dist_to(cs["centroid"]) < acc["d"],
-            F.struct(dist_to(cs["centroid"]).alias("d"), cs["c_label"].alias("l")),
-        ).otherwise(acc),
+    # one distance evaluation per centroid (r12 review: a WHEN-based fold
+    # evaluates the d-element dist lambda twice per step — higher-order
+    # lambdas get no common-subexpression elimination), then array_min's
+    # lexicographic struct order IS the (dist asc, label asc) argmin
+    best = F.array_min(
+        F.transform(
+            F.col("cents"),
+            lambda cs: F.struct(
+                dist_to(cs["centroid"]).alias("d"), cs["c_label"].alias("l")
+            ),
+        )
     )
     pred = e.join(F.broadcast(packed)).select(
         F.col("label").cast("long").alias("label"), best["l"].alias("prediction")
@@ -129,9 +139,12 @@ def ml_nearest_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ROW_NUMBER dual of the map-only broadcast fold above.
 ML_NEAREST_CENTROID_SQL = """
 WITH flat AS (
+  -- NULL/[] guard mirrors the Spark-side filter (UNNEST would drop the
+  -- vec here silently while the fold counted it)
   SELECT vec_id, label, UNNEST(embedding) AS v,
          generate_subscripts(embedding, 1) AS i
   FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) > 0
 ), cent AS (
   SELECT label AS c_label, i,
          (ROUND(SUM(CAST(v AS DOUBLE)) / COUNT(*) * 1e6) / 1e6) AS cv
@@ -947,7 +960,16 @@ def _per_group_ols_sql() -> str:
     single-sourced generation, no hand-transcribed algebra to drift.
     RMSE comes from joining the full-precision coefficients back to the
     rows (numerically stabler than the moment identity); the final 6dp
-    rounding matches the Spark side's ``stable_round``."""
+    rounding matches the Spark side's ``stable_round``.
+
+    Group-presence symmetry (r12 review): the final SELECT left-joins
+    from the DISTINCT label set, so a group whose every row has a NULL
+    feature still emits (grp, n_rows=0, NULL coefficients) exactly like
+    the applyInPandas side. Rank-DEFICIENT groups with n ≥ 4 are out of
+    contract: numpy's lstsq would return the min-norm solution where
+    Cramer's NULLIF(det,0) returns NULL — the embeddings features are
+    continuous (full rank w.p. 1), and the deterministic corpora are
+    verified full-rank by the parity sweep itself."""
     from itertools import permutations
 
     A = [
@@ -1008,14 +1030,17 @@ WITH pts AS (
          END AS rmse_raw
   FROM c JOIN pts p ON p.grp = c.grp
   GROUP BY 1, 2, 3, 4, 5, 6
+), grps AS (
+  SELECT DISTINCT CAST(label AS VARCHAR) AS grp FROM embeddings
 )
-SELECT grp, n_rows,
-       ROUND(c0 * 1e6) / 1e6 AS b0,
-       ROUND(c1 * 1e6) / 1e6 AS b1,
-       ROUND(c2 * 1e6) / 1e6 AS b2,
-       ROUND(c3 * 1e6) / 1e6 AS b3,
-       ROUND(rmse_raw * 1e6) / 1e6 AS rmse
-FROM r
+SELECT g.grp,
+       CAST(COALESCE(r.n_rows, 0) AS BIGINT) AS n_rows,
+       ROUND(r.c0 * 1e6) / 1e6 AS b0,
+       ROUND(r.c1 * 1e6) / 1e6 AS b1,
+       ROUND(r.c2 * 1e6) / 1e6 AS b2,
+       ROUND(r.c3 * 1e6) / 1e6 AS b3,
+       ROUND(r.rmse_raw * 1e6) / 1e6 AS rmse
+FROM grps g LEFT JOIN r ON r.grp = g.grp
 """
 
 

@@ -124,7 +124,16 @@ def multimodal_decode_png(spark: SparkSession, sf_dir: str) -> DataFrame:
                         [[0, 0, 0], [80, 90, 100], [160, 10, 20], [240, 250, 5]],
                         dtype=_np.uint8,
                     )
-                    payloads.append(enc_pal(colors[idx], trns=[0, 255, 128]))
+                    # EXPLICIT palette (r12 review): np.unique-derived
+                    # PLTE order re-aligns the positional tRNS table
+                    # whenever a doc's bytes happen to omit a residue
+                    # class, silently breaking the residue→alpha map the
+                    # analytic dual assumes (and crashing below 3
+                    # distinct residues). Pinning the palette keeps
+                    # index == byte%4 for every document.
+                    payloads.append(
+                        enc_pal(colors[idx], trns=[0, 255, 128], palette=colors)
+                    )
                 else:  # 16-bit grayscale
                     need = w * h
                     px16 = (

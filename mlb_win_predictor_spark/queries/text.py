@@ -2106,7 +2106,11 @@ def unigram_logprob_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_klnc"
         ),
     )
-    if input_bytes(raw) >= _UNIGRAM_PIN_MIN_BYTES:
+    # pin unless the input is KNOWN small: input_bytes returns -1 for
+    # non-file sources, and an unknown size must default to pinning —
+    # skipping on unknown would drop the pin exactly in the at-scale
+    # scenario it exists for (r12 review)
+    if not 0 <= input_bytes(raw) < _UNIGRAM_PIN_MIN_BYTES:
         per_doc = per_doc.localCheckpoint(eager=False)
     total = per_doc.agg(F.sum("n_tokens").cast("double").alias("n_total"))
     return per_doc.crossJoin(F.broadcast(total)).select(
@@ -2893,6 +2897,14 @@ def llm_dataset_pipeline_stream(
         )
         .distinct()
     )
+    # DSIR variant (r12): train the bucket model batch-side on the
+    # NON-BENCH corpus (v3's eval-must-not-influence-selection rule) and
+    # hand it to the stream as a 2-KB literal. Trained BEFORE any scratch
+    # state is allocated (r12 review: a training failure after mkdtemp /
+    # broadcast would leak both — the cleanup sits in the finally below).
+    model = (
+        dsir_bucket_model(spark, sf_dir, docs=d.filter(~is_bench)) if dsir else None
+    )
     bits = spark.sparkContext.broadcast(bloom_build(bench_grams))
 
     root = tempfile.mkdtemp(prefix="mlbwp_llm_stream_")
@@ -2922,13 +2934,6 @@ def llm_dataset_pipeline_stream(
         "tokens_clean",
         "tokens_final",
     )
-    # DSIR variant (r12): train the bucket model batch-side on the
-    # NON-BENCH corpus (v3's eval-must-not-influence-selection rule)
-    # and hand it to the stream as a 2-KB literal — within-epoch budget
-    # spending then goes to each source's most target-like docs.
-    model = (
-        dsir_bucket_model(spark, sf_dir, docs=d.filter(~is_bench)) if dsir else None
-    )
     try:
         q = llm_curation_stream(
             stream,
@@ -2954,10 +2959,12 @@ def llm_dataset_pipeline_stream(
             .collect()
         )
     finally:
-        # release the Bloom bitset broadcast (r11 advice: the scratch
-        # dirs were deleted to avoid per-invocation accumulation, but
-        # each call still leaked one broadcast on driver + executors)
-        bits.unpersist(blocking=False)
+        # destroy (not just unpersist) the Bloom bitset broadcast:
+        # unpersist only drops executor copies — the driver-held value
+        # and the on-disk broadcast artifact survive until destroy, so
+        # repeated invocations would still accumulate driver state
+        # (r11 advice + r12 review). bits is never used after this.
+        bits.destroy()
         shutil.rmtree(root, ignore_errors=True)
     return spark.createDataFrame(
         rows, "source string, " + ", ".join(f"{c} long" for c in counters)

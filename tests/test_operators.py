@@ -118,12 +118,15 @@ def test_minhash_banded_md5_family_recall(spark, docs):
         minhash_perm_consts,
     )
 
-    consts = minhash_perm_consts(32, 42)
-    slopes = [a for a, _ in consts]
-    assert len(set(slopes)) == 32
-    gaps = sorted(abs(x - y) for x, y in zip(sorted(slopes), sorted(slopes)[1:]))
-    assert gaps[0] > 1000, f"near-consecutive a_i reintroduced: min gap {gaps[0]}"
-    assert all(0 < a < MINHASH_P for a in slopes)
+    for seed in (42, 0, 1, 123456789):  # seed=0 is the degeneracy trap
+        consts = minhash_perm_consts(32, seed)
+        slopes = [a for a, _ in consts]
+        assert len(set(slopes)) == 32, f"seed {seed}: collapsed slopes"
+        gaps = sorted(
+            abs(x - y) for x, y in zip(sorted(slopes), sorted(slopes)[1:])
+        )
+        assert gaps[0] > 1000, f"seed {seed}: near-consecutive a_i (gap {gaps[0]})"
+        assert all(0 < a < MINHASH_P for a in slopes)
 
 
 def test_minhash_banded_pairs_match_exact_jaccard(spark, docs):
