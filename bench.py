@@ -344,7 +344,17 @@ def main() -> None:
         "loadavg_before": load_before,
         "loadavg_after": _loadavg(),
     }
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json")
+    # Ad-hoc BENCH_QUERIES subset runs must NOT overwrite the judged
+    # full-headline artifact (r12: an interleaved A/B leg clobbered the
+    # committed BENCH_DETAIL.json with a one-entry version).
+    detail_name = (
+        "BENCH_DETAIL_adhoc.json"
+        if os.environ.get("BENCH_QUERIES")
+        else "BENCH_DETAIL.json"
+    )
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), detail_name
+    )
     with open(detail_path, "w") as f:
         json.dump(detail, f, indent=1)
     print(f"full detail (spread, runs): {detail_path}", file=sys.stderr)

@@ -527,6 +527,13 @@ def llm_curation_stream(
             F.split(F.trim(F.col("text")), r"\s+").alias("toks"),
         )
         n_tok, q = llm_quality_expr(F.col("toks"))
+        # ``toks`` is deliberately DROPPED here even though the DSIR
+        # weighting stage below re-splits clean docs' text: carrying the
+        # array through the persisted ``deduped`` frame measured 15-20%
+        # SLOWER at sf0.1 (two interleaved single-JVM A/Bs, both leg
+        # orders — PLANS.md r12) — serializing token arrays into the
+        # persist costs more than one regex split over the clean subset,
+        # the same result as the batch ``toked``-cache A/B.
         flagged = toked.select(
             "doc_id", "source", "text", n_tok.cast("long").alias("n_toks"), q.alias("q")
         )
