@@ -744,10 +744,20 @@ def recursive_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: each iteration is one hash join of the frontier against the
     static ``part`` scan; depth is log10(max key), so the loop runs a
     handful of iterations even at 100 TB key ranges, and each level's
-    frontier is a partitioned DataFrame — no driver-side accumulation."""
+    frontier is a partitioned DataFrame — no driver-side accumulation.
+    The recursion's TOTAL row count is structurally |part| (the k→k/10
+    tree has a single parent per node, so the walk visits each part
+    exactly once), but Spark's runaway-recursion safety valve
+    ``spark.sql.cteRecursionRowLimit`` defaults to 1M rows and aborts
+    the query one decade up (found by the r12 sf10 extension sweep:
+    RECURSION_ROW_LIMIT_EXCEEDED at |part| = 2M). The valve is a
+    per-query guard, not a capability bound — raise it to its int max
+    while keeping the depth valve (default 100 ≫ log10)."""
     from ..session import register_views
 
     register_views(spark, sf_dir)
+    # the conf is a JVM int; 2^31−1 is the largest accepted value
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(2**31 - 1))
     return spark.sql(RECURSIVE_HIERARCHY_SQL)
 
 
