@@ -843,10 +843,23 @@ def decode_png_media(media: DataFrame) -> DataFrame:
     inflate, unfilter) into dimensions + pixel statistics; non-PNG rows
     are dropped (a production pipeline unions per-mime decoders, each
     map-only). Arrow-batched mapInPandas, 1:1 on PNG rows, no shuffle;
-    the codec travels by value inside the closure (see ``_png_codec``)."""
+    the codec travels by value inside the closure (see ``_png_codec``).
+
+    Pixel stats use the exact-moment identity over INTEGER sums
+    (mean = S/n; std = sqrt(max(SS/n − (S/n)², 0))) rather than
+    ``px.std()``: S and SS are exact integers for any 8/16-bit image
+    this codec can emit, so every float op is one correctly-rounded
+    IEEE step a SQL dual can reproduce BIT-identically — numpy's
+    two-pass std folds intermediate float error in a numpy-private
+    order no other engine can replay (r12, the WAV-moment precedent).
+    For constant images the subtraction is exactly 0; the max() guards
+    the general tiny-negative case symmetrically with the dual's
+    GREATEST."""
     decode = png_decode
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math as _math
+
         import pandas as _pd
 
         for pdf in batches:
@@ -859,8 +872,12 @@ def decode_png_media(media: DataFrame) -> DataFrame:
                 ws.append(w)
                 hs.append(h)
                 cs.append(c)
-                means.append(float(px.mean()))
-                stds.append(float(px.std()))
+                arr = px.astype("int64")
+                n = arr.size
+                s = int(arr.sum())
+                ss = int((arr * arr).sum())
+                means.append(s / n)
+                stds.append(_math.sqrt(max(ss / n - (s / n) * (s / n), 0.0)))
             yield _pd.DataFrame(
                 {
                     "doc_id": ids,

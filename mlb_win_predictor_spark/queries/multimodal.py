@@ -615,9 +615,13 @@ def multimodal_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     to 16x12 + RE-ENCODED as real PNGs by
     ``operators.multimodal.resize_png_media``, and the digest re-decodes
     the new payloads with the full parser — proving the resized bytes
-    are themselves valid PNGs of exactly the target dims. Rows-only;
-    three Arrow-batched map-only stages, zero shuffle until the final
-    digest agg."""
+    are themselves valid PNGs of exactly the target dims. FULL DuckDB
+    oracle since r12 (``RESIZE_PNG_SQL``): nearest-neighbor is a pure
+    integer index map over the tiled text bytes, so the dual re-derives
+    every resized pixel from (doc_id, text) and the hash compare
+    witnesses the decode → resample → re-encode → re-decode loop
+    end to end. Three Arrow-batched map-only stages, zero shuffle until
+    the final digest agg."""
     from ..operators.multimodal import decode_png_media, png_encode, resize_png_media
 
     enc = png_encode
@@ -652,9 +656,65 @@ def multimodal_resize_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     redecoded = decode_png_media(resized.select("doc_id", "mime", "payload"))
     return redecoded.groupBy("width", "height", "n_channels").agg(
         F.count(F.lit(1)).alias("n_images"),
-        F.round(F.avg("mean_px"), 3).alias("avg_mean_px"),
-        F.round(F.avg("std_px"), 3).alias("avg_std_px"),
+        stable_round(F.avg("mean_px"), 3).alias("avg_mean_px"),
+        stable_round(F.avg("std_px"), 3).alias("avg_std_px"),
     )
+
+
+# Analytic dual (r12): nearest-neighbor resize is a pure INDEX map —
+# target pixel (y', x', ch) reads source flat offset
+# ((y'·h)//12·w + (x'·w)//16)·c + ch of the tiled byte array, so the
+# resized image's pixel multiset is derivable from (doc_id, text)
+# without any codec: 192·c cells per doc join back to the doc's byte
+# at (flat mod len). S and SS are exact BIGINTs; mean/std use the
+# moment identity in the SAME IEEE op order as decode_png_media
+# (S/n; sqrt(max(SS/n − (S/n)·(S/n), 0))). Hash-matching proves the
+# full decode → resample → RE-ENCODE → re-decode loop is lossless and
+# lands exactly on the index map's bytes.
+RESIZE_PNG_SQL = """
+WITH d AS (
+  SELECT doc_id AS i, 4 + doc_id % 13 AS w, 4 + doc_id % 11 AS h,
+         CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END AS c,
+         CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END AS t
+  FROM documents
+), b AS (
+  SELECT i, pos - 1 AS pos0, CAST(unicode(ch) AS BIGINT) AS byte
+  FROM (SELECT i, generate_subscripts(cs, 1) AS pos, UNNEST(cs) AS ch
+        FROM (SELECT i, string_split(t, '') AS cs FROM d))
+), len AS (
+  SELECT i, COUNT(*) AS len_b FROM b GROUP BY 1
+), cells AS (
+  SELECT d.i, d.c,
+         (((yy.y * d.h) // 12) * d.w + ((xx.x * d.w) // 16)) * d.c + cc.ch
+           AS flat
+  FROM d
+  CROSS JOIN range(0, 12) yy(y)
+  CROSS JOIN range(0, 16) xx(x)
+  CROSS JOIN range(0, 3) cc(ch)
+  WHERE cc.ch < d.c
+), stats AS (
+  SELECT cells.i, cells.c, COUNT(*) AS n,
+         SUM(b.byte) AS s, SUM(b.byte * b.byte) AS ss
+  FROM cells
+  JOIN len USING (i)
+  JOIN b ON b.i = cells.i AND b.pos0 = cells.flat % len.len_b
+  GROUP BY 1, 2
+), doc AS (
+  SELECT i, c,
+         CAST(s AS DOUBLE) / n AS mean_px,
+         SQRT(GREATEST(
+           CAST(ss AS DOUBLE) / n
+             - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n),
+           0.0)) AS std_px
+  FROM stats
+)
+SELECT CAST(16 AS INTEGER) AS width, CAST(12 AS INTEGER) AS height,
+       CAST(c AS INTEGER) AS n_channels,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       ROUND(AVG(mean_px) * 1e3) / 1e3 AS avg_mean_px,
+       ROUND(AVG(std_px) * 1e3) / 1e3 AS avg_std_px
+FROM doc GROUP BY 3
+"""
 
 
 def multimodal_image_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -829,7 +889,7 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "multimodal_resize_png": QueryDef(
         multimodal_resize_png,
-        None,
+        RESIZE_PNG_SQL,
         "multimodal: REAL image resize (decode -> nearest-neighbor -> re-encode, re-decoded proof)",
     ),
     "multimodal_image_embed": QueryDef(

@@ -554,6 +554,79 @@ def test_png_palette_roundtrip_trns_and_spec_literal():
     assert out.reshape(2, 4).tolist() == [[0, 85, 170, 255], [255, 170, 85, 0]]
 
 
+def test_png_palette_explicit_order_pins_trns_alignment(spark, tmp_path):
+    """r12 review regression: variant-3 PNG docs pair a POSITIONAL tRNS
+    table with a fixed color↔alpha map, so the encoder must emit the
+    caller's palette order even when an image omits palette entries —
+    ``np.unique``-derived PLTE order silently re-assigns alphas (or
+    crashes when tRNS outgrows the compacted palette). Part 1 pins the
+    encoder semantics directly; part 2 runs the ``multimodal_decode_png``
+    entry against its analytic DuckDB dual on a crafted corpus whose
+    every variant-3 doc hits a residue subset that used to misalign
+    ({0,1,3}, {1,3}) or collapse to one color ({0})."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from mlb_win_predictor_spark.operators.multimodal import (
+        png_decode,
+        png_encode_palette,
+    )
+
+    colors = np.array(
+        [[0, 0, 0], [80, 90, 100], [160, 10, 20], [240, 250, 5]], dtype=np.uint8
+    )
+    # image uses palette rows {0, 1, 3} — row 2 absent
+    px = colors[np.array([[0, 1], [3, 1]])]
+    w, h, c, out = png_decode(
+        png_encode_palette(px, trns=[0, 255, 128], palette=colors)
+    )
+    assert (w, h, c) == (2, 2, 4)
+    assert np.array_equal(out[:, :, :3], px)
+    # alpha follows the EXPLICIT palette position: row 3 is beyond the
+    # 3-entry tRNS table -> opaque per §11.3.2
+    assert out[:, :, 3].tolist() == [[0, 255], [255, 255]]
+    # without the explicit palette, np.unique compacts {0,1,3}->{0,1,2}
+    # and row 3 inherits absent row 2's alpha 128 — the documented bug
+    _, _, _, out_u = png_decode(png_encode_palette(px, trns=[0, 255, 128]))
+    assert out_u[1, 0, 3] == 128
+    # <3 distinct colors used to CRASH (tRNS longer than compacted PLTE)
+    px2 = colors[np.array([[1, 3], [3, 1]])]
+    _, _, _, out2 = png_decode(
+        png_encode_palette(px2, trns=[0, 255, 128], palette=colors)
+    )
+    assert np.array_equal(out2[:, :, :3], px2)
+    assert set(out2[:, :, 3].reshape(-1).tolist()) == {255}
+
+    # part 2: entry vs analytic dual on the adversarial corpus (doc_id
+    # % 5 == 3 -> variant 3; texts chosen for the residue subsets above)
+    from mlb_win_predictor_spark.queries.multimodal import (
+        DECODE_PNG_SQL,
+        multimodal_decode_png,
+    )
+    from tests.oracle import compare
+
+    rows = [
+        (3, "a cat"),  # byte%4 residues {0, 1, 3}
+        (8, "gag"),  # residues {1, 3}
+        (13, "dd"),  # residue {0} — a single palette color
+        (18, "the quick brown fox"),  # control: all four residues
+        (0, "gray doc"),
+        (1, "rgb doc"),
+        (2, "indexed doc"),
+        (4, "sixteen bit doc"),
+    ]
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    compare(multimodal_decode_png(spark, str(tmp_path)), con, DECODE_PNG_SQL)
+
+
 def test_png_trns_transparency_key_gray_rgb():
     """§11.3.2 transparency KEY on non-indexed images: a tRNS chunk on
     grayscale (one 2-byte sample) or truecolor (three 2-byte samples)
