@@ -1162,19 +1162,71 @@ SELECT source, doc_id, CAST(rn AS BIGINT) AS rn FROM (
 SAMPLE_FRACTIONS = {"en": 0.5, "fr": 0.3, "es": 0.3, "de": 0.3, "zh": 0.3}
 
 
+STRATIFIED_SALT = "strat42-"
+
+
+def _strat_thresholds() -> dict[str, int]:
+    """Per-stratum integer keep-thresholds, single-sourced into BOTH the
+    Spark gate and the SQL dual (the minhash-consts precedent): keep a
+    row iff md5_int32(salt||doc_id) < floor(frac·2^32) — an exact
+    integer compare, no float boundary on either engine."""
+    return {lang: int(f * (1 << 32)) for lang, f in SAMPLE_FRACTIONS.items()}
+
+
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stratified sampling via sampleBy (per-stratum Bernoulli, seeded) —
-    the class-balancing / downsampling primitive of a training-data
-    pipeline. Map-only: each task keeps rows by per-stratum coin flips;
-    no shuffle until the digest agg. Rows-only: the kept set is
-    seed+partitioning dependent; proportions are pytest-asserted."""
+    """Stratified Bernoulli sampling via a PORTABLE HASH GATE — the
+    class-balancing / downsampling primitive of a training-data
+    pipeline. Map-only: each task keeps rows by a per-stratum integer
+    threshold on ``md5_int32(salt || doc_id)``; no shuffle until the
+    digest agg. FULL DuckDB oracle since r12.
+
+    r12 upgrade (was ``df.sampleBy(seed=42)``): Spark's sampler draws a
+    per-PARTITION pseudorandom stream (seed + partition index), so the
+    kept SET — not just its size — changes with input layout, AQE
+    coalescing, or a task retry that re-splits. At 100 TB that makes
+    "the sampled corpus" irreproducible between runs of the same seed.
+    The hash gate is a pure function of the ROW, so any partitioning,
+    any retry, and any engine keeps the identical set — the
+    ``hash_split_digest`` / ``balanced_mixture_sample`` discipline
+    applied to stratified sampling (per-stratum keep probability =
+    threshold/2^32, exact to float precision of the fraction). The
+    ``sampleBy`` surface itself stays pytest-covered as the MLlib-API
+    primitive (proportions band)."""
+    from ..functions.scalars import md5_int32
+
     d = load_table(spark, sf_dir, "documents")
-    s = d.sampleBy("lang", SAMPLE_FRACTIONS, seed=42)
+    th = _strat_thresholds()
+    gate = F.create_map(
+        *[x for lang, t in sorted(th.items()) for x in (F.lit(lang), F.lit(t))]
+    )
+    u = md5_int32(F.concat(F.lit(STRATIFIED_SALT), F.col("doc_id").cast("string")))
+    s = d.filter(u < F.coalesce(gate[F.col("lang")], F.lit(0)))
     return s.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
 
 
+def _stratified_sample_sql() -> str:
+    """Generated dual — thresholds inlined from the same dict."""
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {t}" for lang, t in sorted(_strat_thresholds().items())
+    )
+    return f"""
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_sampled
+FROM documents
+WHERE CAST(concat('0x', substr(md5('{STRATIFIED_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT)
+      < CASE lang {cases} ELSE 0 END
+GROUP BY lang
+"""
+
+
+STRATIFIED_SAMPLE_SQL = _stratified_sample_sql()
+
+
 QUERIES: dict[str, QueryDef] = {
-    "stratified_sample": QueryDef(stratified_sample, None, "stratified sampleBy"),
+    "stratified_sample": QueryDef(
+        stratified_sample,
+        STRATIFIED_SAMPLE_SQL,
+        "stratified hash-Bernoulli sample (portable gate, partition-independent)",
+    ),
     "hash_split_digest": QueryDef(
         hash_split_digest, HASH_SPLIT_SQL, "deterministic hash train/dev/test split"
     ),

@@ -60,7 +60,13 @@ def test_minhash_finds_planted_near_dups(spark, docs):
 
 
 def test_stratified_sample_proportions(spark):
-    from mlb_win_predictor_spark.queries.ml import SAMPLE_FRACTIONS, stratified_sample
+    from mlb_win_predictor_spark.functions.scalars import md5_int32
+    from mlb_win_predictor_spark.queries.ml import (
+        SAMPLE_FRACTIONS,
+        STRATIFIED_SALT,
+        _strat_thresholds,
+        stratified_sample,
+    )
 
     d = load_table(spark, "/root/testdata/sf0.01", "documents")
     totals = {r.lang: r.n for r in d.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
@@ -68,9 +74,25 @@ def test_stratified_sample_proportions(spark):
     for lang, frac in SAMPLE_FRACTIONS.items():
         got = sampled.get(lang, 0) / totals[lang]
         assert abs(got - frac) < 0.2, f"{lang}: got {got:.2f}, want ~{frac}"
-    # deterministic under a fixed seed and input partitioning
-    again = {r.lang: r.n_sampled for r in stratified_sample(spark, "/root/testdata/sf0.01").collect()}
-    assert sampled == again
+    # the r12 point of the hash gate: the kept SET (not just its size) is
+    # a pure function of the row — identical under ANY input partitioning
+    th = _strat_thresholds()
+    gate = F.create_map(
+        *[x for lang, t in sorted(th.items()) for x in (F.lit(lang), F.lit(t))]
+    )
+    u = md5_int32(F.concat(F.lit(STRATIFIED_SALT), F.col("doc_id").cast("string")))
+    keep = u < F.coalesce(gate[F.col("lang")], F.lit(0))
+    ids_1part = sorted(r.doc_id for r in d.coalesce(1).filter(keep).select("doc_id").collect())
+    ids_7part = sorted(r.doc_id for r in d.repartition(7).filter(keep).select("doc_id").collect())
+    assert ids_1part == ids_7part and len(ids_1part) > 0
+    # the MLlib sampleBy surface stays covered as a primitive: seeded
+    # per-stratum Bernoulli lands in the same proportions band (its kept
+    # set is partition-dependent — exactly why the entry moved off it)
+    by = d.sampleBy("lang", SAMPLE_FRACTIONS, seed=42)
+    got_by = {r.lang: r.n for r in by.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, frac in SAMPLE_FRACTIONS.items():
+        got = got_by.get(lang, 0) / totals[lang]
+        assert abs(got - frac) < 0.2, f"sampleBy {lang}: got {got:.2f}, want ~{frac}"
 
 
 def test_minhash_banded_finds_planted_near_dups(spark, docs):
