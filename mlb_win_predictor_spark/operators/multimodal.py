@@ -1443,32 +1443,62 @@ def image_features_media(media: DataFrame, grid: int = 8) -> DataFrame:
     stats — exactly the kind of cheap content signature a 100 TB media
     lake computes once and feeds to the similarity operators
     (``operators.similarity`` consumes the array column unchanged).
-    Map-only mapInPandas; deterministic; non-PNG rows dropped."""
+    Map-only mapInPandas; deterministic; non-PNG rows dropped.
+
+    Luma uses PER-MILLE integer BT.601 weights (r12): the numerator
+    ``299·R + 587·G + 114·B`` is an exact integer per pixel, so every
+    statistic derives from exact BIGINT moment sums (S, SS) and the few
+    float ops that remain (one division per value, the moment-identity
+    std/norm, the centered-and-scaled embedding values) are each a
+    single correctly-rounded IEEE step a SQL dual replays BIT-identically
+    — the same discipline as ``decode_png_media``. The former float
+    ``0.299·R + 0.587·G + 0.114·B`` differs only in the last ulps (three
+    roundings folded into one) but its numpy pairwise mean/std/matmul
+    accumulate in a numpy-private order no other engine can reproduce."""
     dec, rs = png_decode, _resize_nearest
 
     def embed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math as _math
+
         import numpy as _np
         import pandas as _pd
 
-        w601 = _np.array([0.299, 0.587, 0.114])
         for pdf in batches:
             ids, embs, means, stds = [], [], [], []
             for doc_id, mime, payload in zip(pdf["doc_id"], pdf["mime"], pdf["payload"]):
                 if mime != "image/png":
                     continue
                 _w, _h, c, px = dec(bytes(payload))
-                luma = (
-                    px[:, :, :3].astype(_np.float64) @ w601
-                    if c >= 3
-                    else px[:, :, 0].astype(_np.float64)
+                p64 = px.astype(_np.int64)
+                if c >= 3:
+                    lm = p64[:, :, 0] * 299 + p64[:, :, 1] * 587 + p64[:, :, 2] * 114
+                else:
+                    lm = p64[:, :, 0] * 1000
+                n_px = lm.size
+                s_f = int(lm.sum())
+                ss_f = int((lm * lm).sum())
+                mean = s_f / (n_px * 1000.0)
+                std = _math.sqrt(
+                    max(ss_f / (n_px * 1000000.0) - mean * mean, 0.0)
                 )
-                patch = rs(luma[:, :, None], grid, grid)[:, :, 0].reshape(-1)
-                v = patch - patch.mean()
-                nrm = _np.linalg.norm(v)
+                pm = rs(lm[:, :, None], grid, grid)[:, :, 0].reshape(-1)
+                n = pm.size
+                s = int(pm.sum())
+                ss = int((pm * pm).sum())
+                t = s / (n * 1000.0)
+                nrm = _math.sqrt(
+                    max(ss / 1e6 - (s / 1000.0) * (s / 1000.0) / n, 0.0)
+                )
+                if nrm > 0:
+                    emb = [
+                        _np.float32((float(m) / 1000.0 - t) / nrm) for m in pm
+                    ]
+                else:
+                    emb = [_np.float32(0.0)] * n
                 ids.append(doc_id)
-                embs.append((v / nrm if nrm > 0 else v).astype("float32").tolist())
-                means.append(float(luma.mean()))
-                stds.append(float(luma.std()))
+                embs.append([float(x) for x in emb])
+                means.append(mean)
+                stds.append(std)
             yield _pd.DataFrame(
                 {
                     "doc_id": ids,

@@ -720,11 +720,15 @@ FROM doc GROUP BY 3
 def multimodal_image_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image feature extraction (non-stub upgrade of the embed
     stub): real PNGs → ``operators.multimodal.image_features_media``
-    (decode, BT.601 luma, 8x8 patch resample, mean-centered
-    unit-normalized 64-dim embedding) — the content signature that feeds
-    ``operators.similarity`` unchanged. Digest consumes the embedding
-    with NATIVE array expressions (L2 norm via F.aggregate — must be 1.0
-    for any non-constant image) per luma decile. Rows-only; map-only
+    (decode, per-mille integer BT.601 luma, 8x8 patch resample,
+    mean-centered unit-normalized 64-dim embedding) — the content
+    signature that feeds ``operators.similarity`` unchanged. Digest
+    consumes the embedding with NATIVE array expressions (L2 norm via
+    F.aggregate — must be 1.0 for any non-constant image) per luma
+    decile. FULL DuckDB oracle since r12 (``IMAGE_EMBED_SQL``): the
+    integer-moment luma discipline makes the entire chain — decode,
+    index-map resample, centering, normalization, float32 embedding,
+    left-fold l2 — replayable from (doc_id, text) op for op. Map-only
     until the digest agg."""
     from ..operators.multimodal import image_features_media, png_encode
 
@@ -767,11 +771,100 @@ def multimodal_image_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("luma_band")
         .agg(
             F.count(F.lit(1)).alias("n_images"),
-            F.round(F.avg("l2"), 6).alias("avg_l2"),
-            F.round(F.avg("std_luma"), 3).alias("avg_std_luma"),
+            stable_round(F.avg("l2"), 6).alias("avg_l2"),
+            stable_round(F.avg("std_luma"), 3).alias("avg_std_luma"),
         )
         .orderBy("luma_band")
     )
+
+
+# Analytic dual (r12): the embed pipeline is lossless-PNG round-trip →
+# per-mille integer luma (299R+587G+114B, an exact BIGINT per pixel) →
+# nearest-neighbor 8×8 index map → moment-identity centering/
+# normalization → float32 embedding. Every sum the statistics need
+# (S, SS over the full image; S64, SS64 over the 64 grid cells) is an
+# exact integer derivable from (doc_id, text), and the remaining float
+# chain (one division per value, sqrt(GREATEST(...)) norms, the
+# centered/scaled/REAL-cast embedding values, the left-fold l2) is
+# replayed op for op. l2 ≈ 1.0 for every non-constant image — the dual
+# PROVES it from first principles rather than asserting it.
+IMAGE_EMBED_SQL = """
+WITH d AS (
+  SELECT doc_id AS i, 6 + doc_id % 17 AS w, 5 + doc_id % 13 AS h,
+         CASE WHEN text IS NULL OR text = '' THEN ' ' ELSE text END AS t
+  FROM documents
+), b AS (
+  SELECT i, pos - 1 AS pos0, CAST(unicode(ch) AS BIGINT) AS byte
+  FROM (SELECT i, generate_subscripts(cs, 1) AS pos, UNNEST(cs) AS ch
+        FROM (SELECT i, string_split(t, '') AS cs FROM d))
+), len AS (
+  SELECT i, COUNT(*) AS len_b FROM b GROUP BY 1
+), pix AS (
+  -- per-mille luma numerator of every full-image pixel j
+  SELECT d.i, jj.j,
+         CAST(SUM(CASE kk.k WHEN 0 THEN 299 WHEN 1 THEN 587 ELSE 114 END
+                  * b.byte) AS BIGINT) AS m
+  FROM d
+  JOIN len ON len.i = d.i
+  CROSS JOIN range(0, 400) jj(j)
+  CROSS JOIN range(0, 3) kk(k)
+  JOIN b ON b.i = d.i AND b.pos0 = (3 * jj.j + kk.k) % len.len_b
+  WHERE jj.j < d.w * d.h
+  GROUP BY 1, 2
+), fullstats AS (
+  SELECT i, COUNT(*) AS n_px, SUM(m) AS s, SUM(m * m) AS ss
+  FROM pix GROUP BY 1
+), cells AS (
+  -- 8x8 nearest-neighbor grid; dim = gy*8 + gx matches reshape(-1)
+  SELECT d.i, gg.gy * 8 + gx.gx AS dim,
+         ((gg.gy * d.h) // 8) * d.w + ((gx.gx * d.w) // 8) AS j
+  FROM d
+  CROSS JOIN range(0, 8) gg(gy)
+  CROSS JOIN range(0, 8) gx(gx)
+), gridstats AS (
+  SELECT cells.i, SUM(pix.m) AS s64, SUM(pix.m * pix.m) AS ss64
+  FROM cells JOIN pix ON pix.i = cells.i AND pix.j = cells.j
+  GROUP BY 1
+), norms AS (
+  SELECT i, s64,
+         SQRT(GREATEST(
+           CAST(ss64 AS DOUBLE) / 1e6
+             - (CAST(s64 AS DOUBLE) / 1000.0)
+               * (CAST(s64 AS DOUBLE) / 1000.0) / 64,
+           0.0)) AS nrm
+  FROM gridstats
+), emb AS (
+  SELECT cells.i, cells.dim,
+         CAST(CASE WHEN norms.nrm > 0
+              THEN ((CAST(pix.m AS DOUBLE) / 1000.0
+                     - CAST(norms.s64 AS DOUBLE) / 64000.0) / norms.nrm)
+              ELSE 0.0 END AS REAL) AS ef
+  FROM cells
+  JOIN pix ON pix.i = cells.i AND pix.j = cells.j
+  JOIN norms ON norms.i = cells.i
+), l2 AS (
+  SELECT i, SQRT(list_reduce(
+           list(CAST(ef AS DOUBLE) * CAST(ef AS DOUBLE) ORDER BY dim),
+           (a, x) -> a + x)) AS l2
+  FROM emb GROUP BY i
+), docstats AS (
+  SELECT f.i,
+         CAST(f.s AS DOUBLE) / (f.n_px * 1000.0) AS mean_luma,
+         SQRT(GREATEST(
+           CAST(f.ss AS DOUBLE) / (f.n_px * 1000000.0)
+             - (CAST(f.s AS DOUBLE) / (f.n_px * 1000.0))
+               * (CAST(f.s AS DOUBLE) / (f.n_px * 1000.0)),
+           0.0)) AS std_luma,
+         l2.l2
+  FROM fullstats f JOIN l2 ON l2.i = f.i
+)
+SELECT CAST(FLOOR(mean_luma / 32) * 32 AS INTEGER) AS luma_band,
+       CAST(COUNT(*) AS BIGINT) AS n_images,
+       ROUND(AVG(l2) * 1e6) / 1e6 AS avg_l2,
+       ROUND(AVG(std_luma) * 1e3) / 1e3 AS avg_std_luma
+FROM docstats
+GROUP BY 1
+"""
 
 
 def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -894,7 +987,7 @@ QUERIES: dict[str, QueryDef] = {
     ),
     "multimodal_image_embed": QueryDef(
         multimodal_image_embed,
-        None,
+        IMAGE_EMBED_SQL,
         "multimodal: REAL image feature extraction (luma patch embedding, unit-norm pinned)",
     ),
 }
