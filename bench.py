@@ -258,11 +258,30 @@ def _loadavg() -> list[float]:
         return []
 
 
+def _cpu_steal_ticks() -> int:
+    """Cumulative hypervisor steal ticks (/proc/stat cpu field 8), or -1.
+
+    Provenance only (r12): this sandbox is a microVM on a shared host,
+    and r12 measured identical queries swinging 4x within one quiet-box
+    JVM while cumulative steal sat near 20% of user time — host-side CPU
+    steal the loadavg gate cannot see (loadavg counts OUR runnable
+    tasks). Recording the steal delta across the run lets a judge
+    separate a contaminated window from a real regression the same way
+    loadavg_before/after does for guest-side load."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8]) if parts[0] == "cpu" and len(parts) > 8 else -1
+    except Exception:
+        return -1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     quiet = wait_for_quiet_box()
     load_before = _loadavg()
+    steal_before = _cpu_steal_ticks()
     spark = get_spark(app_name="mlb-win-predictor-bench")
 
     names = [n for n in HEADLINE if n in QUERIES]
@@ -343,6 +362,12 @@ def main() -> None:
         "quiet_box": quiet,
         "loadavg_before": load_before,
         "loadavg_after": _loadavg(),
+        # host-contention provenance (r12): steal ticks consumed by the
+        # hypervisor during the run; ~100 ticks/sec/cpu. Large values
+        # mean wall timings include host-side CPU theft.
+        "cpu_steal_ticks_delta": (
+            _cpu_steal_ticks() - steal_before if steal_before >= 0 else -1
+        ),
     }
     # Ad-hoc BENCH_QUERIES subset runs must NOT overwrite the judged
     # full-headline artifact (r12: an interleaved A/B leg clobbered the

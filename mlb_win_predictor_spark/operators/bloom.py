@@ -105,7 +105,18 @@ def bloom_might_contain(hash_col: str, bits_broadcast, k: int = BLOOM_K) -> Colu
     ``sc.broadcast`` of the ``bloom_build`` array so each executor
     deserializes the bitset once, not per task. ``m`` is derived from
     the bitset length (``len(bits) * 64``) so it always matches the
-    build-time sizing, including auto-sized filters."""
+    build-time sizing, including auto-sized filters.
+
+    Marked non-deterministic (r12 optimization, guide §4.4 pattern):
+    the function IS deterministic, but a deterministic Python-UDF
+    predicate gets copied around by the optimizer — in
+    ``decontaminate_bloom``, InferFiltersFromConstraints propagated the
+    probe across the gram equi-join onto the BENCH side, adding a whole
+    ArrowEvalPython stage that probed every bench-doc gram row against
+    the filter built FROM those grams (a guaranteed-True no-op by
+    construction: Bloom filters have no false negatives). The flag
+    pins the probe to exactly the one filter site each caller wrote;
+    values are unchanged everywhere."""
 
     # deliberately self-contained (no module-level references): the UDF
     # body must unpickle on executors that never had this repo on
@@ -146,4 +157,4 @@ def bloom_might_contain(hash_col: str, bits_broadcast, k: int = BLOOM_K) -> Colu
             ).astype(bool)
         return _pd.Series(out)
 
-    return probe(F.col(hash_col))
+    return probe.asNondeterministic()(F.col(hash_col))

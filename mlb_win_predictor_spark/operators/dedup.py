@@ -669,6 +669,7 @@ def incremental_neardup_filter(
     bands: int = 8,
     seed: int = 42,
     hash_family: str = "xxhash64",
+    new_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Incremental corpus dedup: keep only new docs that are near-dups of
     neither the already-indexed corpus nor an earlier (smaller-id) doc in
@@ -681,17 +682,28 @@ def incremental_neardup_filter(
     shuffled, and with the index stored bucketed by (band_idx, band_sig)
     only matching buckets are even read. This is the foreachBatch body of
     the streaming dedup job (streaming/jobs.py::incremental_dedup_batch).
+
+    ``new_bands`` (r12 optimization): a caller that ALSO needs the
+    batch's band table (the curation capstone appends the survivors'
+    bands to the persisted index) passes ``minhash_band_index(new_docs)``
+    here, already persisted, so the shingle → 32-min-hash → band
+    projection runs once per batch instead of once per consumer. The
+    caller owns that persist; this function only unpersists the band
+    table it built itself. Must be the same (id, band_idx, band_sig)
+    layout and hash family as the internal build.
     """
-    new_bands = minhash_band_index(
-        new_docs,
-        id_col,
-        text_col,
-        n=n,
-        num_hashes=num_hashes,
-        bands=bands,
-        seed=seed,
-        hash_family=hash_family,
-    ).persist()
+    owns_bands = new_bands is None
+    if owns_bands:
+        new_bands = minhash_band_index(
+            new_docs,
+            id_col,
+            text_col,
+            n=n,
+            num_hashes=num_hashes,
+            bands=bands,
+            seed=seed,
+            hash_family=hash_family,
+        ).persist()
     try:
         probe = new_bands.select(
             "band_idx", "band_sig", F.col(id_col).alias("_new_id")
@@ -719,7 +731,8 @@ def incremental_neardup_filter(
         # the returned plan no longer references new_bands).
         hits = hit_corpus.unionByName(hit_batch).distinct().localCheckpoint(eager=True)
     finally:
-        new_bands.unpersist()
+        if owns_bands:
+            new_bands.unpersist()
     return new_docs.join(hits, id_col, "left_anti")
 
 

@@ -534,9 +534,15 @@ def llm_curation_stream(
         # orders — PLANS.md r12) — serializing token arrays into the
         # persist costs more than one regex split over the clean subset,
         # the same result as the batch ``toked``-cache A/B.
+        # ONE materialized copy of the flagged batch (r12 optimization):
+        # quality (→ banding AND the dedup anti-join) and the stats
+        # rollup each re-evaluated the scan + token split + quality
+        # expressions — three corpus-grain passes per epoch for one
+        # micro-batch of data. Batch-sized by construction, so the
+        # persist is bounded exactly like ``deduped``/``selected``.
         flagged = toked.select(
             "doc_id", "source", "text", n_tok.cast("long").alias("n_toks"), q.alias("q")
-        )
+        ).persist()
         quality = flagged.filter("q").drop("q")
 
         index = read_epoch_union(
@@ -545,8 +551,23 @@ def llm_curation_stream(
             "doc_id long, band_idx int, band_sig long",
             below=epoch_id,
         )
-        deduped = incremental_neardup_filter(index, quality).persist()
-        clean = _bloom_clean_docs(deduped, bits_broadcast, gram_n)
+        # Band the quality batch ONCE (r12 optimization): the probe
+        # inside ``incremental_neardup_filter`` and the index append
+        # below both need the batch's band table, and the old shape ran
+        # the shingle → 32-min-hash → band projection twice per epoch
+        # (the append re-banded the survivors from text — measured ~6-22s
+        # of pure recompute per epoch at sf0.1). The banding is
+        # deterministic per doc, so the survivors' bands are exactly the
+        # quality bands semi-joined to the surviving ids.
+        bands_q = minhash_band_index(quality).persist()
+        deduped = incremental_neardup_filter(
+            index, quality, new_bands=bands_q
+        ).persist()
+        # Persist the Bloom-clean survivors (r12 optimization): the DSIR
+        # weighting, the budget window, and the stats rollup each
+        # consumed ``clean`` — re-running the gram explode + ArrowEval
+        # Bloom probe chain up to three times per epoch.
+        clean = _bloom_clean_docs(deduped, bits_broadcast, gram_n).persist()
 
         spent = read_epoch_union(
             spark,
@@ -620,10 +641,13 @@ def llm_curation_stream(
             .persist()
         )
         try:
-            # per-epoch writes, all overwrite — idempotent on replay
-            minhash_band_index(deduped).write.mode("overwrite").parquet(
-                f"{index_path}/epoch={epoch_id}"
-            )
+            # per-epoch writes, all overwrite — idempotent on replay.
+            # Survivor bands = the already-computed quality bands
+            # restricted to surviving ids (banding is deterministic per
+            # row), NOT a re-banding of the survivors from text.
+            bands_q.join(
+                deduped.select("doc_id"), "doc_id", "leftsemi"
+            ).write.mode("overwrite").parquet(f"{index_path}/epoch={epoch_id}")
             stats = (
                 flagged.groupBy("source")
                 .agg(
@@ -674,7 +698,10 @@ def llm_curation_stream(
                 f"{kept_path}/epoch={epoch_id}"
             )
         finally:
+            flagged.unpersist()
+            bands_q.unpersist()
             deduped.unpersist()
+            clean.unpersist()
             selected.unpersist()
 
     return (

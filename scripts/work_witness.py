@@ -116,12 +116,14 @@ def pagerank_volumes(spark: SparkSession, sf_dir: str) -> dict:
     from mlb_win_predictor_spark.session import load_table, release_caches
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = a.join(
-        b,
-        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-        & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-    ).select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+    # mirror the entry's r12 edge build (one collect_set aggregation,
+    # not a self-join) so the witness measures the executed shape
+    parts = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    edges = (
+        parts.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
     w: dict = {}
     try:
         ranks = pagerank(edges, iterations=5, tol=None, checkpoint_every=2, witness=w)
