@@ -2184,6 +2184,15 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("source") == DSIR_TARGET_SOURCE).alias("is_target"),
         F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
     )
+    # NOTE on the kc re-evaluations (r12 A/B, measured NEGATIVE): kc
+    # feeds three consumers (bucket model, totals, per-doc weights), so
+    # this lazy plan re-runs the tokenize+explode per consumer — and the
+    # budget entry's range sampling adds one more. A kc.persist() was
+    # A/B'd interleaved at sf0.1 and LOST (weights 1.3-1.7s → 1.8-2.3s):
+    # materializing the ~(docs × distinct-buckets) row cache costs more
+    # than recomputing a codegen'd split at bench scale — the same
+    # verdict as kl_divergence_slices' by_cell note. At 100 TB, persist
+    # (or write) kc once so the corpus is tokenized a single time.
     kc = toks.groupBy(
         "doc_id", "is_target", F.substring(F.md5(F.col("w").cast("binary")), 1, 2).alias("b")
     ).agg(F.count(F.lit(1)).alias("k"))

