@@ -24,7 +24,28 @@ def plan_of(df) -> str:
 
 @pytest.fixture(scope="module")
 def plans(spark):
-    return {name: plan_of(QUERIES[name].fn(spark, SF)) for name in QUERIES}
+    """LAZY plan map (r13, r12 verdict #2): eagerly building all 212
+    catalog plans cost minutes of the default suite's window, and
+    several entries run eager jobs (checkpoints, offsets collects) just
+    to CONSTRUCT their frame — while the default-run tests touch ~40
+    names. Plans build on first access and cache for the session; the
+    one full-catalog iteration (``test_no_cartesian_in_catalog``) is in
+    the slow tail, so the default run only pays for what it pins."""
+
+    class LazyPlans:
+        def __init__(self):
+            self._cache: dict[str, str] = {}
+
+        def __getitem__(self, name: str) -> str:
+            if name not in self._cache:
+                self._cache[name] = plan_of(QUERIES[name].fn(spark, SF))
+            return self._cache[name]
+
+        def items(self):
+            for name in QUERIES:
+                yield name, self[name]
+
+    return LazyPlans()
 
 
 def test_filter_and_projection_pushdown(plans):
