@@ -295,18 +295,22 @@ def knn_select_k(
     one float per k."""
     if not k_grid:
         raise ValueError("empty k_grid")
-    # eager localCheckpoint, not cache(): a cache is only a HINT — under
+    # localCheckpoint, not cache(): a cache is only a HINT — under
     # memory pressure Spark silently evicts it and a re-read re-runs the
     # corpus-sized LSH bucket join (the round-6 full-catalog sweep
     # measured the grid at 66x for 10x data while the single-k vote
     # entry, same join, scaled 2.9x). A checkpoint is materialized data:
     # the join provably runs once, and the leaderboard plan below reads
-    # the bounded val x max_k ranking, never the corpus.
+    # the bounded val x max_k ranking, never the corpus. LAZY (r13, same
+    # move as the indexing operators): the leaderboard collect is the
+    # ONLY action over `ranked` and aggregates every partition, so it
+    # materializes the blocks itself — one job instead of a dedicated
+    # materialization job plus a block re-read.
     grid = sorted(set(k_grid))
     ranked = _ranked_neighbors(
         train, val, max(grid), features_col, label_col, id_col,
         bucket_length, num_hash_tables, seed,
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     truth = val.select(
         F.col(id_col).alias("test_id"), F.col(label_col).alias("_truth")
     )

@@ -14,18 +14,29 @@ single-task sort of the universe. This operator produces the identical
    num_partitions integers — the only driver data);
 4. index = partition offset + local row_number − 1 via a broadcast join.
 
-Step 1's output is pinned with an EAGER ``localCheckpoint`` before the
-offsets collect (r9 verdict #1): the offsets job and the returned lazy
-plan are two separate executions, and ``RangePartitioner`` samples its
-boundaries per job — at lossy-sampling scale the two jobs could land
-rows in different partitions, silently applying offsets to a
-partitioning they weren't computed from. The checkpoint materializes
-ONE physical partitioning that both jobs read. A ``persist()`` would
-NOT suffice: a cache is a hint, and an evicted block is silently
-re-computed through a fresh (re-sampled) shuffle — the exact hazard —
-whereas a lost checkpoint block fails loudly. Release is the terminal-
-action owner's job via ``session.release_caches`` (the PPJoin/CCNet/RFM
-cache-lifetime contract, r6 verdict #2).
+Step 1's output is pinned with a ``localCheckpoint`` before the offsets
+collect (r9 verdict #1): the offsets job and the returned lazy plan are
+two separate executions, and ``RangePartitioner`` samples its boundaries
+per job — at lossy-sampling scale the two jobs could land rows in
+different partitions, silently applying offsets to a partitioning they
+weren't computed from. The checkpoint materializes ONE physical
+partitioning that both jobs read. A ``persist()`` would NOT suffice: a
+cache is a hint, and an evicted block is silently re-computed through a
+fresh (re-sampled) shuffle — the exact hazard — whereas a lost
+checkpoint block fails loudly. Release is the terminal-action owner's
+job via ``session.release_caches`` (the PPJoin/CCNet/RFM cache-lifetime
+contract, r6 verdict #2).
+
+r13 (r12 verdict #7 — the per-dimension floor): the checkpoint is now
+LAZY (``eager=False``) and the offsets collect is the materializing
+action, so each ranked dimension pays ONE job (compute + store blocks +
+count in-line) instead of two (materialize, then re-read the blocks to
+count). The pinning guarantee is unchanged — the collect stores the
+blocks it computes, and the returned plan reads those same blocks; a
+lost block still fails loudly. The collect itself stays driver-side on
+purpose: it moves num_partitions scalars, and the alternative (a
+distributed prefix-sum subtree) just relocates the same barrier into a
+BroadcastExchange build job — same job count, more plan.
 
 The ``order_cols`` variant is deterministic and SQL-expressible
 (``ROW_NUMBER() OVER (ORDER BY ...) − 1``), so it is DuckDB-oracle
@@ -57,23 +68,23 @@ def _ranged(df: DataFrame, order_cols: list[str] | None) -> DataFrame:
     )
 
 
-def dense_global_index(
+def _indexed_with_total(
     df: DataFrame,
-    order_cols: list[str] | None = None,
-    id_name: str = "row_idx",
-) -> DataFrame:
-    """Assign a dense 0..n-1 ``id_name`` column. With ``order_cols`` the
-    index follows that total order (make it unique for determinism);
-    without, the order is the incoming partition order (stable within a
-    run, not across layouts)."""
+    order_cols: list[str] | None,
+    id_name: str,
+) -> tuple[DataFrame, int]:
+    """Shared body of ``dense_global_index``/``exact_ntile``: the indexed
+    frame plus the TOTAL row count, which falls out of the same offsets
+    collect — callers that need n (exact NTILE arithmetic) get it with
+    no extra count() scan of their input."""
     if order_cols:
         w = W.partitionBy("_pid").orderBy(*[F.col(c).asc() for c in order_cols])
     else:
         w = W.partitionBy("_pid").orderBy(F.col("_mid").asc())
 
-    part = _ranged(df, order_cols).localCheckpoint(
-        eager=True
-    )  # pin ONE partitioning for both jobs
+    # LAZY checkpoint (r13): the counts collect below is the action that
+    # materializes the blocks — one job per dimension, not two.
+    part = _ranged(df, order_cols).localCheckpoint(eager=False)
     counts = sorted(
         (r._pid, r.n)
         for r in part.groupBy("_pid").agg(F.count(F.lit(1)).alias("n")).collect()
@@ -91,13 +102,26 @@ def dense_global_index(
         .join(F.broadcast(off_df), "_pid")
         .withColumn(id_name, (F.col("_offset") + F.col("_rn") - 1).cast("long"))
     )
-    return indexed.drop("_pid", "_mid", "_rn", "_offset")
+    return indexed.drop("_pid", "_mid", "_rn", "_offset"), acc
+
+
+def dense_global_index(
+    df: DataFrame,
+    order_cols: list[str] | None = None,
+    id_name: str = "row_idx",
+) -> DataFrame:
+    """Assign a dense 0..n-1 ``id_name`` column. With ``order_cols`` the
+    index follows that total order (make it unique for determinism);
+    without, the order is the incoming partition order (stable within a
+    run, not across layouts)."""
+    indexed, _ = _indexed_with_total(df, order_cols, id_name)
+    return indexed
 
 
 def exact_ntile(
     df: DataFrame,
     order_cols: list[str],
-    n: int,
+    n: int | None,
     k: int,
     name: str,
 ) -> DataFrame:
@@ -106,8 +130,16 @@ def exact_ntile(
     sort. NTILE(k) over n rows puts q+1 rows in each of the first r
     buckets and q in the rest (q, r = divmod(n, k)); note floor(idx*k/n)
     is NOT the same split when k does not divide n. ``n`` is the
-    caller's row count (one count() scan, shared across multiple
-    dimensions when ranking the same table repeatedly)."""
+    caller's row count; pass ``None`` (r13) to derive it from the
+    operator's own offsets collect — zero extra scans, same value."""
+    indexed, total = _indexed_with_total(df, order_cols, id_name="_ntile_idx")
+    if n is None:
+        n = total
+    elif n != total:
+        raise ValueError(
+            f"exact_ntile: caller-supplied n={n} != actual row count "
+            f"{total} — the bucket arithmetic would be silently wrong"
+        )
     q, r = divmod(n, k)
     idx = F.col("_ntile_idx")
     if q == 0:  # fewer rows than buckets: everyone lands in bucket idx+1
@@ -117,11 +149,7 @@ def exact_ntile(
         b = F.when(idx < head, F.floor(idx / (q + 1)) + 1).otherwise(
             r + F.floor((idx - head) / q) + 1
         )
-    return (
-        dense_global_index(df, order_cols, id_name="_ntile_idx")
-        .withColumn(name, b.cast("int"))
-        .drop("_ntile_idx")
-    )
+    return indexed.withColumn(name, b.cast("int")).drop("_ntile_idx")
 
 
 def global_running_sum(
@@ -152,7 +180,9 @@ def global_running_sum(
             f"offsets (and the long result) would truncate floats "
             f"(cast booleans to int first; Spark cannot SUM a boolean)"
         )
-    part = _ranged(df, order_cols).drop("_mid").localCheckpoint(eager=True)
+    # LAZY checkpoint (r13, same as _indexed_with_total): the totals
+    # collect below materializes the blocks in the same job.
+    part = _ranged(df, order_cols).drop("_mid").localCheckpoint(eager=False)
     w = (
         W.partitionBy("_pid")
         .orderBy(*[F.col(c).asc() for c in order_cols])

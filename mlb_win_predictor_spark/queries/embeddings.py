@@ -828,6 +828,18 @@ def similarity_sq8_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     AQE broadcasts the pool, so the re-read touches one corpus scan with
     a pushed-down semi-join filter."""
     e = load_table(spark, sf_dir, "embeddings")
+    # NOT persisted (r13, r12 verdict #6 — measured NEGATIVE): the 1-row
+    # stats frame feeds BOTH branches of `base`, and the plan builds the
+    # posexplode + 64-group aggregation twice behind two separate
+    # BroadcastExchanges (r12 before-plan nodes 13/28). Pinning the
+    # scalar with .persist() computes it once — and LOST the interleaved
+    # same-JVM A/B at sf0.1 decisively: 2.03 s → 2.86 s med-of-fastest-3
+    # (the cache-population barrier serializes what two idle-core
+    # subtrees otherwise compute in parallel; same verdict as the r12
+    # `base`-persist wash and the dsir kc / kl_divergence by_cell
+    # persists). At 100 TB the duplication disappears by LAYOUT, not by
+    # cache: the int8 codes and their min/max stats are a stored table,
+    # written once and scanned per query.
     stats = (
         e.select(F.posexplode("embedding").alias("i", "v"))
         .groupBy("i")

@@ -373,8 +373,9 @@ def quantile_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``approx_percentiles`` / ``kll_quantile_rollup``) — this entry is the
     exact oracle those sketches are tested against."""
     o = load_table(spark, sf_dir, "orders").select("o_totalprice", "o_orderkey")
-    n = o.count()
-    binned = exact_ntile(o, ["o_totalprice", "o_orderkey"], n, N_BINS, "bin_i").select(
+    # n=None (r13): the exact-NTILE arithmetic derives n from the
+    # operator's own offsets collect — the separate count() scan is gone.
+    binned = exact_ntile(o, ["o_totalprice", "o_orderkey"], None, N_BINS, "bin_i").select(
         "o_totalprice", F.col("bin_i").cast("bigint").alias("bin")
     )
     return binned.groupBy("bin").agg(
@@ -1207,11 +1208,15 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "freq",
             "monetary",
         )
-    ).cache()  # user-grain (tiny); 3 tercile indexes + final plan reuse it
-    n = u.count()
-    u = exact_ntile(u, ["r_days", "user_id"], n, RFM_BUCKETS, "r_score")
-    u = exact_ntile(u, ["freq", "user_id"], n, RFM_BUCKETS, "f_score")
-    u = exact_ntile(u, ["monetary", "user_id"], n, RFM_BUCKETS, "m_score")
+    )
+    # r13: no cache, no count() — each tercile index derives n from its
+    # own offsets collect (exact_ntile n=None), and the chain reads the
+    # user-grain frame exactly once (the first dimension's lazy-
+    # checkpoint job; dims 2/3 read the previous dimension's checkpoint
+    # blocks), so the r11 cache had become a single-reader store.
+    u = exact_ntile(u, ["r_days", "user_id"], None, RFM_BUCKETS, "r_score")
+    u = exact_ntile(u, ["freq", "user_id"], None, RFM_BUCKETS, "f_score")
+    u = exact_ntile(u, ["monetary", "user_id"], None, RFM_BUCKETS, "m_score")
     seg = F.concat(
         F.lit("R"),
         F.col("r_score").cast("string"),

@@ -3062,12 +3062,13 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer hash gate as ``balanced_mixture_sample`` (exact integer
     compare, no float threshold, rerun-stable). Output: per-bucket doc
     count, kept count, and the [min, max] nll band."""
-    # doc-grain scores (one row per doc) cached before the tercile index:
-    # the dense index's per-partition-count job and the final plan would
-    # otherwise each recompute the full unigram-LM aggregation
-    nll = unigram_logprob_quality(spark, sf_dir).select("doc_id", "avg_nll").cache()
-    n = nll.count()
-    binned = exact_ntile(nll, ["avg_nll", "doc_id"], n, 3, "bucket_id").select(
+    # r13: no cache, no count() — with the lazy-checkpoint exact_ntile
+    # (n=None) the per-doc scores are read exactly once, by the tercile
+    # index's single materializing job; the r12-era cache existed to
+    # share the scores between the count() scan and the (then-eager)
+    # checkpoint job, both of which are gone.
+    nll = unigram_logprob_quality(spark, sf_dir).select("doc_id", "avg_nll")
+    binned = exact_ntile(nll, ["avg_nll", "doc_id"], None, 3, "bucket_id").select(
         "doc_id", "avg_nll", "bucket_id"
     )
     hashv = md5_int32(F.col("doc_id").cast("string"))

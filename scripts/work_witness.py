@@ -175,6 +175,116 @@ def containment_volumes(spark: SparkSession, sf_dir: str) -> dict:
         release_caches(spark)
 
 
+def candidate_bucket_bounds(spark: SparkSession, sf_dir: str) -> dict:
+    """r13 (r12 verdict #4): per-bucket candidate bounds off the REAL
+    executed frames — the witness the hot-bucket split is judged by.
+
+    - band buckets: (band_idx, band_sig) sizes from band_candidate_pairs'
+      witness hook; naive per-bucket pair count is m·(m−1)/2 on ONE join
+      key — the r13 chunked path bounds any one key's output at
+      m × band_split.
+    - PPJoin prefix index: per-shingle posting sizes of the executed
+      prefix table of dedup_jaccard_prefix (rarest-first construction is
+      the anti-skew claim; this measures it).
+    """
+    from mlb_win_predictor_spark.operators.dedup import (
+        _shingle_hash,
+        band_candidate_pairs,
+        ngram_shingles,
+    )
+    from mlb_win_predictor_spark.session import fan_out, load_table, release_caches
+
+    out: dict = {}
+    docs = fan_out(load_table(spark, sf_dir, "documents"))
+    try:
+        sh = ngram_shingles(docs.select("doc_id", "text"), "text", 3).select(
+            "doc_id",
+            F.transform("shingles", lambda s: _shingle_hash(s, "md5")).alias(
+                "shingles"
+            ),
+        ).persist()
+        w: dict = {}
+        band_candidate_pairs(sh, hash_family="md5", witness=w)
+        bn = w["band_bucket_n"]
+        row = bn.agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("_bn").alias("max_bucket"),
+            F.sum((F.col("_bn") * (F.col("_bn") - 1) / 2).cast("long")).alias(
+                "naive_pairs"
+            ),
+            F.sum(F.when(F.col("_bn") > 1024, 1).otherwise(0)).alias(
+                "n_hot_buckets_gt_split"
+            ),
+        ).first()
+        out["band"] = {
+            "n_buckets": row["n_buckets"],
+            "max_bucket_rows": row["max_bucket"],
+            "naive_pair_rows": row["naive_pairs"],
+            "n_buckets_over_band_split": row["n_hot_buckets_gt_split"],
+            "max_rows_per_join_key_naive": int(
+                row["max_bucket"] * (row["max_bucket"] - 1) / 2
+            ),
+            "max_rows_per_join_key_chunked": int(row["max_bucket"]) * 1024,
+        }
+    finally:
+        release_caches(spark)
+    # PPJoin prefix-index posting sizes (the executed dedup_jaccard_prefix
+    # shape: df-rarest-first prefixes, length filter folded in)
+    from mlb_win_predictor_spark.queries.text import PREFIX_N, PREFIX_T
+
+    try:
+        d = fan_out(load_table(spark, sf_dir, "documents")).select(
+            "doc_id", F.split(F.trim(F.col("text")), r"\s+").alias("toks")
+        ).filter(F.size(F.col("toks")) >= PREFIX_N)
+        shingled = d.select(
+            "doc_id",
+            F.array_sort(
+                F.array_distinct(
+                    F.transform(
+                        __import__(
+                            "mlb_win_predictor_spark.functions.ngrams",
+                            fromlist=["word_ngrams"],
+                        ).word_ngrams(F.col("toks"), PREFIX_N),
+                        lambda s: F.xxhash64(s),
+                    )
+                )
+            ).alias("shingles"),
+        )
+        exploded = shingled.select(
+            "doc_id",
+            F.size("shingles").alias("n_sh"),
+            F.explode("shingles").alias("sh"),
+        )
+        df_tbl = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+        from pyspark.sql.window import Window as W
+
+        prefix_len = F.col("n_sh") - F.ceil(F.lit(PREFIX_T) * F.col("n_sh")) + 1
+        prefix = (
+            exploded.join(df_tbl, "sh")
+            .withColumn(
+                "rn",
+                F.row_number().over(W.partitionBy("doc_id").orderBy("df", "sh")),
+            )
+            .filter(F.col("rn") <= prefix_len)
+            .select("doc_id", "sh")
+        )
+        pr = prefix.groupBy("sh").agg(F.count(F.lit(1)).alias("m")).agg(
+            F.count(F.lit(1)).alias("n_posting_keys"),
+            F.max("m").alias("max_posting"),
+            F.sum((F.col("m") * (F.col("m") - 1) / 2).cast("long")).alias(
+                "prefix_join_pairs"
+            ),
+        ).first()
+        out["ppjoin_prefix"] = {
+            "n_posting_keys": pr["n_posting_keys"],
+            "max_posting_rows": pr["max_posting"],
+            "prefix_join_pair_rows": pr["prefix_join_pairs"],
+        }
+    finally:
+        release_caches(spark)
+    return out
+
+
 def jpeg_decode_stage_probe(spark: SparkSession, sf_dir: str) -> dict:
     """Task-count evidence for the decode stage (r11 VERDICT #3): run
     the entry, then report the completed stage with the largest
@@ -220,7 +330,25 @@ def main() -> None:
     ap.add_argument("--b", default="/root/repo/.bench/sf10")
     ap.add_argument("--out", default="/root/repo/WITNESS_SF10.json")
     ap.add_argument("--jpeg-only", action="store_true")
+    ap.add_argument(
+        "--buckets-only",
+        action="store_true",
+        help="r13: candidate-bucket bound report (band + PPJoin prefix)",
+    )
     args = ap.parse_args()
+
+    if args.buckets_only:
+        spark = build_session()
+        out = {}
+        for tag, sf in (("a", args.a), ("b", args.b)):
+            if not os.path.isdir(sf):
+                continue
+            out[tag] = {"sf": sf, "buckets": candidate_bucket_bounds(spark, sf)}
+        print(json.dumps(out, indent=2))
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=2)
+        spark.stop()
+        return
 
     if args.jpeg_only:
         spark = build_session()

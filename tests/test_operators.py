@@ -151,6 +151,47 @@ def test_minhash_banded_md5_family_recall(spark, docs):
         assert all(0 < a < MINHASH_P for a in slopes)
 
 
+def test_band_candidate_pairs_chunked_split_identical(spark, docs):
+    """r13 skew split (r12 verdict #4): the chunked hot-bucket self-join
+    must emit EXACTLY the naive join's candidate set. Forcing
+    band_split=1 routes EVERY bucket — including a planted 30-doc
+    identical cluster whose buckets are maximally hot — through the
+    chunked (rank/explode) path; band_split=10 exercises the mixed
+    cold+hot case; the default (1024) keeps everything cold. All three
+    must agree pair-for-pair."""
+    from mlb_win_predictor_spark.operators.dedup import (
+        _shingle_hash,
+        band_candidate_pairs,
+        ngram_shingles,
+    )
+
+    base = docs.filter(F.col("doc_id") < 40).select("doc_id", "text")
+    one = base.filter(F.col("doc_id") == 0).select("text")
+    cluster = (
+        base.filter(F.col("doc_id") < 30)
+        .select((F.col("doc_id") + 200000).alias("doc_id"))
+        .crossJoin(one)
+    )
+    corpus = base.unionByName(cluster.select("doc_id", "text"))
+    sh = ngram_shingles(corpus, "text", 3).select(
+        "doc_id",
+        F.transform("shingles", lambda s: _shingle_hash(s, "xxhash64")).alias(
+            "shingles"
+        ),
+    )
+    def pairs_at(split: int | None) -> set:
+        got = band_candidate_pairs(sh, band_split=split)
+        return {(r.id_a, r.id_b) for r in got.collect()}
+
+    naive = pairs_at(None)  # the default plain self-join
+    assert naive == pairs_at(10**9), "all-cold split path diverged"
+    assert naive == pairs_at(1), "all-hot chunked path diverged"
+    assert naive == pairs_at(10), "mixed cold/hot path diverged"
+    # the planted cluster must actually be in the candidate set (the
+    # test would be vacuous if banding missed it)
+    assert (200000, 200001) in naive
+
+
 def test_minhash_banded_pairs_match_exact_jaccard(spark, docs):
     """Banded candidates that survive the re-check must agree with the
     exact pairwise-join Jaccard (operator-vs-oracle, bounded set)."""

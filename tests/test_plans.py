@@ -125,6 +125,38 @@ def test_minhash_signatures_are_independent(spark):
     assert same < n * 0.1, f"h0==h1 on {same}/{n} docs — seeds not independent"
 
 
+def test_equal_size_corpus_join_stays_sort_merge(spark):
+    """r13 (r12 verdict #3): the session default
+    ``preferSortMergeJoin=false`` lets the planner pick shuffled-hash
+    joins, whose build side cannot spill — safe ONLY when one side is
+    provably per-partition-bounded (``muchSmaller``/``canBuildLocalHashMap``
+    guards). This pins the guard itself: an equal-size corpus-grain
+    self-join (broadcast disabled so size can't hide the strategy
+    choice) must STAY SortMergeJoin — spill-safe — under the r12
+    defaults. The r13 plan sweep found exactly 3 ShuffledHashJoins in
+    the 84 headline plans, every one building a side keyed by a UNIQUE
+    id (no single-key skew can concentrate a build partition); this
+    test fails loudly if a Spark upgrade or conf change starts hashing
+    equal-size corpus joins."""
+    from mlb_win_predictor_spark.session import load_table
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+        a = li.withColumnRenamed("l_partkey", "pk_a")
+        b = li.withColumnRenamed("l_partkey", "pk_b")
+        p = plan_of(a.join(b, "l_orderkey"))
+        assert "SortMergeJoin" in p, p
+        assert "ShuffledHashJoin" not in p, (
+            "equal-size self-join planned SHJ — the muchSmaller guard "
+            "no longer protects corpus-grain joins from unspillable "
+            "hash builds"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_join_strategy_hints_respected(spark):
     """Strategy control: a `merge` hint must force SortMergeJoin even
     where AQE would broadcast, and `broadcast` must force the reverse —
