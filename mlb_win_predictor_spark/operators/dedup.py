@@ -781,6 +781,23 @@ def incremental_neardup_filter(
     layout and hash family as the internal build.
     """
     owns_bands = new_bands is None
+    if not owns_bands:
+        # Contract enforcement (r13, ADVICE r12): the banding parameters are
+        # IGNORED when the caller supplies a precomputed band table — a
+        # mismatched (params, new_bands) pair would silently produce wrong
+        # dedup results. Reject non-default banding params, and require the
+        # exact (id, band_idx, band_sig) layout the internal build produces.
+        if (n, num_hashes, bands, seed, hash_family) != (3, 32, 8, 42, "xxhash64"):
+            raise ValueError(
+                "incremental_neardup_filter: banding parameters are ignored "
+                "when new_bands is supplied — band with those parameters "
+                "yourself and pass only new_bands"
+            )
+        missing = {id_col, "band_idx", "band_sig"} - set(new_bands.columns)
+        if missing:
+            raise ValueError(
+                f"incremental_neardup_filter: new_bands lacks columns {sorted(missing)}"
+            )
     if owns_bands:
         new_bands = minhash_band_index(
             new_docs,

@@ -84,7 +84,18 @@ def get_spark(
         # joins still plan sort-merge (spill-safe), and hints/broadcasts
         # are unaffected. Measured at sf0.1 over 6 shuffle-join entries:
         # every median flat-to-faster, worst-case samples down ~20-50%.
-        .config("spark.sql.join.preferSortMergeJoin", "false")
+        # Rollback lever (r13, ADVICE r12): SHJ's build side cannot
+        # spill, and the size guards lean on Catalyst estimates that get
+        # unreliable downstream of Python-UDF/filter nodes. The r13
+        # all-84-plan sweep found only 3 SHJs, each building a
+        # unique-key side (no hot-key concentration possible), and
+        # test_equal_size_corpus_join_stays_sort_merge pins the guard —
+        # but a deployment seeing build-side OOM at larger scale flips
+        # SPARK_GRAFT_PREFER_SMJ=true, no code change.
+        .config(
+            "spark.sql.join.preferSortMergeJoin",
+            os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"),
+        )
         .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

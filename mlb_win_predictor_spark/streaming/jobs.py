@@ -540,107 +540,108 @@ def llm_curation_stream(
         # expressions — three corpus-grain passes per epoch for one
         # micro-batch of data. Batch-sized by construction, so the
         # persist is bounded exactly like ``deduped``/``selected``.
-        flagged = toked.select(
-            "doc_id", "source", "text", n_tok.cast("long").alias("n_toks"), q.alias("q")
-        ).persist()
-        quality = flagged.filter("q").drop("q")
-
-        index = read_epoch_union(
-            spark,
-            index_path,
-            "doc_id long, band_idx int, band_sig long",
-            below=epoch_id,
-        )
-        # Band the quality batch ONCE (r12 optimization): the probe
-        # inside ``incremental_neardup_filter`` and the index append
-        # below both need the batch's band table, and the old shape ran
-        # the shingle → 32-min-hash → band projection twice per epoch
-        # (the append re-banded the survivors from text — measured ~6-22s
-        # of pure recompute per epoch at sf0.1). The banding is
-        # deterministic per doc, so the survivors' bands are exactly the
-        # quality bands semi-joined to the surviving ids.
-        bands_q = minhash_band_index(quality).persist()
-        deduped = incremental_neardup_filter(
-            index, quality, new_bands=bands_q
-        ).persist()
-        # Persist the Bloom-clean survivors (r12 optimization): the DSIR
-        # weighting, the budget window, and the stats rollup each
-        # consumed ``clean`` — re-running the gram explode + ArrowEval
-        # Bloom probe chain up to three times per epoch.
-        clean = _bloom_clean_docs(deduped, bits_broadcast, gram_n).persist()
-
-        spent = read_epoch_union(
-            spark,
-            stats_path,
-            "source string, n_input long, n_quality long, n_dedup long, "
-            "n_clean long, n_final long, tokens_clean long, tokens_final long",
-            below=epoch_id,
-        )
-        # cumulative CLEAN tokens, not admitted tokens: the batch cum
-        # charges every clean doc, so the stream must too (see docstring)
-        prior = spent.groupBy("source").agg(
-            F.sum("tokens_clean").alias("_spent_before")
-        )
-        if lr_map is not None:
-            # DSIR within-epoch spending order: score the epoch's clean
-            # docs against the broadcast-literal bucket model (batch
-            # v3's exact grain — 6dp-rounded total log-weight, ordered
-            # per-token, doc_id tiebreak; LEFT join + sentinel so a
-            # token-less doc still sorts deterministically last)
-            wts = (
-                clean.select(
-                    "doc_id",
-                    F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
-                )
-                .select(
-                    "doc_id",
-                    F.substring(F.md5(F.col("w").cast("binary")), 1, 2).alias("b"),
-                )
-                .groupBy("doc_id", "b")
-                .agg(F.count(F.lit(1)).alias("k"))
-                .groupBy("doc_id")
-                .agg(
-                    F.sum("k").cast("long").alias("_n"),
-                    F.sum(
-                        F.col("k").cast("double")
-                        * F.coalesce(lr_map[F.col("b")], F.lit(0.0))
-                    ).alias("_sklr"),
-                )
-                .select(
-                    "doc_id",
-                    stable_round(
-                        F.col("_sklr")
-                        + F.col("_n").cast("double") * F.lit(float(dsir_norm)),
-                        6,
-                    ).alias("_lw"),
-                )
-            )
-            spend_base = clean.join(wts, "doc_id", "left")
-            spend_order = [
-                F.coalesce(
-                    F.col("_lw") / F.col("n_toks").cast("double"), F.lit(-1e300)
-                ).desc(),
-                F.col("doc_id").asc(),
-            ]
-        else:
-            spend_base = clean
-            spend_order = [F.col("doc_id").asc()]
-        wb = (
-            W.partitionBy("source")
-            .orderBy(*spend_order)
-            .rowsBetween(W.unboundedPreceding, 0)
-        )
-        selected = (
-            spend_base.withColumn("_cum", F.sum("n_toks").over(wb))
-            .join(F.broadcast(prior), "source", "left")
-            .filter(
-                F.coalesce(F.col("_spent_before"), F.lit(0)) + F.col("_cum")
-                <= F.lit(int(budget_per_source))
-            )
-            .select("doc_id", "source", "text", "n_toks")
-            .persist()
-        )
+        flagged = bands_q = deduped = clean = selected = None
         try:
+            flagged = toked.select(
+                "doc_id", "source", "text", n_tok.cast("long").alias("n_toks"), q.alias("q")
+            ).persist()
+            quality = flagged.filter("q").drop("q")
+
+            index = read_epoch_union(
+                spark,
+                index_path,
+                "doc_id long, band_idx int, band_sig long",
+                below=epoch_id,
+            )
+            # Band the quality batch ONCE (r12 optimization): the probe
+            # inside ``incremental_neardup_filter`` and the index append
+            # below both need the batch's band table, and the old shape ran
+            # the shingle → 32-min-hash → band projection twice per epoch
+            # (the append re-banded the survivors from text — measured ~6-22s
+            # of pure recompute per epoch at sf0.1). The banding is
+            # deterministic per doc, so the survivors' bands are exactly the
+            # quality bands semi-joined to the surviving ids.
+            bands_q = minhash_band_index(quality).persist()
+            deduped = incremental_neardup_filter(
+                index, quality, new_bands=bands_q
+            ).persist()
+            # Persist the Bloom-clean survivors (r12 optimization): the DSIR
+            # weighting, the budget window, and the stats rollup each
+            # consumed ``clean`` — re-running the gram explode + ArrowEval
+            # Bloom probe chain up to three times per epoch.
+            clean = _bloom_clean_docs(deduped, bits_broadcast, gram_n).persist()
+
+            spent = read_epoch_union(
+                spark,
+                stats_path,
+                "source string, n_input long, n_quality long, n_dedup long, "
+                "n_clean long, n_final long, tokens_clean long, tokens_final long",
+                below=epoch_id,
+            )
+            # cumulative CLEAN tokens, not admitted tokens: the batch cum
+            # charges every clean doc, so the stream must too (see docstring)
+            prior = spent.groupBy("source").agg(
+                F.sum("tokens_clean").alias("_spent_before")
+            )
+            if lr_map is not None:
+                # DSIR within-epoch spending order: score the epoch's clean
+                # docs against the broadcast-literal bucket model (batch
+                # v3's exact grain — 6dp-rounded total log-weight, ordered
+                # per-token, doc_id tiebreak; LEFT join + sentinel so a
+                # token-less doc still sorts deterministically last)
+                wts = (
+                    clean.select(
+                        "doc_id",
+                        F.explode(F.split(F.trim(F.col("text")), r"\s+")).alias("w"),
+                    )
+                    .select(
+                        "doc_id",
+                        F.substring(F.md5(F.col("w").cast("binary")), 1, 2).alias("b"),
+                    )
+                    .groupBy("doc_id", "b")
+                    .agg(F.count(F.lit(1)).alias("k"))
+                    .groupBy("doc_id")
+                    .agg(
+                        F.sum("k").cast("long").alias("_n"),
+                        F.sum(
+                            F.col("k").cast("double")
+                            * F.coalesce(lr_map[F.col("b")], F.lit(0.0))
+                        ).alias("_sklr"),
+                    )
+                    .select(
+                        "doc_id",
+                        stable_round(
+                            F.col("_sklr")
+                            + F.col("_n").cast("double") * F.lit(float(dsir_norm)),
+                            6,
+                        ).alias("_lw"),
+                    )
+                )
+                spend_base = clean.join(wts, "doc_id", "left")
+                spend_order = [
+                    F.coalesce(
+                        F.col("_lw") / F.col("n_toks").cast("double"), F.lit(-1e300)
+                    ).desc(),
+                    F.col("doc_id").asc(),
+                ]
+            else:
+                spend_base = clean
+                spend_order = [F.col("doc_id").asc()]
+            wb = (
+                W.partitionBy("source")
+                .orderBy(*spend_order)
+                .rowsBetween(W.unboundedPreceding, 0)
+            )
+            selected = (
+                spend_base.withColumn("_cum", F.sum("n_toks").over(wb))
+                .join(F.broadcast(prior), "source", "left")
+                .filter(
+                    F.coalesce(F.col("_spent_before"), F.lit(0)) + F.col("_cum")
+                    <= F.lit(int(budget_per_source))
+                )
+                .select("doc_id", "source", "text", "n_toks")
+                .persist()
+            )
             # per-epoch writes, all overwrite — idempotent on replay.
             # Survivor bands = the already-computed quality bands
             # restricted to surviving ids (banding is deterministic per
@@ -698,11 +699,13 @@ def llm_curation_stream(
                 f"{kept_path}/epoch={epoch_id}"
             )
         finally:
-            flagged.unpersist()
-            bands_q.unpersist()
-            deduped.unpersist()
-            clean.unpersist()
-            selected.unpersist()
+            # unpersist-if-built (r13, ADVICE r12): an exception between a
+            # persist() and the terminal writes (e.g. in the eager
+            # localCheckpoint inside incremental_neardup_filter) must not
+            # leak cached blocks across epochs of a long-running stream.
+            for _df in (flagged, bands_q, deduped, clean, selected):
+                if _df is not None:
+                    _df.unpersist()
 
     return (
         new_docs.writeStream.foreachBatch(curate)

@@ -1305,6 +1305,37 @@ def test_incremental_neardup_filter_drops_copies_keeps_novel(spark, docs):
     assert kept.filter(F.col("doc_id") == 20_000_099).count() == 0
 
 
+def test_incremental_neardup_filter_new_bands_contract(spark, docs):
+    """r13 (ADVICE r12): the banding parameters are silently IGNORED when a
+    caller supplies a precomputed ``new_bands`` table — a mismatched pair
+    would yield wrong dedup results with no error. Pin the guards: custom
+    banding params alongside new_bands raise, as does a band table missing
+    the (id, band_idx, band_sig) layout; the matching-layout path still
+    equals the self-banded result."""
+    import pytest
+
+    from mlb_win_predictor_spark.operators.dedup import (
+        incremental_neardup_filter,
+        minhash_band_index,
+    )
+
+    index = minhash_band_index(docs)
+    copies = docs.limit(5).select(
+        (F.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+    )
+    bands = minhash_band_index(copies)
+    # happy path: same result as letting the operator band internally
+    assert incremental_neardup_filter(index, copies, new_bands=bands).count() == 0
+    # non-default banding params with a precomputed table: refuse loudly
+    with pytest.raises(ValueError, match="banding parameters are ignored"):
+        incremental_neardup_filter(index, copies, bands=4, new_bands=bands)
+    # wrong layout (missing band_sig): refuse loudly
+    with pytest.raises(ValueError, match="lacks columns"):
+        incremental_neardup_filter(
+            index, copies, new_bands=bands.drop("band_sig")
+        )
+
+
 def test_dense_global_index_is_dense_and_ordered(spark):
     from mlb_win_predictor_spark.operators.indexing import dense_global_index
 

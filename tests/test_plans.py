@@ -632,6 +632,27 @@ def test_decontaminate_bloom_no_gram_shuffle_join(plans):
     assert "BroadcastHashJoin" in p
 
 
+def test_decontaminate_bloom_single_arrow_probe_node(plans):
+    """r13 (ADVICE r12): ``bloom_might_contain``'s asNondeterministic()
+    is a load-bearing optimizer hint — without it,
+    InferFiltersFromConstraints copies the pandas-UDF predicate across
+    the gram equi-join onto the build side, adding a whole
+    ArrowEvalPython stage that probes the very grams the bitset was
+    built from (guaranteed-True no-op; r12 plan diff: 2 nodes → 1).
+    Pin the shape so a Spark upgrade or a refactor that drops the flag
+    (or rejects the non-deterministic UDF) is caught here, not in a
+    bench regression."""
+    import re
+
+    p = plans["decontaminate_bloom"]
+    nodes = re.findall(r"\(\d+\) ArrowEvalPython", p)
+    assert len(nodes) == 1, (
+        f"expected exactly 1 ArrowEvalPython node (the single Bloom probe "
+        f"filter site), found {len(nodes)} — the asNondeterministic() "
+        "placement pin no longer holds"
+    )
+
+
 def test_zipf_rank_no_single_partition_window(plans):
     """The vocabulary rank must be the range-partitioned dense index —
     a 10^8-term vocab cannot ride a one-task ROW_NUMBER sort."""
