@@ -438,6 +438,15 @@ def main() -> None:
         # credibility. The fastest-3 stat already discards such samples
         # when clean ones exist; this field proves it.
         "steal_ticks_per_sample": {n: steals[n] for n in names},
+        # raw per-sample wall seconds (r13, same sample order as the
+        # steal field): medians alone cannot be re-derived over only the
+        # CLEAN samples after the fact — this session's 8-core legs
+        # "beat" 32-core legs purely because theft landed in different
+        # windows of each leg. With (time, steal) pairs per sample, any
+        # reader can recompute a clean-sample-only statistic post-hoc
+        # instead of discarding the whole run. Additive provenance only:
+        # the published stat stays median-of-fastest-3.
+        "samples_sec": {n: [round(x, 4) for x in samples[n]] for n in names},
     }
     # Ad-hoc BENCH_QUERIES subset runs must NOT overwrite the judged
     # full-headline artifact (r12: an interleaved A/B leg clobbered the
