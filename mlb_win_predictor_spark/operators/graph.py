@@ -138,25 +138,36 @@ def pagerank(
     ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
 
     def step(cur: DataFrame) -> DataFrame:
-        if has_dangling:
-            # Rank mass parked on dangling nodes this step, as a 1-row
-            # broadcast — no driver-side collect inside the loop.
-            dangling = (
-                cur.join(F.broadcast(dangling_nodes), "node", "leftsemi")
-                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
-            )
-        else:
-            dangling = cur.sparkSession.range(1).select(
-                F.lit(0.0).alias("dangling_mass")
-            )
         contribs = (
             cur.join(links, cur["node"] == links["src"])
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
         )
+        updated = nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+        if not has_dangling:
+            # No dangling nodes (e.g. any symmetrized graph, like the
+            # co-purchase entry): the mass term is the CONSTANT +0.0 —
+            # damping·0.0/n ≡ +0.0 and x + 0.0 is exact for the positive
+            # base term — so the 1-row crossJoin the general path pays is
+            # a per-step Range scan + BroadcastExchange +
+            # BroadcastNestedLoopJoin that computes nothing (r13, guide
+            # §2.4 "remove shuffles/work outright"; bit-identical ranks
+            # asserted in the r13 A/B and the numpy oracle).
+            return updated.select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        # Rank mass parked on dangling nodes this step, as a 1-row
+        # broadcast — no driver-side collect inside the loop.
+        dangling = (
+            cur.join(F.broadcast(dangling_nodes), "node", "leftsemi")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
+        )
         return (
-            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
-            .crossJoin(F.broadcast(dangling))
+            updated.crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 (
@@ -226,6 +237,13 @@ def pagerank(
                     F.col("rank") - F.coalesce(F.col("_prev"), F.lit(0.0))
                 ).alias("_delta"),
             )
+        if witness is not None and "first_chain" not in witness:
+            # measurement hook (r13): the loop body's real pre-checkpoint
+            # plan — explain() on the returned frame truncates at the
+            # checkpoint boundary, so this is the only way to plan-verify
+            # per-step claims (exchange count, join strategy) off the
+            # executed code rather than a hand-mirrored copy.
+            witness["first_chain"] = new_ranks
         ck = new_ranks.localCheckpoint(eager=True)
         converged = False
         if track_delta:

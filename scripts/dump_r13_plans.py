@@ -70,6 +70,42 @@ def dump_pagerank_links(spark, sf: str, outdir: str, stage: str) -> None:
     print("pagerank_copurchase_links_build", flush=True)
 
 
+def dump_pagerank_loop_body(spark, sf: str, outdir: str, stage: str) -> None:
+    """Dump the loop body's pre-checkpoint plan (first chained-step frame)
+    via the operator's `first_chain` witness key — the returned frame's
+    explain truncates at the localCheckpoint boundary, so per-step plan
+    claims (crossJoin count, exchange count) are only verifiable here."""
+    from pyspark.sql import functions as F
+
+    from mlb_win_predictor_spark.operators.graph import pagerank
+    from mlb_win_predictor_spark.session import load_table
+
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey")
+    parts = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    edges = (
+        parts.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+    witness: dict = {}
+    try:
+        # same chaining as the entry so the dumped chain is the entry's
+        pagerank(edges, iterations=2, tol=None, checkpoint_every=2, witness=witness)
+        txt = plan_of(witness["first_chain"])
+    finally:
+        release_caches(spark)
+    with open(
+        os.path.join(outdir, f"pagerank_copurchase_loop_body_{stage}.txt"), "w"
+    ) as fh:
+        fh.write(
+            f"# pagerank_copurchase loop body — explain('formatted') of the REAL\n"
+            f"# first 2-step chain BEFORE its localCheckpoint (witness hook) at\n"
+            f"# {sf} ({stage}, r13). checkpoint_every=2 as in the entry.\n"
+        )
+        fh.write(txt)
+    print("pagerank_copurchase_loop_body", flush=True)
+
+
 def main() -> None:
     stage = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = (
@@ -97,6 +133,7 @@ def main() -> None:
         print(name, flush=True)
     if "pagerank_copurchase" in names:
         dump_pagerank_links(spark, sf, outdir, stage)
+        dump_pagerank_loop_body(spark, sf, outdir, stage)
 
 
 if __name__ == "__main__":

@@ -413,6 +413,111 @@ def band_new(spark):
     return _banded_pairs_shape(spark, old=False)
 
 
+def _old_pagerank(edges, iterations=5, damping=0.85, checkpoint_every=2):
+    """The pre-r13 loop shape: step() crossJoins a 1-row dangling-mass
+    frame EVEN when the graph has no dangling nodes (constant +0.0).
+    tol=None path only — exactly the entry's configuration."""
+    from pyspark.sql.window import Window
+
+    from mlb_win_predictor_spark.session import release_checkpoint
+
+    links = (
+        edges.select("src", "dst")
+        .repartition("src")
+        .dropDuplicates(["src", "dst"])
+        .withColumn("deg", F.count(F.lit(1)).over(Window.partitionBy("src")))
+        .persist()
+    )
+    links.count()
+    nodes = (
+        links.select(F.col("src").alias("node"))
+        .union(links.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n_nodes = nodes.count()
+    dangling_nodes = nodes.join(
+        links.select(F.col("src").alias("node")).distinct(), "node", "left_anti"
+    ).persist()
+    has_dangling = dangling_nodes.count() > 0
+
+    def step(cur):
+        if has_dangling:
+            dangling = (
+                cur.join(F.broadcast(dangling_nodes), "node", "leftsemi")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dangling_mass"))
+            )
+        else:
+            dangling = cur.sparkSession.range(1).select(
+                F.lit(0.0).alias("dangling_mass")
+            )
+        contribs = (
+            cur.join(links, cur["node"] == links["src"])
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        return (
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping) * F.col("dangling_mass") / F.lit(float(n_nodes))
+                    + F.lit(damping) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    prev_ck = None
+    done = 0
+    while done < iterations:
+        steps = min(max(checkpoint_every, 1), iterations - done)
+        new_ranks = ranks
+        for _ in range(steps):
+            new_ranks = step(new_ranks)
+        ck = new_ranks.localCheckpoint(eager=True)
+        ranks = ck
+        if prev_ck is not None:
+            release_checkpoint(prev_ck)
+        prev_ck = ck
+        done += steps
+    links.unpersist()
+    nodes.unpersist()
+    dangling_nodes.unpersist()
+    return ranks
+
+
+def _pagerank_edges(spark):
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_partkey")
+    parts = li.groupBy("l_orderkey").agg(F.collect_set("l_partkey").alias("ps"))
+    return (
+        parts.select(F.explode("ps").alias("src"), "ps")
+        .select("src", F.explode("ps").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+    )
+
+
+def prdangle_old(spark):
+    from mlb_win_predictor_spark.functions.scalars import stable_round
+
+    ranks = _old_pagerank(_pagerank_edges(spark))
+    return (
+        ranks.select(
+            "node", stable_round(F.col("rank") * 1000, 6).alias("rank_permille")
+        )
+        .orderBy(F.desc("rank_permille"), "node")
+        .limit(20)
+    )
+
+
+def prdangle_new(spark):
+    from mlb_win_predictor_spark.queries.ops import pagerank_copurchase
+
+    return pagerank_copurchase(spark, SF)
+
+
 def _knn_entry(spark):
     from mlb_win_predictor_spark.queries.ml import ml_knn_k_leaderboard
 
@@ -447,6 +552,7 @@ VARIANTS = {
     "sq8": (sq8_old, sq8_new),
     "band": (band_old, band_new),
     "knn": (knn_old, knn_new),
+    "prdangle": (prdangle_old, prdangle_new),
 }
 
 

@@ -744,6 +744,39 @@ def test_pagerank_iteration_exchanges_rank_vector_only(spark):
         links.unpersist()
 
 
+def test_pagerank_no_dangling_skips_mass_crossjoin(spark):
+    """r13: when the graph has NO dangling nodes the per-step dangling
+    mass is the constant +0.0, so the loop body must NOT plan the 1-row
+    crossJoin (Range scan + BroadcastExchange + BroadcastNestedLoopJoin
+    per step that computes nothing). Pinned off the operator's REAL
+    pre-checkpoint chain via the `first_chain` witness key — the r13
+    loop-body plan dumps (plans/r13/pagerank_copurchase_loop_body_*)
+    are this invariant at the entry's scale. A graph WITH a dangling
+    node must keep the mass crossJoin (values pinned by the numpy
+    oracle test either way)."""
+    from mlb_win_predictor_spark.operators.graph import pagerank
+
+    # symmetric (no dangling): every node has an out-edge
+    sym = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1)], "src long, dst long"
+    )
+    w: dict = {}
+    pagerank(sym, iterations=2, tol=None, checkpoint_every=2, witness=w)
+    p = plan_of(w["first_chain"])
+    assert "BroadcastNestedLoopJoin" not in p, (
+        "no-dangling loop body must not crossJoin a constant mass:\n" + p
+    )
+
+    # dangling node 3 (no out-edge): the mass term is real and must stay
+    dang = spark.createDataFrame([(0, 1), (1, 0), (1, 3)], "src long, dst long")
+    w2: dict = {}
+    pagerank(dang, iterations=2, tol=None, checkpoint_every=2, witness=w2)
+    p2 = plan_of(w2["first_chain"])
+    assert "BroadcastNestedLoopJoin" in p2, (
+        "dangling-mass crossJoin missing from the dangling-graph loop body:\n" + p2
+    )
+
+
 def test_private_storage_api_smoke(spark):
     """Pin the JVM-private accessors the storage-hygiene layer stands on
     (ADVICE r7): ``persistent_rdd_count`` / ``release_caches`` read
